@@ -1,0 +1,26 @@
+"""Single-document dispatch: sniff -> route to the matching kernel.
+
+Reference analog: ``get_reader(file_type)`` factory routing
+(``/root/reference/backend/src/factory.py:34-42``) + the worker task body
+(``backend/src/tasks.py:154-264``), collapsed to one pure function shared
+by the Ray stages and the oracle.
+"""
+
+from __future__ import annotations
+
+from .result import ExtractResult
+from .sniff import sniff_bytes
+from .html_extract import extract_html
+from .pdf_extract import extract_pdf
+
+
+def extract_document(payload: bytes | None) -> tuple[str, ExtractResult]:
+    """Return (content_type, ExtractResult) for one document payload."""
+    ctype = sniff_bytes(payload)
+    if ctype == "pdf":
+        return ctype, extract_pdf(payload)
+    if ctype == "html":
+        return ctype, extract_html(payload)
+    if ctype == "empty":
+        return ctype, ExtractResult(text="", pages=[""], status="empty")
+    return ctype, ExtractResult(text="", pages=[""], status="unknown")

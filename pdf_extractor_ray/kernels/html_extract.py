@@ -1,0 +1,196 @@
+"""HTML main-content extraction: boilerplate stripping via block-level
+text-density / link-density scoring (Readability/trafilatura-style
+heuristics, per BASELINE.json.north_star), built on the stdlib
+``html.parser`` only (no lxml in this environment — SURVEY.md §0).
+
+Reference analog: the whole-document text conversion path
+(``/root/reference/backend/src/extractors/markitdown_extractor.py:19-65`` —
+one text per document) combined with the reference's "meaningful content"
+notion (``backend/src/tasks.py:228-249``): a document whose kept blocks are
+empty gets ``status='empty'`` instead of an exception.
+
+Frozen byte-identity invariants (SURVEY.md §7.1):
+  * drop subtrees: script/style/noscript/template/nav/header/footer/aside/
+    form/iframe/svg/button/select/option/label/input/textarea + comments
+  * blocks start at block-level tags; inline tags continue the current block
+  * normalization per block: whitespace collapsed to single spaces, NFC,
+    strip
+  * keep a block iff it survives the density filter:
+      heading: >=3 chars and link_density < 0.5
+      other:   >=25 chars and link_density < 0.4
+    (<title> is always kept first when non-empty, kind='title')
+  * final text = kept blocks joined with "\n\n"
+  * spans = (start, end, kind) offsets into the final text, one per block
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from html.parser import HTMLParser
+
+from .result import ExtractResult, Span
+
+DROP_TAGS = frozenset(
+    "script style noscript template nav header footer aside form iframe "
+    "svg button select option label input textarea object embed applet".split()
+)
+
+# Block-level boundaries (entering/leaving one flushes the current block).
+BLOCK_TAGS = frozenset(
+    "p div section article main ul ol li table thead tbody tr td th "
+    "pre blockquote h1 h2 h3 h4 h5 h6 dl dt dd figure figcaption caption "
+    "body address fieldset hr center".split()
+)
+
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+_WS_RE = re.compile(r"\s+")
+
+MIN_BLOCK_CHARS = 25
+MIN_HEADING_CHARS = 3
+MAX_LINK_DENSITY = 0.4
+MAX_HEADING_LINK_DENSITY = 0.5
+
+
+def _kind_for(tag: str) -> str:
+    if tag in _HEADINGS:
+        return "heading"
+    if tag in ("li", "dt", "dd"):
+        return "list"
+    if tag in ("td", "th", "caption"):
+        return "table"
+    return "paragraph"
+
+
+def normalize_text(raw: str) -> str:
+    """Collapse whitespace to single spaces, NFC-normalize, strip."""
+    return unicodedata.normalize("NFC", _WS_RE.sub(" ", raw)).strip()
+
+
+class _BlockCollector(HTMLParser):
+    """Streaming block collector; lenient on malformed HTML by design
+    (``html.parser`` never raises on stray/unclosed tags)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str, float]] = []  # (kind, text, link_density)
+        self._parts: list[str] = []
+        self._chars = 0
+        self._link_chars = 0
+        self._kind = "paragraph"
+        self._drop_depth = 0
+        self._link_depth = 0
+        self._in_title = False
+        self._title_parts: list[str] = []
+        self.title = ""
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        if self._parts:
+            raw = "".join(self._parts)
+            text = normalize_text(raw)
+            if text:
+                density = self._link_chars / self._chars if self._chars else 0.0
+                self.blocks.append((self._kind, text, density))
+        self._parts = []
+        self._chars = 0
+        self._link_chars = 0
+
+    # -- parser callbacks ------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag == "a":
+            self._link_depth += 1
+            return
+        if tag == "br":
+            self._parts.append(" ")
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._kind = _kind_for(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "br" and not self._drop_depth:
+            self._parts.append(" ")
+        # void drop-tags (e.g. <input/>) open and close in one event: no-op
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            if self._drop_depth:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag == "a":
+            if self._link_depth:
+                self._link_depth -= 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._kind = "paragraph"
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        if self._in_title:
+            self._title_parts.append(data)
+            return
+        self._parts.append(data)
+        n = len(data)
+        self._chars += n
+        if self._link_depth:
+            self._link_chars += n
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+        self.title = normalize_text("".join(self._title_parts))
+
+
+def _keep(kind: str, text: str, density: float) -> bool:
+    if kind == "heading":
+        return len(text) >= MIN_HEADING_CHARS and density < MAX_HEADING_LINK_DENSITY
+    return len(text) >= MIN_BLOCK_CHARS and density < MAX_LINK_DENSITY
+
+
+def extract_html(payload: bytes) -> ExtractResult:
+    """bytes -> main-content text + spans. Never raises; malformed input
+    yields a best-effort salvage (status='empty' when nothing survives)."""
+    try:
+        text = payload.decode("utf-8", errors="replace")
+        parser = _BlockCollector()
+        parser.feed(text)
+        parser.close()
+
+        kept: list[tuple[str, str]] = []
+        if parser.title:
+            kept.append(("title", parser.title))
+        for kind, block_text, density in parser.blocks:
+            if _keep(kind, block_text, density):
+                kept.append((kind, block_text))
+
+        pieces: list[str] = []
+        spans: list[Span] = []
+        offset = 0
+        for kind, block_text in kept:
+            if pieces:
+                offset += 2  # the "\n\n" separator
+            spans.append(Span(offset, offset + len(block_text), kind))
+            pieces.append(block_text)
+            offset += len(block_text)
+        full = "\n\n".join(pieces)
+        status = "ok" if full else "empty"
+        return ExtractResult(text=full, pages=[full], spans=spans, status=status)
+    except Exception as exc:  # pragma: no cover - html.parser is lenient
+        return ExtractResult(text="", pages=[""], status="error", error=f"html:{exc!r}"[:200])

@@ -1,0 +1,462 @@
+"""From-scratch PDF text extraction with pdfminer-style layout analysis
+(char/chunk -> line -> block clustering, reading-order sort), stdlib only
+(``re`` + ``zlib``) — no pdfminer/PyMuPDF/pypdf in this environment
+(SURVEY.md §0).
+
+Reference analog: the per-page text extraction loop of
+``/root/reference/backend/src/extractors/pypdf2_extractor.py:21-50`` /
+``pymupdf_extractor.py:17-37`` (page -> TEXT), the pages-joined layout text
+of ``pdfplumber_extractor.py:43-47`` (blocks joined per page), and the
+reading-order *sort-lines-then-join* semantic of the Mathpix parser
+(``mathpix_extractor.py:121-131``), generalized here to geometric y/x
+sorting of lines and blocks.
+
+Scope (SURVEY.md §7.0): classic xref PDFs with text operators
+``BT/ET Tf Td TD TL T* Tm Tj TJ ' "``, literal + hex strings, raw or
+FlateDecode content streams. No encryption, no CID fonts, no object
+streams. Anything else fails *gracefully* to ``status='error'`` — the
+reference's swallow-error pattern (``pypdf2_extractor.py:41-48``).
+
+Frozen byte-identity invariants (SURVEY.md §7.1):
+  * chunk width estimate: 0.5 * font_size * len(text) (Helvetica-ish)
+  * line clustering: chunks whose baseline y differs by <= 2.0 share a line
+  * within a line: chunks sorted by x; gap > 0.3 * font_size -> one space
+  * block clustering: consecutive lines (descending y) split when the
+    vertical gap exceeds 2.0 * font_size
+  * reading order: blocks sorted by (-top_y, left_x)
+  * page text: lines joined "\n" inside a block, blocks joined "\n\n"
+  * document text: pages joined "\f" (explicit page separator mirroring the
+    reference's 1-based page keys); span kind 'page' per page
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from .result import ExtractResult, Span
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+
+Y_LINE_TOL = 2.0
+GAP_SPACE_FACTOR = 0.3
+BLOCK_GAP_FACTOR = 2.0
+CHAR_WIDTH_FACTOR = 0.5
+
+
+class PdfError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Object scan (xref-free: tolerant of truncated/garbage xref tables — we
+# recover objects by scanning, which also handles the fixture's corrupt-xref
+# class as long as object bodies are intact)
+# --------------------------------------------------------------------------
+
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Return {obj_num: (dict_part, stream_bytes|None)}. Later duplicate
+    object numbers win (incremental-update semantics)."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        idx_stream = data.find(b"stream", body_start)
+        idx_endobj = data.find(b"endobj", body_start)
+        if idx_endobj == -1 and idx_stream == -1:
+            # truncated object: salvage dict part to end of data
+            objects[num] = (data[body_start:], None)
+            break
+        if idx_stream != -1 and (idx_endobj == -1 or idx_stream < idx_endobj):
+            dict_part = data[body_start:idx_stream]
+            s = idx_stream + len(b"stream")
+            if data[s : s + 2] == b"\r\n":
+                s += 2
+            elif data[s : s + 1] == b"\n":
+                s += 1
+            e = data.find(b"endstream", s)
+            if e == -1:
+                raise PdfError("unterminated stream")
+            stream = data[s:e]
+            # stream content may end with EOL added by the writer
+            if stream.endswith(b"\r\n"):
+                stream = stream[:-2]
+            elif stream.endswith(b"\n"):
+                stream = stream[:-1]
+            idx_endobj = data.find(b"endobj", e)
+            if idx_endobj == -1:
+                idx_endobj = len(data)
+            objects[num] = (dict_part, stream)
+            pos = idx_endobj + 6
+        else:
+            objects[num] = (data[body_start:idx_endobj], None)
+            pos = idx_endobj + 6
+    if not objects:
+        raise PdfError("no objects found")
+    return objects
+
+
+def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+    """Page object numbers in document order via Catalog -> Pages -> Kids
+    traversal; falls back to ascending object number of /Type /Page objects
+    when the tree is missing or broken."""
+    type_of: dict[int, bytes] = {}
+    for num, (dict_part, _) in objects.items():
+        tm = _TYPE_RE.search(dict_part)
+        if tm:
+            type_of[num] = tm.group(1)
+
+    root_pages: int | None = None
+    for num, (dict_part, _) in objects.items():
+        if type_of.get(num) == b"Catalog":
+            pm = _PAGES_REF_RE.search(dict_part)
+            if pm:
+                root_pages = int(pm.group(1))
+            break
+
+    pages: list[int] = []
+    if root_pages is not None and root_pages in objects:
+        seen: set[int] = set()
+        stack = [root_pages]
+        while stack:
+            num = stack.pop()
+            if num in seen or num not in objects:
+                continue
+            seen.add(num)
+            dict_part = objects[num][0]
+            t = type_of.get(num)
+            if t == b"Page":
+                pages.append(num)
+            else:
+                km = _KIDS_RE.search(dict_part)
+                if km:
+                    kids = [int(r) for r in _REF_RE.findall(km.group(1))]
+                    stack.extend(reversed(kids))  # preserve Kids order (DFS)
+    if not pages:
+        pages = sorted(n for n, t in type_of.items() if t == b"Page")
+    return pages
+
+
+def _content_streams(
+    page_num: int, objects: dict[int, tuple[bytes, bytes | None]]
+) -> bytes:
+    dict_part = objects[page_num][0]
+    refs: list[int] = []
+    am = _CONTENTS_ARR_RE.search(dict_part)
+    if am:
+        refs = [int(r) for r in _REF_RE.findall(am.group(1))]
+    else:
+        rm = _CONTENTS_REF_RE.search(dict_part)
+        if rm:
+            refs = [int(rm.group(1))]
+    parts: list[bytes] = []
+    for ref in refs:
+        if ref not in objects:
+            continue
+        cdict, stream = objects[ref]
+        if stream is None:
+            continue
+        if b"/FlateDecode" in cdict:
+            stream = zlib.decompress(stream)
+        parts.append(stream)
+    return b"\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Content-stream tokenizer + text-state machine
+# --------------------------------------------------------------------------
+
+_DELIMS = b"()<>[]{}/% \t\r\n\f\0"
+_ESCAPES = {
+    b"n"[0]: "\n", b"r"[0]: "\r", b"t"[0]: "\t", b"b"[0]: "\b",
+    b"f"[0]: "\f", b"("[0]: "(", b")"[0]: ")", b"\\"[0]: "\\",
+}
+
+
+def _tokenize(stream: bytes):
+    """Yield ('str', text) | ('num', float) | ('name', bytes) | ('op', bytes)
+    | ('arr_open'|'arr_close', None)."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c in b" \t\r\n\f\0":
+            i += 1
+        elif c == ord("%"):
+            j = stream.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c == ord("("):
+            # literal string with nesting + escapes
+            depth = 1
+            i += 1
+            out: list[str] = []
+            while i < n and depth:
+                ch = stream[i]
+                if ch == ord("\\"):
+                    i += 1
+                    if i >= n:
+                        break
+                    e = stream[i]
+                    if e in _ESCAPES:
+                        out.append(_ESCAPES[e])
+                        i += 1
+                    elif ord("0") <= e <= ord("7"):
+                        oct_digits = stream[i : i + 3]
+                        k = 1
+                        while k < 3 and k < len(oct_digits) and ord("0") <= oct_digits[k] <= ord("7"):
+                            k += 1
+                        out.append(chr(int(oct_digits[:k], 8) & 0xFF))
+                        i += k
+                    elif e in b"\r\n":  # line continuation
+                        i += 1
+                        if e == ord("\r") and i < n and stream[i] == ord("\n"):
+                            i += 1
+                    else:
+                        out.append(chr(e))
+                        i += 1
+                elif ch == ord("("):
+                    depth += 1
+                    out.append("(")
+                    i += 1
+                elif ch == ord(")"):
+                    depth -= 1
+                    if depth:
+                        out.append(")")
+                    i += 1
+                else:
+                    out.append(chr(ch))
+                    i += 1
+            yield ("str", "".join(out))
+        elif c == ord("<") and i + 1 < n and stream[i + 1] != ord("<"):
+            j = stream.find(b">", i)
+            if j == -1:
+                raise PdfError("unterminated hex string")
+            hx = bytes(ch for ch in stream[i + 1 : j] if ch not in b" \t\r\n\f")
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            i = j + 1
+        elif c == ord("<"):  # '<<' dict open — skip as operator-ish token
+            yield ("op", b"<<")
+            i += 2
+        elif c == ord(">") and i + 1 < n and stream[i + 1] == ord(">"):
+            yield ("op", b">>")
+            i += 2
+        elif c == ord("["):
+            yield ("arr_open", None)
+            i += 1
+        elif c == ord("]"):
+            yield ("arr_close", None)
+            i += 1
+        elif c == ord("/"):
+            j = i + 1
+            while j < n and stream[j] not in _DELIMS:
+                j += 1
+            yield ("name", stream[i + 1 : j])
+            i = j
+        elif c in b"+-.0123456789":
+            j = i + 1
+            while j < n and stream[j] in b"+-.0123456789eE":
+                j += 1
+            try:
+                yield ("num", float(stream[i:j]))
+            except ValueError:
+                pass
+            i = j
+        else:
+            j = i + 1
+            while j < n and stream[j] not in _DELIMS:
+                j += 1
+            yield ("op", stream[i:j])
+            i = j
+
+
+class _Chunk:
+    __slots__ = ("x", "y", "text", "width", "size")
+
+    def __init__(self, x: float, y: float, text: str, width: float, size: float):
+        self.x, self.y, self.text, self.width, self.size = x, y, text, width, size
+
+
+def _run_text_ops(stream: bytes) -> list[_Chunk]:
+    chunks: list[_Chunk] = []
+    size = 12.0
+    leading = 0.0
+    x = y = 0.0        # current text position
+    lx = ly = 0.0      # line-start position (Td base)
+    in_text = False
+    stack: list = []   # operand stack
+    in_array = False
+    array: list = []
+
+    def emit(s: str) -> None:
+        nonlocal x
+        if not s:
+            return
+        w = CHAR_WIDTH_FACTOR * size * len(s)
+        chunks.append(_Chunk(x, y, s, w, size))
+        x += w
+
+    def newline() -> None:
+        nonlocal x, y, ly
+        ly = ly - (leading if leading else 1.2 * size)
+        x, y = lx, ly
+
+    for kind, val in _tokenize(stream):
+        if kind == "arr_open":
+            in_array, array = True, []
+            continue
+        if kind == "arr_close":
+            in_array = False
+            stack.append(array)
+            array = []
+            continue
+        if kind in ("str", "num", "name"):
+            (array if in_array else stack).append((kind, val))
+            continue
+        # operator
+        op = val
+        if op == b"BT":
+            in_text = True
+            x = y = lx = ly = 0.0
+            stack.clear()
+        elif op == b"ET":
+            in_text = False
+            stack.clear()
+        elif not in_text:
+            stack.clear()
+        elif op == b"Tf":
+            if stack and stack[-1][0] == "num":
+                size = float(stack[-1][1])
+            stack.clear()
+        elif op == b"TL":
+            if stack and stack[-1][0] == "num":
+                leading = float(stack[-1][1])
+            stack.clear()
+        elif op in (b"Td", b"TD"):
+            if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
+                tx, ty = float(stack[-2][1]), float(stack[-1][1])
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+                if op == b"TD":
+                    leading = -ty
+            stack.clear()
+        elif op == b"Tm":
+            if len(stack) >= 6 and all(t == "num" for t, _ in stack[-6:]):
+                e, f = float(stack[-2][1]), float(stack[-1][1])
+                lx, ly = e, f
+                x, y = e, f
+            stack.clear()
+        elif op == b"T*":
+            newline()
+            stack.clear()
+        elif op == b"Tj":
+            if stack and stack[-1][0] == "str":
+                emit(stack[-1][1])
+            stack.clear()
+        elif op == b"'":
+            if stack and stack[-1][0] == "str":
+                newline()
+                emit(stack[-1][1])
+            stack.clear()
+        elif op == b'"':
+            if stack and stack[-1][0] == "str":
+                newline()
+                emit(stack[-1][1])
+            stack.clear()
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for t, v in stack[-1]:
+                    if t == "str":
+                        emit(v)
+                    elif t == "num":
+                        x -= v / 1000.0 * size
+            stack.clear()
+        else:
+            stack.clear()
+    return chunks
+
+
+# --------------------------------------------------------------------------
+# Layout analysis: chunks -> lines -> blocks -> reading-order text
+# --------------------------------------------------------------------------
+
+def _layout_page(chunks: list[_Chunk]) -> str:
+    if not chunks:
+        return ""
+    # lines: cluster by baseline y (descending), tolerance Y_LINE_TOL
+    chunks_sorted = sorted(chunks, key=lambda c: (-c.y, c.x))
+    lines: list[list[_Chunk]] = []
+    for c in chunks_sorted:
+        if lines and abs(lines[-1][0].y - c.y) <= Y_LINE_TOL:
+            lines[-1].append(c)
+        else:
+            lines.append([c])
+
+    line_infos: list[tuple[float, float, float, str]] = []  # (y, x0, size, text)
+    for line in lines:
+        line.sort(key=lambda c: c.x)
+        parts: list[str] = []
+        prev_end: float | None = None
+        max_size = max(c.size for c in line)
+        for c in line:
+            if prev_end is not None and c.x - prev_end > GAP_SPACE_FACTOR * c.size:
+                parts.append(" ")
+            parts.append(c.text)
+            prev_end = c.x + c.width
+        text = "".join(parts).strip()
+        if text:
+            line_infos.append((line[0].y, line[0].x, max_size, text))
+
+    if not line_infos:
+        return ""
+    # blocks: split on big vertical gaps (descending y order)
+    blocks: list[list[tuple[float, float, float, str]]] = []
+    for info in line_infos:
+        if blocks:
+            prev = blocks[-1][-1]
+            if prev[0] - info[0] > BLOCK_GAP_FACTOR * prev[2]:
+                blocks.append([info])
+            else:
+                blocks[-1].append(info)
+        else:
+            blocks.append([info])
+
+    # reading order: (-top_y, left_x)
+    blocks.sort(key=lambda b: (-b[0][0], min(li[1] for li in b)))
+    return "\n\n".join("\n".join(li[3] for li in b) for b in blocks)
+
+
+def extract_pdf(payload: bytes) -> ExtractResult:
+    """bytes -> per-page text + merged doc text. Never raises."""
+    try:
+        objects = _scan_objects(payload)
+        page_nums = _page_order(objects)
+        pages: list[str] = []
+        for pn in page_nums:
+            content = _content_streams(pn, objects)
+            pages.append(_layout_page(_run_text_ops(content)))
+        if not pages or not any(pages):
+            return ExtractResult(text="", pages=pages or [""],
+                                 status="empty")
+        text = "\f".join(pages)
+        spans: list[Span] = []
+        offset = 0
+        for p in pages:
+            if offset:
+                offset += 1  # the "\f"
+            spans.append(Span(offset, offset + len(p), "page"))
+            offset += len(p)
+        return ExtractResult(text=text, pages=pages, spans=spans, status="ok")
+    except Exception as exc:
+        return ExtractResult(text="", pages=[""], status="error",
+                             error=f"pdf:{type(exc).__name__}:{exc}"[:200])

@@ -1,0 +1,96 @@
+"""HTML kernel unit tests — structure assertions mirroring the reference's
+mocked extractor tests (/root/reference/backend/tests/test_existing_extractors.py:23-58:
+tiny inputs, exact expected structure)."""
+
+from pdf_extractor_ray.kernels import extract_html, sniff_bytes
+from pdf_extractor_ray.kernels.html_extract import normalize_text
+
+
+def test_simple_article():
+    html = b"""<!doctype html>
+    <html><head><title>My Title</title><style>p{}</style></head><body>
+    <nav><a href="/">Home</a> <a href="/x">X</a></nav>
+    <p>This is the first real paragraph with enough characters to keep.</p>
+    <p>short</p>
+    <footer><a href="/tos">terms</a></footer>
+    </body></html>"""
+    res = extract_html(html)
+    assert res.status == "ok"
+    assert res.text == (
+        "My Title\n\nThis is the first real paragraph with enough characters to keep."
+    )
+    assert [s.kind for s in res.spans] == ["title", "paragraph"]
+    # spans index into the final text
+    s = res.spans[1]
+    assert res.text[s.start : s.end].startswith("This is the first")
+
+
+def test_boilerplate_dropped():
+    html = (
+        b"<html><body><script>var x = 'should never appear in output';</script>"
+        b"<aside>sidebar junk that is long enough to pass thresholds easily</aside>"
+        b"<p>Main content paragraph that is definitely long enough to keep.</p>"
+        b"</body></html>"
+    )
+    res = extract_html(html)
+    assert "never appear" not in res.text
+    assert "sidebar junk" not in res.text
+    assert "Main content paragraph" in res.text
+
+
+def test_link_density_filter():
+    links = "".join(f'<a href="/{i}">link text number {i} padded</a> ' for i in range(10))
+    html = f"<html><body><div>{links}</div></body></html>".encode()
+    res = extract_html(html)
+    assert res.text == ""
+    assert res.status == "empty"
+
+
+def test_entities_and_whitespace():
+    html = (
+        b"<html><body><p>Caf&eacute; &amp; r&eacute;sum&eacute;   with\n\n   "
+        b"collapsed   whitespace and plenty of padding text here.</p></body></html>"
+    )
+    res = extract_html(html)
+    assert "Café & résumé with collapsed whitespace" in res.text
+    assert "  " not in res.text
+
+
+def test_malformed_no_crash():
+    html = b"<html><body></div></div><p>Unclosed paragraph with plenty of text to keep it<p>another unclosed one also long enough to keep<div>stray < bracket"
+    res = extract_html(html)
+    assert res.status == "ok"
+    assert "Unclosed paragraph" in res.text
+
+
+def test_headings_kept_with_lower_threshold():
+    html = b"<html><body><h1>Hi all</h1><p>Body paragraph long enough to be kept around.</p></body></html>"
+    res = extract_html(html)
+    assert res.text.startswith("Hi all\n\n")
+    assert res.spans[0].kind == "heading"
+
+
+def test_list_and_table_kinds():
+    html = (
+        b"<html><body>"
+        b"<ul><li>First list item with enough characters in it</li></ul>"
+        b"<table><tr><td>A table cell with enough characters in it too</td></tr></table>"
+        b"</body></html>"
+    )
+    res = extract_html(html)
+    kinds = [s.kind for s in res.spans]
+    assert kinds == ["list", "table"]
+
+
+def test_empty_and_sniff():
+    assert sniff_bytes(b"") == "empty"
+    assert sniff_bytes(None) == "empty"
+    assert sniff_bytes(b"%PDF-1.7 blah") == "pdf"
+    assert sniff_bytes(b"  \n <!DOCTYPE html><html>") == "html"
+    assert sniff_bytes(b"<div>x</div>") == "html"
+    assert sniff_bytes(b"\x00\x01\x02 garbage") == "unknown"
+
+
+def test_normalize_text_nfc():
+    # e + combining acute -> precomposed
+    assert normalize_text("Café  x") == "Café x"
