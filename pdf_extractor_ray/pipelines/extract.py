@@ -1,0 +1,275 @@
+"""The flagship pipeline: Common-Crawl-style pages -> extracted main content.
+
+Ray-Data restatement of the reference's upload -> fan-out -> extract ->
+persist lifecycle (``/root/reference/backend/src/main.py:324-489`` +
+``backend/src/tasks.py:154-351``; SURVEY.md §3.1):
+
+    read_parquet(pages shards)
+      -> map_batches(sniff_and_partition)          # magic sniff + crc32(url)%P
+      -> groupby(partition_id).map_groups(dedup)   # THE one all-to-all
+      -> map_batches(DocumentExtractor, concurrency=actor pool)
+      -> write (flat parquet | atomic per-partition dirs + manifests)
+
+Two physical modes share every stage:
+
+* ``stream`` — fully pipelined; extraction is an autoscaling actor pool;
+  output is plain sharded parquet. Fastest; crash = rerun.
+* ``checkpoint`` — the per-partition group runs dedup + extract + atomic
+  write + `_MANIFEST.json` in one task; a re-run with ``resume=True`` drops
+  completed partitions BEFORE the shuffle, so finished work neither moves
+  nor parses again (north-rule resumability).
+
+Scale notes (100 TB): the single shuffle is hash(url)%P and is reused for
+dedup, output partitioning and resume granularity; P should be ~4x total
+cores (cluster) so stragglers rebalance. Payload bytes move through the
+object store exactly once. Skew: oversized documents are parsed page-wise
+inside the kernel; a splitter stage for multi-hundred-MB rows can be added
+in front (see stages/skew.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..stages.sniff import sniff_and_partition
+from ..stages.dedup import dedup_first_wins
+from ..stages.extract import DocumentExtractor, extract_batch
+from ..state.manifest import (
+    PartitionManifest,
+    completed_partitions,
+    input_fingerprint,
+    write_partition_atomic,
+)
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_pages(input_path: str) -> rd.Dataset:
+    """Column-pruned read of the pages table (drops the carried-through
+    ``text`` WET snippet at the scan — it is not an extraction input)."""
+    return rd.read_parquet(input_path, columns=["url", "warc_ts", "html", "lang"])
+
+
+def extracted_dataset(
+    input_path: str,
+    *,
+    n_partitions: int = 32,
+    dedup: bool = True,
+    batch_size: int = 64,
+    concurrency: tuple[int, int] | int = (1, 16),
+    emit_pages: bool = False,
+    skip_partitions: frozenset[int] | None = None,
+) -> rd.Dataset:
+    """Lazy streaming Dataset of extracted rows (mode=stream core)."""
+    ds = read_pages(input_path)
+    ds = ds.map_batches(
+        functools.partial(
+            sniff_and_partition,
+            n_partitions=n_partitions,
+            skip_partitions=skip_partitions,
+        ),
+        batch_format="pyarrow",
+    )
+    if dedup:
+        ds = ds.groupby("partition_id").map_groups(
+            dedup_first_wins, batch_format="pyarrow"
+        )
+    return ds.map_batches(
+        DocumentExtractor,
+        fn_constructor_kwargs={"emit_pages": emit_pages},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def run_stream(
+    input_path: str,
+    output_path: str | None = None,
+    **kwargs,
+) -> rd.Dataset:
+    ds = extracted_dataset(input_path, **kwargs)
+    if output_path:
+        ds.write_parquet(output_path)
+        return rd.read_parquet(output_path)
+    return ds
+
+
+# --------------------------------------------------------------------------
+# checkpoint mode: per-partition task = dedup + extract + atomic write
+# --------------------------------------------------------------------------
+
+def partition_worker(
+    group: pa.Table,
+    *,
+    output_dir: str,
+    emit_pages: bool = True,
+    batch_size: int = 64,
+) -> pa.Table:
+    """``map_groups`` function over partition_id groups: dedup + extract +
+    atomic write + manifest in one task. Emits one metrics row per partition
+    (the reference's per-job latency/cost instrumentation,
+    ``backend/src/tasks.py:265-282``)."""
+    t0 = time.perf_counter()
+    pid = int(group["partition_id"][0].as_py())
+    rows_in = group.num_rows
+    fp = input_fingerprint(group["url"].to_pylist(), group["warc_ts"].to_pylist())
+    deduped = dedup_first_wins(group)
+    parts = [
+        extract_batch(deduped.slice(off, batch_size), emit_pages=True)
+        for off in range(0, deduped.num_rows, batch_size)
+    ]
+    out = pa.concat_tables(parts)
+    out = out.take(pa.compute.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+    statuses = out["status"].to_pylist()
+    bytes_in = sum(len(b) for b in deduped["html"].to_pylist() if b)
+
+    def writer(dir_path: str) -> None:
+        pq.write_table(
+            out.drop_columns(["pages"]), os.path.join(dir_path, "extracted.parquet")
+        )
+        if emit_pages:
+            pq.write_table(
+                _explode_pages(out), os.path.join(dir_path, "extracted_pages.parquet")
+            )
+
+    manifest = PartitionManifest(
+        partition_id=pid,
+        rows_in=rows_in,
+        rows_out=out.num_rows,
+        n_ok=statuses.count("ok"),
+        n_empty=statuses.count("empty"),
+        n_error=statuses.count("error"),
+        n_unknown=statuses.count("unknown"),
+        bytes_in=bytes_in,
+        wall_s=round(time.perf_counter() - t0, 4),
+        input_fingerprint=fp,
+    )
+    write_partition_atomic(output_dir, manifest, writer)
+    return pa.table(
+            {
+                "partition_id": pa.array([pid], pa.int32()),
+                "rows_out": pa.array([out.num_rows], pa.int64()),
+                "n_ok": pa.array([manifest.n_ok], pa.int64()),
+                "n_error": pa.array([manifest.n_error], pa.int64()),
+                "bytes_in": pa.array([bytes_in], pa.int64()),
+                "wall_s": pa.array([manifest.wall_s], pa.float64()),
+            }
+        )
+
+
+def _explode_pages(out: pa.Table) -> pa.Table:
+    """extracted (with pages list col) -> one row per (url, page_number) —
+    the reference's DocumentPageContent long table
+    (``backend/src/models/database.py:61-73``, 1-based pages)."""
+    urls: list[str] = []
+    page_numbers: list[int] = []
+    page_texts: list[str] = []
+    url_col = out["url"].to_pylist()
+    pages_col = out["pages"].to_pylist()
+    for u, pages in zip(url_col, pages_col):
+        for i, p in enumerate(pages or [], start=1):
+            urls.append(u)
+            page_numbers.append(i)
+            page_texts.append(p)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "page_number": pa.array(page_numbers, pa.int32()),
+            "page_text": pa.array(page_texts, pa.large_string()),
+        }
+    )
+
+
+def run_checkpoint(
+    input_path: str,
+    output_dir: str,
+    *,
+    n_partitions: int = 32,
+    resume: bool = True,
+    emit_pages: bool = True,
+) -> pa.Table:
+    """Resumable run; returns the per-partition metrics table."""
+    os.makedirs(output_dir, exist_ok=True)
+    skip = completed_partitions(output_dir) if resume else frozenset()
+    ds = read_pages(input_path)
+    ds = ds.map_batches(
+        functools.partial(
+            sniff_and_partition,
+            n_partitions=n_partitions,
+            skip_partitions=skip or None,
+        ),
+        batch_format="pyarrow",
+    )
+    metrics_ds = ds.groupby("partition_id").map_groups(
+        functools.partial(partition_worker, output_dir=output_dir, emit_pages=emit_pages),
+        batch_format="pyarrow",
+    )
+    metrics = metrics_ds.to_arrow_refs()
+    import ray
+
+    tables = [t for t in ray.get(metrics) if t.num_rows]
+    return (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"partition_id": pa.array([], pa.int32())})
+    )
+
+
+def read_extracted(output_dir: str) -> rd.Dataset:
+    """Read back a checkpoint-mode output directory as one Dataset."""
+    paths = [
+        os.path.join(output_dir, d, "extracted.parquet")
+        for d in sorted(os.listdir(output_dir))
+        if d.startswith("partition_id=")
+    ]
+    return rd.read_parquet(paths)
+
+
+def main() -> None:
+    import argparse
+
+    import ray
+
+    ap = argparse.ArgumentParser(description="run the extraction pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", choices=["stream", "checkpoint"], default="checkpoint")
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        if args.mode == "stream":
+            run_stream(args.input, args.output, n_partitions=args.partitions)
+            print(f"stream output -> {args.output}")
+        else:
+            metrics = run_checkpoint(
+                args.input, args.output, n_partitions=args.partitions, resume=args.resume
+            )
+            done = metrics.num_rows
+            total_rows = sum(metrics["rows_out"].to_pylist()) if done else 0
+            print(f"checkpoint: {done} partitions processed, {total_rows} rows -> {args.output}")
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

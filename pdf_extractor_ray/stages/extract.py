@@ -1,0 +1,136 @@
+"""The extraction stage: a stateful actor-pool ``map_batches`` callable.
+
+Reference analog: the Celery worker task body
+(``/root/reference/backend/src/tasks.py:154-264``) — acquire bytes, route to
+``get_reader(type)`` (``backend/src/factory.py:34-42``), parse, emit
+per-page rows, never let one document fail the batch
+(``pypdf2_extractor.py:41-48``). Here the whole fan-out collapses into one
+dispatching actor per pool slot: kernels are pure CPU functions, payload
+bytes arrive zero-copy in Arrow blocks, and parser state (compiled regex /
+scoring tables) is process-wide — amortized exactly like the reference's
+per-worker extractor instances (SURVEY.md §2.3 T1/T6).
+
+Per-actor failure counter implements the reference's circuit-breaker
+semantics (``backend/src/tasks.py:126-151``, thresholds
+``backend/src/constants.py:98-99``): after ``breaker_threshold`` consecutive
+kernel errors the actor marks rows ``status='breaker_open'`` instead of
+parsing, and a success resets the counter.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..kernels import extract_document
+
+SPAN_TYPE = pa.list_(
+    pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
+)
+
+EXTRACT_OUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("lang", pa.string()),
+        ("content_type", pa.string()),
+        ("extracted_text", pa.large_string()),
+        ("spans", SPAN_TYPE),
+        ("n_pages", pa.int32()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+        ("latency_ms", pa.int64()),
+        ("partition_id", pa.int32()),
+        ("pages", pa.large_list(pa.large_string())),
+    ]
+)
+
+
+def extract_batch(
+    batch: pa.Table,
+    *,
+    emit_pages: bool = True,
+    breaker: "_Breaker | None" = None,
+) -> pa.Table:
+    """Arrow batch of input pages -> Arrow batch of extracted rows."""
+    n = batch.num_rows
+    payloads = batch["html"]
+    has_pid = "partition_id" in batch.column_names
+
+    texts: list[str] = []
+    spans: list[list[dict]] = []
+    n_pages: list[int] = []
+    statuses: list[str] = []
+    errors: list[str] = []
+    latencies: list[int] = []
+    pages_col: list[list[str]] = []
+    ctypes: list[str] = []
+
+    for i in range(n):
+        t0 = time.perf_counter()
+        if breaker is not None and breaker.open:
+            ctype, text, sp, pg, status, err = "unknown", "", [], [], "breaker_open", ""
+        else:
+            ctype, res = extract_document(payloads[i].as_py())
+            text, status, err = res.text, res.status, res.error
+            sp = [{"start": s.start, "end": s.end, "kind": s.kind} for s in res.spans]
+            pg = res.pages
+            if breaker is not None:
+                breaker.record(status == "error")
+        ctypes.append(ctype)
+        texts.append(text)
+        spans.append(sp)
+        pages_col.append(pg)
+        n_pages.append(len(pg))
+        statuses.append(status)
+        errors.append(err)
+        latencies.append(int((time.perf_counter() - t0) * 1000))
+
+    cols = {
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "lang": batch["lang"],
+        "content_type": pa.array(ctypes, pa.string()),
+        "extracted_text": pa.array(texts, pa.large_string()),
+        "spans": pa.array(spans, SPAN_TYPE),
+        "n_pages": pa.array(n_pages, pa.int32()),
+        "status": pa.array(statuses, pa.string()),
+        "error": pa.array(errors, pa.string()),
+        "latency_ms": pa.array(latencies, pa.int64()),
+        "partition_id": batch["partition_id"]
+        if has_pid
+        else pa.nulls(n, pa.int32()),
+    }
+    if emit_pages:
+        cols["pages"] = pa.array(pages_col, pa.large_list(pa.large_string()))
+    return pa.table(cols)
+
+
+class _Breaker:
+    def __init__(self, threshold: int = 5):
+        self.threshold = threshold
+        self.consecutive = 0
+
+    @property
+    def open(self) -> bool:
+        return self.threshold > 0 and self.consecutive >= self.threshold
+
+    def record(self, failed: bool) -> None:
+        self.consecutive = self.consecutive + 1 if failed else 0
+
+
+class DocumentExtractor:
+    """Actor-pool stage: ``ds.map_batches(DocumentExtractor, concurrency=N,
+    batch_size=B, batch_format="pyarrow")``. State (dispatcher + breaker) is
+    built once per actor in ``__init__`` and reused across batches."""
+
+    def __init__(self, emit_pages: bool = True, breaker_threshold: int = 0):
+        # touching the kernels here forces regex/table compilation at actor
+        # start rather than first batch
+        extract_document(b"")
+        self.emit_pages = emit_pages
+        self.breaker = _Breaker(breaker_threshold) if breaker_threshold else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, emit_pages=self.emit_pages, breaker=self.breaker)

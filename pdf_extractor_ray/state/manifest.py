@@ -1,0 +1,107 @@
+"""Per-partition checkpoint manifests — the engine's lineage/resume state.
+
+Reference analog: job-status rows + the retry endpoint
+(``/root/reference/backend/src/tasks.py:271-282``,
+``backend/src/main.py:1695-1795``) and Redis pending-task sets
+(``backend/src/file_coordinator.py:18-35``). Here lineage is a file per
+completed partition: output files land in
+``{out}/partition_id={K}/`` via write-to-temp + atomic ``os.rename``, and a
+``_MANIFEST.json`` records input fingerprint + row counts + throughput
+metrics (the reference's per-job ``latency_ms``/``cost`` analog,
+``backend/src/tasks.py:265-282``). A re-run skips partitions whose manifest
+exists (idempotent partition overwrite = the reference's
+soft-delete-then-rewrite retry, ``main.py:1752-1776``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+import zlib
+from dataclasses import asdict, dataclass
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: int
+    rows_in: int
+    rows_out: int
+    n_ok: int
+    n_empty: int
+    n_error: int
+    n_unknown: int
+    bytes_in: int
+    wall_s: float
+    input_fingerprint: int  # order-independent: sum of crc32(url|ts) mod 2^64
+
+    @property
+    def docs_per_s(self) -> float:
+        return self.rows_out / self.wall_s if self.wall_s else 0.0
+
+
+def partition_dir(output_dir: str, partition_id: int) -> str:
+    return os.path.join(output_dir, f"partition_id={partition_id}")
+
+
+def manifest_path(output_dir: str, partition_id: int) -> str:
+    return os.path.join(partition_dir(output_dir, partition_id), "_MANIFEST.json")
+
+
+def input_fingerprint(urls: list[str], tss: list[int]) -> int:
+    acc = 0
+    for u, ts in zip(urls, tss):
+        acc = (acc + zlib.crc32(f"{u}|{ts}".encode())) % (1 << 64)
+    return acc
+
+
+def write_partition_atomic(
+    output_dir: str,
+    manifest: PartitionManifest,
+    writer,  # callable(dir_path) that writes the partition's data files
+) -> str:
+    """Write partition outputs + manifest to a temp dir, then atomically
+    rename into place. An existing partition dir is replaced (idempotent
+    re-run of a failed/invalidated partition)."""
+    final = partition_dir(output_dir, manifest.partition_id)
+    tmp = os.path.join(output_dir, f"_tmp-{manifest.partition_id}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        writer(tmp)
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(asdict(manifest), f, indent=1)
+        if os.path.exists(final):
+            stale = final + f".stale-{uuid.uuid4().hex[:8]}"
+            os.rename(final, stale)
+            _rmtree(stale)
+        os.rename(tmp, final)
+    except BaseException:
+        _rmtree(tmp)
+        raise
+    return final
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def read_manifests(output_dir: str) -> dict[int, PartitionManifest]:
+    out: dict[int, PartitionManifest] = {}
+    if not os.path.isdir(output_dir):
+        return out
+    for name in os.listdir(output_dir):
+        if not name.startswith("partition_id="):
+            continue
+        mp = os.path.join(output_dir, name, "_MANIFEST.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                data = json.load(f)
+            m = PartitionManifest(**data)
+            out[m.partition_id] = m
+    return out
+
+
+def completed_partitions(output_dir: str) -> frozenset[int]:
+    return frozenset(read_manifests(output_dir).keys())
