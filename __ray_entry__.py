@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data operators: dedup, similarity search,
+text analysis); ``oracle_sql()`` holds the DuckDB-equivalent SQL for every
+SQL-expressible one, with identical column names and exact-integer value
+conventions (money as ROUND(x*100) cents) so value hashes match
+bit-for-bit. Non-SQL-expressible ops (MinHash/SimHash/LSH/lang-id/flagship
+extraction) are present in ``queries()`` only → rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +19,153 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents -> synthetic
+    pages -> sniff -> actor-pool extraction. Returns the extracted Dataset."""
+    from pdf_extractor_ray.pipelines.webpages import extract_from_documents
+
+    return extract_from_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_extractor_ray.functions import relational as R
+    from pdf_extractor_ray.functions import textops as T
+    from pdf_extractor_ray.functions import similarity as S
+    from pdf_extractor_ray.pipelines.webpages import extract_from_documents
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator analogs (SURVEY §2.4-2.7)
+        "pricing_summary": R.pricing_summary,
+        "top_orders": R.top_orders,
+        "customer_region": R.customer_region,
+        "market_segment": R.market_segment,
+        "events_by_type": R.events_by_type,
+        "user_activity": R.user_activity,
+        "events_hourly": R.events_hourly,
+        "search_docs": R.search_docs,
+        "lang_histogram": R.lang_histogram,
+        # text analysis / dedup (training-data ops)
+        "token_count": T.token_count,
+        "quality_stats": T.quality_stats,
+        "doc_fingerprint": T.doc_fingerprint,
+        "dedup_exact": T.dedup_exact,
+        "lang_id": T.lang_id,
+        "minhash_signatures": T.minhash_signatures,
+        "minhash_dedup_pairs": T.minhash_dedup_pairs,
+        "simhash_fingerprint": T.simhash_fingerprint,
+        # similarity search
+        "embedding_topk": S.cosine_topk,
+        "ann_lsh_topk": S.ann_lsh_topk,
+        "embedding_near_dup": S.embedding_near_dup,
+        # flagship extraction over driver data (rows-only)
+        "extract_flagship": extract_from_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_c,
+                   COUNT(*) AS count_order,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "customer_region": """
+            SELECT r_name,
+                   COUNT(*) AS n_customers,
+                   SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_acctbal_c
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "market_segment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_acctbal_c
+            FROM customer
+            GROUP BY c_mktsegment
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+            FROM events
+            GROUP BY event_type
+        """,
+        "user_activity": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c,
+                   MAX(ts) AS last_ts
+            FROM events
+            GROUP BY user_id
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1
+        """,
+        "search_docs": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE text LIKE '%data%'
+        """,
+        "lang_histogram": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "token_count": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                        || chr(12) || chr(11)) = ''
+                            THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11)), '\\s+'))
+                       END) AS sum_tokens
+            FROM documents
+            GROUP BY lang
+        """,
+        "quality_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars2,
+                   LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+                   LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                   LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM documents
+            GROUP BY text
+        """,
+        "embedding_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 4) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+    }

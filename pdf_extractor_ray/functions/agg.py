@@ -1,0 +1,124 @@
+"""Partial-aggregation helpers: combine inside ``map_batches`` first, so the
+``groupby`` exchange only moves tiny per-batch partials, never raw rows.
+
+Reference analog: the reference computes its aggregations driver-side in
+Python over full result sets (e.g. per-job feedback stats,
+``/root/reference/backend/src/main.py:943-951``; per-user breakdown,
+``main.py:1291-1318``). At 100 TB that is the anti-pattern; here every
+aggregate is a per-batch pyarrow ``group_by`` partial followed by a final
+``groupby(keys).map_groups`` over partial rows (cardinality = #groups x
+#batches, i.e. KBs on the wire instead of the table).
+
+Exactness convention: money/value columns are converted to integer cents
+(``ROUND(x*100)`` half-away-from-zero, matching DuckDB/ANSI ROUND) before
+summing, so sums are order-independent integers and the DuckDB oracle
+hash-matches bit-for-bit; averages are emitted as exact integer ratios
+(identical IEEE division on both sides), never re-rounded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """x -> int64 round(x*100), half away from zero (DuckDB ROUND parity)."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(pc.cast(col, pa.float64()), pa.scalar(100.0)),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def partial_group_agg(
+    batch: pa.Table,
+    *,
+    keys: list[str],
+    aggs: list[tuple[str, str]],  # (col, fn) fn in {sum,count,min,max}
+) -> pa.Table:
+    """Per-batch pyarrow group_by partial; emitted columns are renamed back
+    to their plain input names (``x_sum`` -> ``x``) so partials are
+    re-combinable by the same spec."""
+    gb = batch.group_by(keys).aggregate(aggs)
+    renames = {f"{c}_{fn}": c for c, fn in aggs}
+    return gb.rename_columns([renames.get(n, n) for n in gb.column_names])
+
+
+def combine_partials(
+    group: pa.Table,
+    *,
+    keys: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    post: Callable[[dict], dict] | None = None,
+) -> pa.Table:
+    """Final combine of one key-group of partial rows -> exactly one row.
+    ``post`` derives extra columns (averages etc.) from the combined dict."""
+    row = {k: group[k][0].as_py() for k in keys}
+    for c in sum_cols:
+        row[c] = pc.sum(group[c]).as_py()
+    for c in min_cols or []:
+        row[c] = pc.min(group[c]).as_py()
+    for c in max_cols or []:
+        row[c] = pc.max(group[c]).as_py()
+    if post:
+        row = post(row)
+    return pa.table({k: [v] for k, v in row.items()})
+
+
+def grouped_sum(
+    ds: rd.Dataset,
+    *,
+    keys: list[str],
+    partial: Callable[[pa.Table], pa.Table],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    post: Callable[[dict], dict] | None = None,
+) -> rd.Dataset:
+    """The two-phase aggregate: map_batches(partial) -> groupby(keys) over
+    the (tiny) partials -> one row per group."""
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).map_groups(
+        functools.partial(
+            combine_partials,
+            keys=keys,
+            sum_cols=sum_cols,
+            min_cols=min_cols,
+            max_cols=max_cols,
+            post=post,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def local_topk(
+    batch: pa.Table, *, k: int, sort_keys: list[tuple[str, str]]
+) -> pa.Table:
+    """Per-batch top-k prefilter: each batch forwards at most k rows, so the
+    final exact top-k combines #batches*k rows instead of the table."""
+    idx = pc.sort_indices(batch, sort_keys=sort_keys)
+    return batch.take(idx.slice(0, k))
+
+
+def topk(ds: rd.Dataset, *, k: int, sort_keys: list[tuple[str, str]]) -> pa.Table:
+    """Exact distributed top-k: local prefilter then a single small combine."""
+    pruned = ds.map_batches(
+        functools.partial(local_topk, k=k, sort_keys=sort_keys),
+        batch_format="pyarrow",
+    )
+    import ray
+
+    parts = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    all_t = pa.concat_tables(parts, promote_options="default")
+    return local_topk(all_t, k=k, sort_keys=sort_keys)

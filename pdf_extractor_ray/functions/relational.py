@@ -1,0 +1,286 @@
+"""Relational query analogs of the reference's read/aggregate API surface
+(SURVEY.md §2.4-2.7), expressed Ray-Data-first over the driver test tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column names match the DuckDB oracle SQL in ``__ray_entry__.oracle_sql``.
+Reference citations per function point at the endpoint whose dataflow shape
+it re-expresses.
+
+Scale notes: every aggregate is partial-then-combine (functions/agg.py), so
+the only exchange moves per-batch partials; small dimension tables
+(nation/region, 25+5 rows) are broadcast into ``map_batches`` as plain
+dicts instead of a shuffle join; top-k is a local-prefilter combine, never
+a full sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .agg import cents, grouped_sum, local_topk, partial_group_agg, topk
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -------------------------------------------------------------------------
+# pricing_summary — TPC-H-Q1-shaped wide aggregate over lineitem.
+# Reference analog: per-job latency/cost rollup (backend/src/tasks.py:85-104,
+# 265-282) generalized to a grouped money aggregate. Exact integer cents.
+# -------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        ext_c = cents(batch["l_extendedprice"])
+        disc_pct = cents(batch["l_discount"])  # discount in integer percent
+        disc_c = pc.multiply(ext_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": qty,
+                "sum_base_c": ext_c,
+                "sum_disc_c": disc_c,
+                "count_order": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["l_returnflag", "l_linestatus"],
+            aggs=[
+                ("sum_qty", "sum"),
+                ("sum_base_c", "sum"),
+                ("sum_disc_c", "sum"),
+                ("count_order", "sum"),
+            ],
+        )
+
+    def post(row: dict) -> dict:
+        row["avg_qty"] = row["sum_qty"] / row["count_order"]
+        return row
+
+    return grouped_sum(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        partial=partial,
+        sum_cols=["sum_qty", "sum_base_c", "sum_disc_c", "count_order"],
+        post=post,
+    )
+
+
+# -------------------------------------------------------------------------
+# top_orders — dynamic-column sort + pagination (backend/src/main.py:617-655,
+# SURVEY §2.6 O1) as distributed exact top-k.
+# -------------------------------------------------------------------------
+
+def top_orders(sf_dir: str, k: int = 20) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return topk(
+        ds, k=k, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    )
+
+
+# -------------------------------------------------------------------------
+# customer_region — customer |x| nation |x| region via broadcast lookup
+# (the reference's hand-rolled broadcast hash join, main.py:1066-1098 J1/J2).
+# -------------------------------------------------------------------------
+
+def customer_region(sf_dir: str) -> rd.Dataset:
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk_to_rname = {
+        nk: rmap[rk]
+        for nk, rk in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rnames = [nk_to_rname[nk] for nk in batch["c_nationkey"].to_pylist()]
+        t = pa.table(
+            {
+                "r_name": pa.array(rnames, pa.string()),
+                "n_customers": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_acctbal_c": cents(batch["c_acctbal"]),
+            }
+        )
+        return partial_group_agg(
+            t, keys=["r_name"], aggs=[("n_customers", "sum"), ("sum_acctbal_c", "sum")]
+        )
+
+    return grouped_sum(
+        ds, keys=["r_name"], partial=partial, sum_cols=["n_customers", "sum_acctbal_c"]
+    )
+
+
+# -------------------------------------------------------------------------
+# market_segment — simple grouped count+sum (pagination count A4 + stats A3).
+# -------------------------------------------------------------------------
+
+def market_segment(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_customers": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_acctbal_c": cents(batch["c_acctbal"]),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["c_mktsegment"],
+            aggs=[("n_customers", "sum"), ("sum_acctbal_c", "sum")],
+        )
+
+    return grouped_sum(
+        ds,
+        keys=["c_mktsegment"],
+        partial=partial,
+        sum_cols=["n_customers", "sum_acctbal_c"],
+    )
+
+
+# -------------------------------------------------------------------------
+# events_by_type — per-key count / distinct-count / sum: the per-job
+# feedback stats shape (main.py:943-951, SURVEY §2.5 A1). Distinct users
+# via in-batch dedup partials then per-group exact distinct.
+# -------------------------------------------------------------------------
+
+def events_by_type(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "user_id": batch["user_id"],
+                "n_events": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_value_c": cents(batch["value"]),
+            }
+        )
+        # partial: collapse duplicate (type,user) within the batch but keep
+        # exact sums/counts; the per-group combine re-dedups users globally.
+        return partial_group_agg(
+            t,
+            keys=["event_type", "user_id"],
+            aggs=[("n_events", "sum"), ("sum_value_c", "sum")],
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
+                "n_events": pa.array([pc.sum(group["n_events"]).as_py()], pa.int64()),
+                "n_users": pa.array(
+                    [pc.count_distinct(group["user_id"]).as_py()], pa.int64()
+                ),
+                "sum_value_c": pa.array(
+                    [pc.sum(group["sum_value_c"]).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("event_type").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# user_activity — per-user rating-breakdown shape (main.py:1291-1318 A2):
+# count, sum, latest-timestamp argmax.
+# -------------------------------------------------------------------------
+
+def user_activity(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "value", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "n_events": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_value_c": cents(batch["value"]),
+                "last_ts": batch["ts"],
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["user_id"],
+            aggs=[("n_events", "sum"), ("sum_value_c", "sum"), ("last_ts", "max")],
+        )
+
+    return grouped_sum(
+        ds,
+        keys=["user_id"],
+        partial=partial,
+        sum_cols=["n_events", "sum_value_c"],
+        max_cols=["last_ts"],
+    )
+
+
+# -------------------------------------------------------------------------
+# events_hourly — timestamp normalization + windowed count (main.py:56-70
+# M18 generalized to a tumbling-window aggregate).
+# -------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {"hour": hour, "n_events": pa.array([1] * batch.num_rows, pa.int64())}
+        )
+        return partial_group_agg(t, keys=["hour"], aggs=[("n_events", "sum")])
+
+    return grouped_sum(ds, keys=["hour"], partial=partial, sum_cols=["n_events"])
+
+
+# -------------------------------------------------------------------------
+# search_docs — substring search predicate (annotation search,
+# main.py:1438-1445 M17) via pyarrow match_substring.
+# -------------------------------------------------------------------------
+
+def search_docs(sf_dir: str, needle: str = "data") -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(batch["text"], pattern=needle)
+        return batch.filter(mask).select(["doc_id", "n_chars"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# lang_histogram — grouped count (A4).
+# -------------------------------------------------------------------------
+
+def lang_histogram(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["lang"], aggs=[("n_docs", "sum")])
+
+    return grouped_sum(ds, keys=["lang"], partial=partial, sum_cols=["n_docs"])

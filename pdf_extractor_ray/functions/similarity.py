@@ -1,0 +1,217 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: exact brute-force cosine top-k — the query matrix is broadcast
+once (closure over a small numpy array; on a cluster this is ray.put'd
+object-store data read zero-copy by every task), each batch does one
+vectorized matmul, and a local-top-k prefilter keeps the combine tiny.
+
+Scale path: LSH-bucketed ANN — fixed random-hyperplane codes partition the
+corpus into 2^B buckets; the query probes only its own + neighboring
+buckets (Hamming radius 1), so per-query work is corpus/2^B instead of the
+corpus. Vestigial constants in the reference (EMBEDDING_DIMENSION/TOPK,
+``/root/reference/backend/src/constants.py:15-20``) are the only trace of
+this feature there; this is a from-scratch design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+
+def _read_emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy flatten."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "=", vec_id)]
+    )
+    return _to_matrix(t["embedding"])[0]
+
+
+def cosine_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
+    """Exact brute-force cosine top-k vs the embedding of ``query_vec_id``.
+    Columns (vec_id, score) match the DuckDB list_cosine_similarity oracle;
+    score rounded to 4dp, ranking done on the raw float."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = np.linalg.norm(q)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        raw = (m @ q) / (norms * qn)
+        order = np.lexsort((batch["vec_id"].to_numpy(), -raw))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    batch["vec_id"].to_numpy()[order], pa.int64()
+                ),
+                "raw": pa.array(raw[order], pa.float64()),
+            }
+        )
+
+    pruned = _read_emb(sf_dir).map_batches(score_batch, batch_format="pyarrow")
+    import ray
+
+    parts = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    allt = pa.concat_tables(parts)
+    raw = allt["raw"].to_numpy()
+    order = np.lexsort((allt["vec_id"].to_numpy(), -raw))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(allt["vec_id"].to_numpy()[order], pa.int64()),
+            "score": pa.array(np.round(raw[order], 4), pa.float64()),
+        }
+    )
+
+
+# -------------------------------------------------------------------------
+# LSH-bucketed ANN + embedding-cosine near-dup (rows-only oracle)
+# -------------------------------------------------------------------------
+
+_N_PLANES = 12  # 4096 buckets
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(0xA11CE)
+    p = rng.standard_normal((dim, _N_PLANES))
+    return p / np.linalg.norm(p, axis=0, keepdims=True)
+
+
+def _codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes) > 0
+    return (bits.astype(np.uint32) << np.arange(_N_PLANES, dtype=np.uint32)).sum(
+        axis=1
+    )
+
+
+class LshCoder:
+    """Actor-pool stage: hyperplane matrix built once per actor."""
+
+    def __init__(self, dim: int) -> None:
+        self.planes = _planes(dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        codes = _codes(m, self.planes)
+        return batch.append_column("bucket", pa.array(codes.astype(np.int64)))
+
+
+def ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
+    """Approximate top-k: probe only the query's LSH bucket + Hamming-1
+    neighbors. At 100 TB the bucketed corpus is the partition layout and a
+    probe touches ~(1+B)/2^B of it."""
+    q = _query_vector(sf_dir, query_vec_id)
+    dim = q.shape[0]
+    planes = _planes(dim)
+    qcode = int(_codes(q[None, :], planes)[0])
+    probe = {qcode} | {qcode ^ (1 << i) for i in range(_N_PLANES)}
+    qn = np.linalg.norm(q)
+
+    coded = _read_emb(sf_dir).map_batches(
+        LshCoder, fn_constructor_kwargs={"dim": dim}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    def probe_and_score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = batch.filter(pc.is_in(batch["bucket"], value_set=probe_arr))
+        if hit.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "raw": pa.array([], pa.float64())}
+            )
+        m = _to_matrix(hit["embedding"])
+        raw = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+        order = np.lexsort((hit["vec_id"].to_numpy(), -raw))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(hit["vec_id"].to_numpy()[order], pa.int64()),
+                "raw": pa.array(raw[order], pa.float64()),
+            }
+        )
+
+    pruned = coded.map_batches(probe_and_score, batch_format="pyarrow")
+    import ray
+
+    parts = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+    allt = pa.concat_tables(parts)
+    raw = allt["raw"].to_numpy()
+    order = np.lexsort((allt["vec_id"].to_numpy(), -raw))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(allt["vec_id"].to_numpy()[order], pa.int64()),
+            "score": pa.array(np.round(raw[order], 4), pa.float64()),
+        }
+    )
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Embedding-cosine near-dup pairs via LSH blocking: pairs are only
+    formed within a bucket (plus the exact-cosine verify), so the all-pairs
+    O(n^2) never materializes."""
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    dim = len(first["embedding"][0])
+    coded = _read_emb(sf_dir).map_batches(
+        LshCoder, fn_constructor_kwargs={"dim": dim}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        a_out, b_out, s_out = [], [], []
+        if 1 < n <= 500:
+            m = _to_matrix(group["embedding"])
+            norms = np.linalg.norm(m, axis=1)
+            sim = (m @ m.T) / np.outer(norms, norms)
+            ids = group["vec_id"].to_numpy()
+            iu, ju = np.triu_indices(n, k=1)
+            keep = sim[iu, ju] >= threshold
+            for i, j in zip(iu[keep], ju[keep]):
+                a, b = int(ids[i]), int(ids[j])
+                if a > b:
+                    a, b = b, a
+                a_out.append(a)
+                b_out.append(b)
+                s_out.append(round(float(sim[i, j]), 4))
+        return pa.table(
+            {
+                "vec_a": pa.array(a_out, pa.int64()),
+                "vec_b": pa.array(b_out, pa.int64()),
+                "cosine": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    pairs = coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    import ray
+
+    parts = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

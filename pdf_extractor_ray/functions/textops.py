@@ -1,0 +1,412 @@
+"""Text-analysis and deduplication operators over a documents table —
+the large-scale training-data-pipeline toolkit (token counting, quality
+scoring, fingerprinting, language ID, exact / MinHash / SimHash dedup).
+
+The reference has only the exact-dedup analog (one-rating-per-key upsert,
+``/root/reference/backend/src/main.py:1124-1159``; dedup-keeping-latest
+migration, ``backend/src/migration.py:309-365``) — the rest are the
+operators a 100 TB web-text corpus needs in front of training.
+
+All per-batch functions are pure and deterministic (seeded constants only);
+stateful ones (compiled regexes, permutation tables) are actor-pool classes
+with state built in ``__init__``. The exchanges:
+
+* exact dedup: one groupby on a 64-bit text hash (not the text itself — the
+  key that moves is 8 bytes/row);
+* MinHash-LSH: flat_map to (band_key, doc) then groupby(band_key) — only
+  candidate buckets co-locate, never the corpus;
+* SimHash: per-doc 64-bit signature, near-dup candidates via 16-bit band
+  blocking (4 bands, Hamming radius <=3 guaranteed caught).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import re
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .agg import partial_group_agg, grouped_sum
+
+_ASCII_WS = " \t\n\r\f\v"
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# -------------------------------------------------------------------------
+# token_count — whitespace tokenization per doc, rolled up per lang.
+# ASCII-whitespace semantics exactly match the DuckDB oracle
+# (regexp_split_to_array(trim(text), '\s+'): RE2 \s is ASCII-only).
+# -------------------------------------------------------------------------
+
+def token_count(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = [
+            len(_WS_RE.split(t.strip(_ASCII_WS))) if t.strip(_ASCII_WS) else 0
+            for t in batch["text"].to_pylist()
+        ]
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+        return partial_group_agg(
+            t, keys=["lang"], aggs=[("n_docs", "sum"), ("sum_tokens", "sum")]
+        )
+
+    return grouped_sum(
+        ds, keys=["lang"], partial=partial, sum_cols=["n_docs", "sum_tokens"]
+    )
+
+
+# -------------------------------------------------------------------------
+# quality_stats — per-doc integer quality counters (length / space / digit /
+# upper counts). Integer-only so the SQL oracle hash-matches exactly.
+# -------------------------------------------------------------------------
+
+_DIGIT_RE = re.compile(r"[0-9]")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+
+def quality_stats(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars2": pa.array([len(t) for t in texts], pa.int64()),
+                "n_spaces": pa.array([t.count(" ") for t in texts], pa.int64()),
+                "n_digits": pa.array(
+                    [len(_DIGIT_RE.findall(t)) for t in texts], pa.int64()
+                ),
+                "n_upper": pa.array(
+                    [len(_UPPER_RE.findall(t)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# doc_fingerprint — stable content fingerprint (md5 hex) per doc.
+# -------------------------------------------------------------------------
+
+def doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# dedup_exact — exact text dedup, representative = min doc_id.
+# The shuffle key is an 8-byte hash of the text, not the text; within each
+# hash group the (vanishingly unlikely) collision is resolved by comparing
+# the md5, so semantics equal GROUP BY text.
+# -------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).digest()
+            for t in batch["text"].to_pylist()
+        ]
+        h64 = pa.array(
+            [struct.unpack("<q", fp[:8])[0] for fp in fps], pa.int64()
+        )
+        full = pa.array([fp.hex() for fp in fps], pa.string())
+        return pa.table({"doc_id": batch["doc_id"], "h64": h64, "full": full})
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.group_by(["full"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id_min"], pa.int64()),
+                "n_dups": pc.cast(t["doc_id_count"], pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
+    return hashed.groupby("h64").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# lang_id — n-gram/stopword heuristic language identification (rows-only;
+# no SQL oracle). Deterministic scoring over fixed tables.
+# -------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was", "on", "are"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "den", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "pour", "que", "dans", "sur", "pas"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "en", "por", "para", "con"},
+}
+
+
+class LangId:
+    """Actor-pool stage: stopword tables + regexes compiled once per actor
+    (SURVEY §2.3 pattern; reference loads extractor clients once per worker,
+    ``textract_extractor.py:18-24``)."""
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.cjk_re = re.compile(r"[一-鿿]")
+
+    def predict(self, text: str) -> str:
+        cjk = len(self.cjk_re.findall(text))
+        if cjk >= 5 or (len(text) > 0 and cjk / max(len(text), 1) > 0.05):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "unknown"
+        scores = {
+            lang: sum(1 for w in words if w in sw) for lang, sw in _STOPWORDS.items()
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        return best if scores[best] > 0 else "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# -------------------------------------------------------------------------
+# MinHash + LSH near-dup detection (rows-only).
+# shingle (3-word) -> 64 minhashes -> 16 bands x 4 rows -> groupby(band key)
+# -> candidate pairs verified by true shingle-set Jaccard.
+# -------------------------------------------------------------------------
+
+_N_HASH = 64
+_N_BANDS = 16
+_ROWS_PER_BAND = _N_HASH // _N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_tables() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(0x5EED)
+    a = rng.randint(1, _MERSENNE, size=_N_HASH, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=_N_HASH, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str) -> np.ndarray:
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < 3:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)
+        )
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: permutation tables built once per actor."""
+
+    def __init__(self) -> None:
+        self.a, self.b = _perm_tables()
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text)
+        if sh.size == 0:
+            return np.full(_N_HASH, np.uint64(_MERSENNE))
+        # (n_shingle, n_hash) universal hashing, vectorized
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack(
+            [self.signature(t) for t in batch["text"].to_pylist()]
+        )  # (n, 64)
+        sig_hex = [
+            hashlib.md5(s.tobytes()).hexdigest()[:16] for s in sigs
+        ]
+        band_keys: list[list[int]] = []
+        for s in sigs:
+            keys = []
+            for bd in range(_N_BANDS):
+                chunk = s[bd * _ROWS_PER_BAND : (bd + 1) * _ROWS_PER_BAND]
+                keys.append(
+                    (zlib.crc32(chunk.tobytes()) << 5 | bd) & 0x7FFFFFFFFFFFFFFF
+                )
+            band_keys.append(keys)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig16": pa.array(sig_hex, pa.string()),
+                "band_keys": pa.array(band_keys, pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_signatures(sf_dir: str) -> rd.Dataset:
+    """Per-doc MinHash signature digest (the scalable LSH input)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    return sigs.select_columns(["doc_id", "sig16"])
+
+
+def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
+    """Near-duplicate pairs: LSH banding -> groupby(band) -> verified pairs,
+    deduped across bands. Returns (doc_a, doc_b, jaccard_pct)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        doc_ids, keys = [], []
+        for d, ks in zip(
+            batch["doc_id"].to_pylist(), batch["band_keys"].to_pylist()
+        ):
+            doc_ids.extend([d] * len(ks))
+            keys.extend(ks)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a_out, b_out = [], []
+        if 1 < len(ids) <= 200:  # salt guard: giant buckets are degenerate
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+        )
+
+    candidates = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    import ray
+
+    cand_tables = [t for t in ray.get(candidates.to_arrow_refs()) if t.num_rows]
+    if not cand_tables:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_pct": pa.array([], pa.int64()),
+            }
+        )
+    cand = pa.concat_tables(cand_tables)
+    pairs = sorted(set(zip(cand["doc_a"].to_pylist(), cand["doc_b"].to_pylist())))
+    # verify with true shingle Jaccard: fetch texts of candidate docs only
+    need = sorted({d for p in pairs for d in p})
+    docs = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                _read_docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    mask = pc.is_in(docs["doc_id"], value_set=pa.array(need, pa.int64()))
+    docs = docs.filter(mask)
+    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    sh_of = {d: set(_shingles(text_of[d]).tolist()) for d in need}
+    a_out, b_out, j_out = [], [], []
+    for a, b in pairs:
+        sa, sb = sh_of[a], sh_of[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= jaccard_threshold:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(int(round(j * 100)))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "jaccard_pct": pa.array(j_out, pa.int64()),
+        }
+    )
+
+
+# -------------------------------------------------------------------------
+# SimHash fingerprinting (rows-only): 64-bit weighted-feature signature.
+# -------------------------------------------------------------------------
+
+class SimHasher:
+    def __init__(self) -> None:
+        self.word_re = _WORD_RE
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        words = self.word_re.findall(text.lower())
+        if not words:
+            return 0
+        uniq, counts = np.unique(np.array(words), return_counts=True)
+        for w, c in zip(uniq, counts):
+            h = int.from_bytes(
+                hashlib.md5(w.encode()).digest()[:8], "little"
+            )
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += (2 * bits - 1) * int(c)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array([f"{h:016x}" for h in hs], pa.string()),
+            }
+        )
+
+
+def simhash_fingerprint(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))

@@ -1,0 +1,78 @@
+"""Bridge: driver `documents` table -> pages-shaped input -> flagship
+extraction pipeline.
+
+The driver test tables (`/root/testdata/sf*/documents.parquet`:
+doc_id,text,lang,source,n_chars) are not web pages; this module wraps each
+document's text into a deterministic minimal HTML page (same template every
+run) so the flagship sniff->extract pipeline can run over driver data for
+the `entry()` smoke check and rows-only correctness queries. The wrapping
+is itself a `map_batches` stage — the corpus never materializes driver-side.
+"""
+
+from __future__ import annotations
+
+import html
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..stages.extract import DocumentExtractor
+from ..stages.sniff import sniff_and_partition
+import functools
+
+_EPOCH_US = 1735689600000000  # 2025-01-01T00:00:00Z, fixed (no wall clock)
+
+
+def docs_to_pages(batch: pa.Table) -> pa.Table:
+    """documents row -> pages row (url, warc_ts, html, lang)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    urls = [f"https://testdata.local/doc/{d:08d}" for d in doc_ids]
+    payloads = []
+    for t in texts:
+        paras = "".join(
+            f"<p>{html.escape(p)}</p>" for p in (t.split("\n") if t else [""])
+        )
+        page = (
+            "<!doctype html><html><head><title>doc</title></head><body>"
+            "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
+            f"<article>{paras}</article>"
+            "<footer><a href='/tos'>terms</a></footer></body></html>"
+        )
+        payloads.append(page.encode("utf-8"))
+    ts = pa.array(
+        [_EPOCH_US + d for d in doc_ids], pa.timestamp("us", tz="UTC")
+    )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(payloads, pa.large_binary()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def extract_from_documents(
+    sf_dir: str, *, n_partitions: int = 16, concurrency=(1, 8)
+) -> rd.Dataset:
+    """documents.parquet -> pages synthesis -> sniff -> actor-pool extract.
+    Returns the extracted Dataset (url, content_type, extracted_text, ...)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = ds.map_batches(docs_to_pages, batch_format="pyarrow")
+    pages = pages.map_batches(
+        functools.partial(sniff_and_partition, n_partitions=n_partitions),
+        batch_format="pyarrow",
+    )
+    return pages.map_batches(
+        DocumentExtractor,
+        fn_constructor_kwargs={"emit_pages": False},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

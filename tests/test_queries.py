@@ -1,0 +1,106 @@
+"""Operator-library correctness: Ray implementations vs DuckDB oracle at
+sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res):
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+SQL_CHECKED = [
+    "pricing_summary",
+    "customer_region",
+    "events_by_type",
+    "user_activity",
+    "token_count",
+    "dedup_exact",
+    "embedding_topk",
+    "top_orders",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as E
+
+    res = _canon(_to_pandas(E.queries()[name](SF)))
+    gold = _canon(con.execute(E.oracle_sql()[name]).fetchdf())
+    assert list(res.columns) == list(gold.columns)
+    pd.testing.assert_frame_equal(res, gold, check_dtype=False)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    for name in ["lang_id", "minhash_signatures", "simhash_fingerprint", "ann_lsh_topk"]:
+        res = _to_pandas(qs[name](SF))
+        assert len(res) >= 0
+
+
+def test_lang_id_sane(ray_session):
+    """The driver's `lang` labels are random (text is English-ish word soup
+    regardless of label), so we assert the heuristic's own invariants:
+    deterministic output and a sensible prediction for the actual text."""
+    import __ray_entry__ as E
+
+    a = _canon(_to_pandas(E.queries()["lang_id"](SF)))
+    b = _canon(_to_pandas(E.queries()["lang_id"](SF)))
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["pred_lang"]) <= {"en", "de", "fr", "es", "zh", "unknown"}
+    assert (a["pred_lang"] == "en").mean() > 0.5  # the text IS English-ish
+
+
+def test_lang_id_unit():
+    from pdf_extractor_ray.functions.textops import LangId
+
+    lid = LangId()
+    assert lid.predict("the cat sat on the mat and it was happy") == "en"
+    assert lid.predict("der Hund ist nicht mit der Katze auf den Berg") == "de"
+    assert lid.predict("le chat est dans la maison pour le diner") == "fr"
+    assert lid.predict("el perro es un animal que vive en la casa") == "es"
+    assert lid.predict("这是一个中文句子，用来测试语言识别功能。") == "zh"
+    assert lid.predict("") == "unknown"
+
+
+def test_minhash_deterministic(ray_session):
+    import __ray_entry__ as E
+
+    a = _canon(_to_pandas(E.queries()["minhash_signatures"](SF)))
+    b = _canon(_to_pandas(E.queries()["minhash_signatures"](SF)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as E
+
+    df = _to_pandas(E.entry())
+    assert len(df) > 0
+    assert {"url", "extracted_text", "status"} <= set(df.columns)
+    assert (df["status"] == "ok").mean() > 0.9
