@@ -8,9 +8,10 @@ over the sf tables. Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "extract": {docs_per_s, mb_per_s, rows}}
 
---scaling: runs the extraction pipeline in TWO fresh subprocesses
-(num_cpus=8 then 32) on the same corpus and reports throughput at both
-plus scaling efficiency = T_32 / (4 * T_8)  (the sandbox stand-in for the
+--scaling: runs the resumable checkpoint pipeline in TWO fresh
+subprocesses at N and 4N CPUs (default 4 and 16 — see SCALING_LEVELS for
+why not 8/32 on this VM) on the same corpus and reports throughput at both
+plus scaling efficiency = T_4N / (4 * T_N)  (the sandbox stand-in for the
 north rule's N vs 4N node clusters); also appended to BENCH/SCALING.md.
 """
 
@@ -38,7 +39,7 @@ def sf_of(sf_dir: str) -> float:
 
 
 def corpus_rows(sf: float) -> int:
-    return max(500, int(240_000 * sf))
+    return max(500, int(2_400_000 * sf))
 
 
 def ensure_corpus(sf: float) -> str:
@@ -49,7 +50,7 @@ def ensure_corpus(sf: float) -> str:
     path = f"/tmp/graft_bench_corpus_{rows}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
-        write_corpus(path, n_rows=rows, seed=42, n_shards=max(16, rows // 2000))
+        write_corpus(path, n_rows=rows, seed=42, n_shards=max(16, rows // 1000))
         open(marker, "w").close()
     return path
 
@@ -70,8 +71,8 @@ def bench_extract(corpus_path: str, num_cpus: int) -> dict:
     ds = extracted_dataset(
         corpus_path,
         n_partitions=max(64, 4 * num_cpus),
-        batch_size=32,
-        concurrency=(1, num_cpus),
+        batch_size=64,
+        concurrency=max(2, num_cpus - 2),
     )
     n_rows = 0
     n_bytes = 0
@@ -133,39 +134,99 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Two fresh processes at 8 and 32 CPUs over the same corpus."""
+def bench_checkpoint_child(sf_dir: str, num_cpus: int) -> dict:
+    """One scaling-level measurement: fresh Ray session, warm worker wave,
+    then the resumable checkpoint pipeline end-to-end (the production mode:
+    per-partition manifests carry docs/s + failure counts per north rule)."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    sf = sf_of(sf_dir)
+    corpus = ensure_corpus(sf)
+
+    @ray.remote(num_cpus=1)
+    def warm() -> int:
+        from pdf_extractor_ray.kernels import extract_document
+
+        extract_document(b"")
+        return 0
+
+    ray.get([warm.remote() for _ in range(num_cpus)])
+
+    from pdf_extractor_ray.pipelines.extract import run_checkpoint
+
+    out = f"/tmp/graft_scale_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    frag_bytes = sum(
+        os.path.getsize(os.path.join(corpus, f))
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    t0 = time.perf_counter()
+    metrics = run_checkpoint(corpus, out, n_partitions=256, resume=False)
+    wall = time.perf_counter() - t0
+    rows = sum(metrics["rows_out"].to_pylist())
+    ray.shutdown()
+    return {
+        "rows": rows,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(rows / wall, 1),
+        "mb_per_s": round(frag_bytes / wall / 1e6, 2),
+        "n_partitions": 256,
+        "failures": int(sum(metrics["n_error"].to_pylist())),
+    }
+
+
+# The sandbox VM advertises 32 vCPUs but delivers ~16 cores of measured
+# aggregate capacity (plain-multiprocessing kernel ladder: 1p=1053, 4p=4262,
+# 16p=15134, 32p=15443 docs/s — saturation between 16 and 32). The N->4N
+# demonstration therefore defaults to 4->16 CPUs, which lies inside the
+# machine's real capacity; pass --levels 8,32 to reproduce the saturated
+# pair. Recorded in BASELINE.md.
+SCALING_LEVELS = (4, 16)
+
+
+def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALING_LEVELS) -> dict:
+    """Same job in two fresh subprocesses at N and 4N parallelism."""
     sf = sf_of(sf_dir)
     # pre-generate corpus once so neither timed run pays generation
     import ray
 
-    ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     ensure_corpus(sf)
     ray.shutdown()
 
-    levels = {}
-    for cpus in (8, 32):
+    results = {}
+    for cpus in levels:
         proc = subprocess.run(
-            [sys.executable, __file__, "--_child", "--sf-dir", sf_dir,
+            [sys.executable, __file__, "--_scale-child", "--sf-dir", sf_dir,
              "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        levels[cpus] = json.loads(line)["extract"]
-    eff = levels[32]["docs_per_s"] / (4 * levels[8]["docs_per_s"])
+        results[cpus] = json.loads(line)
+    lo, hi = levels
+    eff = results[hi]["docs_per_s"] / ((hi / lo) * results[lo]["docs_per_s"])
     report = {
-        "metric": "scaling efficiency 8->32 cpus",
+        "metric": f"scaling efficiency {lo}->{hi} cpus",
         "value": round(eff, 3),
         "unit": "ratio",
-        "levels": {str(k): v for k, v in levels.items()},
+        "levels": {str(k): v for k, v in results.items()},
         "sf": sf,
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SCALING.md", "a") as f:
         f.write(
-            f"\n- sf={sf}: 8cpu {levels[8]['docs_per_s']} docs/s "
-            f"({levels[8]['mb_per_s']} MB/s), 32cpu {levels[32]['docs_per_s']} docs/s "
-            f"({levels[32]['mb_per_s']} MB/s), efficiency={eff:.3f}\n"
+            f"\n- sf={sf}: {lo}cpu {results[lo]['docs_per_s']} docs/s "
+            f"({results[lo]['mb_per_s']} MB/s), {hi}cpu {results[hi]['docs_per_s']} docs/s "
+            f"({results[hi]['mb_per_s']} MB/s), efficiency={eff:.3f} "
+            f"(checkpoint mode, 256 partitions, failures="
+            f"{results[lo]['failures']}/{results[hi]['failures']})\n"
         )
     return report
 
@@ -175,13 +236,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--levels", default=None, help="two comma-separated cpu counts for --scaling")
+    ap.add_argument("--_scale-child", dest="scale_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir)))
-    elif args._child:
-        print(json.dumps(main_bench(args.sf_dir, args.cpus, skip_queries=True)))
+        levels = tuple(int(x) for x in args.levels.split(",")) if args.levels else SCALING_LEVELS
+        print(json.dumps(run_scaling(args.sf_dir, levels)))
+    elif args.scale_child:
+        print(json.dumps(bench_checkpoint_child(args.sf_dir, args.cpus)))
     else:
         print(json.dumps(main_bench(args.sf_dir, args.cpus)))
 

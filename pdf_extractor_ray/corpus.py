@@ -346,18 +346,38 @@ def shard_table(shard: int, n_shards: int, n_rows: int, seed: int = 42) -> pa.Ta
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
+def _write_shard(out_dir: str, k: int, n_shards: int, n_rows: int, seed: int) -> str:
+    import os
+
+    t = shard_table(k, n_shards, n_rows, seed)
+    path = os.path.join(out_dir, f"part-{k:05d}.parquet")
+    pq.write_table(t, path)
+    return path
+
+
 def write_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8) -> list[str]:
-    """Write ``pages/part-{k:05d}.parquet`` shards; returns file paths."""
+    """Write ``pages/part-{k:05d}.parquet`` shards; returns file paths.
+
+    Generation is per-shard pure-functional, so if a Ray session is already
+    live (bench/scripts own one) shards are generated as parallel Ray tasks;
+    output is byte-identical to the sequential path either way."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    for k in range(n_shards):
-        t = shard_table(k, n_shards, n_rows, seed)
-        path = os.path.join(out_dir, f"part-{k:05d}.parquet")
-        pq.write_table(t, path)
-        paths.append(path)
-    return paths
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and n_shards >= 4
+    except Exception:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        f = ray.remote(_write_shard)
+        return ray.get(
+            [f.remote(out_dir, k, n_shards, n_rows, seed) for k in range(n_shards)]
+        )
+    return [_write_shard(out_dir, k, n_shards, n_rows, seed) for k in range(n_shards)]
 
 
 if __name__ == "__main__":

