@@ -436,6 +436,44 @@ def _layout_page(chunks: list[_Chunk]) -> str:
     return "\n\n".join("\n".join(li[3] for li in b) for b in blocks)
 
 
+def pdf_page_count(payload: bytes) -> int:
+    """Number of pages (0 if unparseable). Cheap relative to extraction:
+    object scan + page-tree walk only, no content-stream decode."""
+    try:
+        return len(_page_order(_scan_objects(payload)))
+    except Exception:
+        return 0
+
+
+def extract_pdf_pages(payload: bytes, lo: int, hi: int) -> list[str]:
+    """Extract pages [lo, hi) (0-based page-tree order) — the skew-split
+    chunk kernel. Raises on malformed input (the chunk orchestrator maps
+    that to the whole-document error status, matching ``extract_pdf``)."""
+    objects = _scan_objects(payload)
+    page_nums = _page_order(objects)[lo:hi]
+    return [
+        _layout_page(_run_text_ops(_content_streams(pn, objects)))
+        for pn in page_nums
+    ]
+
+
+def assemble_pdf_result(pages: list[str]) -> ExtractResult:
+    """Per-page texts -> the canonical ExtractResult (pages joined ``\\f``,
+    one "page" span each). Shared by the whole-doc path and the skew-split
+    reassembler so both are byte-identical by construction."""
+    if not pages or not any(pages):
+        return ExtractResult(text="", pages=pages or [""], status="empty")
+    text = "\f".join(pages)
+    spans: list[Span] = []
+    offset = 0
+    for p in pages:
+        if offset:
+            offset += 1  # the "\f"
+        spans.append(Span(offset, offset + len(p), "page"))
+        offset += len(p)
+    return ExtractResult(text=text, pages=pages, spans=spans, status="ok")
+
+
 def extract_pdf(payload: bytes) -> ExtractResult:
     """bytes -> per-page text + merged doc text. Never raises."""
     try:
@@ -445,18 +483,7 @@ def extract_pdf(payload: bytes) -> ExtractResult:
         for pn in page_nums:
             content = _content_streams(pn, objects)
             pages.append(_layout_page(_run_text_ops(content)))
-        if not pages or not any(pages):
-            return ExtractResult(text="", pages=pages or [""],
-                                 status="empty")
-        text = "\f".join(pages)
-        spans: list[Span] = []
-        offset = 0
-        for p in pages:
-            if offset:
-                offset += 1  # the "\f"
-            spans.append(Span(offset, offset + len(p), "page"))
-            offset += len(p)
-        return ExtractResult(text=text, pages=pages, spans=spans, status="ok")
+        return assemble_pdf_result(pages)
     except Exception as exc:
         return ExtractResult(text="", pages=[""], status="error",
                              error=f"pdf:{type(exc).__name__}:{exc}"[:200])

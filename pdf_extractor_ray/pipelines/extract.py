@@ -78,6 +78,7 @@ def extracted_dataset(
     concurrency: tuple[int, int] | int | None = None,
     emit_pages: bool = False,
     skip_partitions: frozenset[int] | None = None,
+    skew_threshold_bytes: int | None = None,
 ) -> rd.Dataset:
     """Lazy streaming Dataset of extracted rows (mode=stream core)."""
     if concurrency is None:
@@ -106,7 +107,10 @@ def extracted_dataset(
         )
     return ds.map_batches(
         DocumentExtractor,
-        fn_constructor_kwargs={"emit_pages": emit_pages},
+        fn_constructor_kwargs={
+            "emit_pages": emit_pages,
+            "skew_threshold_bytes": skew_threshold_bytes,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -156,6 +160,7 @@ def process_partition(
     n_url_buckets: int = 1024,
     emit_pages: bool = True,
     batch_size: int = 64,
+    skew_threshold_bytes: int | None = None,
 ) -> pa.Table:
     """One checkpoint partition end-to-end; returns a one-row metrics table
     (the reference's per-job latency/cost instrumentation,
@@ -171,7 +176,11 @@ def process_partition(
     group = sniff_and_partition(group, n_partitions=n_url_buckets)
     deduped = dedup_first_wins(group)
     parts = [
-        extract_batch(deduped.slice(off, batch_size), emit_pages=True)
+        extract_batch(
+            deduped.slice(off, batch_size),
+            emit_pages=True,
+            skew_threshold_bytes=skew_threshold_bytes,
+        )
         for off in range(0, deduped.num_rows, batch_size)
     ]
     out = pa.concat_tables(parts)

@@ -52,8 +52,13 @@ def extract_batch(
     *,
     emit_pages: bool = True,
     breaker: "_Breaker | None" = None,
+    skew_threshold_bytes: int | None = None,
 ) -> pa.Table:
-    """Arrow batch of input pages -> Arrow batch of extracted rows."""
+    """Arrow batch of input pages -> Arrow batch of extracted rows.
+
+    ``skew_threshold_bytes``: PDFs larger than this are extracted via the
+    nested-task skew-split path (stages/skew.py) instead of inline —
+    byte-identical output, bounded per-row wall time."""
     n = batch.num_rows
     payloads = batch["html"]
     has_pid = "partition_id" in batch.column_names
@@ -72,7 +77,18 @@ def extract_batch(
         if breaker is not None and breaker.open:
             ctype, text, sp, pg, status, err = "unknown", "", [], [], "breaker_open", ""
         else:
-            ctype, res = extract_document(payloads[i].as_py())
+            payload = payloads[i].as_py()
+            if (
+                skew_threshold_bytes is not None
+                and payload is not None
+                and len(payload) > skew_threshold_bytes
+                and payload.startswith(b"%PDF-")
+            ):
+                from .skew import extract_pdf_skew_split
+
+                ctype, res = "pdf", extract_pdf_skew_split(payload)
+            else:
+                ctype, res = extract_document(payload)
             text, status, err = res.text, res.status, res.error
             sp = [{"start": s.start, "end": s.end, "kind": s.kind} for s in res.spans]
             pg = res.pages
@@ -125,12 +141,23 @@ class DocumentExtractor:
     batch_size=B, batch_format="pyarrow")``. State (dispatcher + breaker) is
     built once per actor in ``__init__`` and reused across batches."""
 
-    def __init__(self, emit_pages: bool = True, breaker_threshold: int = 0):
+    def __init__(
+        self,
+        emit_pages: bool = True,
+        breaker_threshold: int = 0,
+        skew_threshold_bytes: int | None = None,
+    ):
         # touching the kernels here forces regex/table compilation at actor
         # start rather than first batch
         extract_document(b"")
         self.emit_pages = emit_pages
         self.breaker = _Breaker(breaker_threshold) if breaker_threshold else None
+        self.skew_threshold_bytes = skew_threshold_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, emit_pages=self.emit_pages, breaker=self.breaker)
+        return extract_batch(
+            batch,
+            emit_pages=self.emit_pages,
+            breaker=self.breaker,
+            skew_threshold_bytes=self.skew_threshold_bytes,
+        )

@@ -1,0 +1,163 @@
+"""Extractor registry — the user-extension surface.
+
+Reference analog: the ABC ``PDFExtractorInterface``
+(``/root/reference/backend/src/interface.py:5-55``) + ``READER_MAP`` with
+factory ``get_reader()`` (``backend/src/factory.py:16-42``; commented-out
+entries at ``factory.py:19,29-30`` show drop-in registration as the
+intended plugin path). Here an extractor is a callable CLASS usable
+directly as a ``map_batches`` actor-pool stage:
+
+* ``info() -> dict`` (classmethod) — name/kind/cost metadata, mirroring
+  ``get_information`` (``interface.py:8-17``);
+* ``__call__(batch: pa.Table) -> pa.Table`` — the per-batch transform;
+* constructed once per actor (state amortization, SURVEY.md §2.3).
+
+``build_stage(ds, name, ...)`` turns a registry entry into a pipeline
+stage. External-API extractors from the reference (Textract, OpenAI
+Vision, Mathpix, LlamaParse — all network services) register as STUBS:
+the Ray-side plumbing (schema, actor signature, batching) is real and
+tested, the service call raises ``NotImplementedError`` unless a
+deterministic fake is enabled; rows come back flagged, never thrown
+(``backend/src/tasks.py:290-340`` failure path semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from .extract import DocumentExtractor
+
+EXTRACTOR_REGISTRY: dict[str, type] = {}
+
+
+def register(name: str):
+    def deco(cls):
+        cls.registry_name = name
+        EXTRACTOR_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def get_extractor(name: str) -> type:
+    """Factory — reference ``get_reader`` (``factory.py:34-42``): unknown
+    names raise, like its ValueError on unmapped types."""
+    try:
+        return EXTRACTOR_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown extractor {name!r}; registered: {sorted(EXTRACTOR_REGISTRY)}"
+        ) from None
+
+
+def build_stage(
+    ds: rd.Dataset,
+    name: str,
+    *,
+    batch_size: int = 64,
+    concurrency: int | tuple[int, int] = 2,
+    **ctor_kwargs,
+) -> rd.Dataset:
+    """Registry entry -> actor-pool map_batches stage."""
+    cls = get_extractor(name)
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs=ctor_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+@register("main_content")
+class MainContentExtractor(DocumentExtractor):
+    """The flagship html/pdf kernel stage (stages/extract.py)."""
+
+    @classmethod
+    def info(cls) -> dict:
+        return {
+            "name": "main_content",
+            "kind": "local",
+            "formats": ["html", "pdf"],
+            "cost_per_page": 0.0,  # reference rate table tasks.py:88-101
+        }
+
+
+class _StubServiceExtractor:
+    """Shared shape for external-service extractors: real batching/schema,
+    stubbed service call. With ``fake=True`` a deterministic fake result is
+    produced (seeded by payload hash) so pipelines exercise the full
+    dataflow in tests; with ``fake=False`` rows are flagged
+    ``status='stub_unavailable'`` (this sandbox has no network)."""
+
+    service = "unknown"
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _fake_text(self, payload: bytes | None) -> str:
+        h = hashlib.md5(payload or b"").hexdigest()
+        return f"[{self.service}-fake:{h[:12]}]"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["html"].to_pylist()
+        if self.fake:
+            texts = [self._fake_text(p) for p in payloads]
+            status = ["ok"] * len(texts)
+        else:
+            texts = [""] * len(payloads)
+            status = ["stub_unavailable"] * len(payloads)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "extracted_text": pa.array(texts, pa.large_string()),
+                "status": pa.array(status, pa.string()),
+                "extractor": pa.array(
+                    [self.registry_name] * len(texts), pa.string()
+                ),
+            }
+        )
+
+
+@register("ocr_tesseract")
+class TesseractStub(_StubServiceExtractor):
+    """OCR stage shape (``tesseract_extractor.py:22-53``: rasterize at
+    dpi=200 -> OCR per page). No tesseract binary in this image."""
+
+    service = "tesseract"
+
+    @classmethod
+    def info(cls) -> dict:
+        return {"name": "ocr_tesseract", "kind": "stub", "formats": ["pdf", "image"],
+                "cost_per_page": 0.0}
+
+
+@register("vision_api")
+class VisionApiStub(_StubServiceExtractor):
+    """OpenAI-Vision stage shape (``openai_vision_extractor.py:29-164``:
+    page png -> base64 -> chat completion). Network service; stub."""
+
+    service = "vision"
+
+    @classmethod
+    def info(cls) -> dict:
+        return {"name": "vision_api", "kind": "stub", "formats": ["pdf", "image"],
+                "cost_per_page": 0.005}  # gpt-4o-mini rate, tasks.py:92
+
+
+@register("textract")
+class TextractStub(_StubServiceExtractor):
+    """AWS Textract stage shape (``textract_extractor.py:26-97``: async job
+    + LINE-block grouping by page). Network service; stub."""
+
+    service = "textract"
+
+    @classmethod
+    def info(cls) -> dict:
+        return {"name": "textract", "kind": "stub", "formats": ["pdf", "image"],
+                "cost_per_page": 0.0015}

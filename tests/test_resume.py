@@ -1,0 +1,85 @@
+"""Checkpoint/resume + determinism property tests (FIXTURES.md §4.2, §4.6)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _read_all(out_dir: str) -> pa.Table:
+    parts = [
+        pq.read_table(os.path.join(out_dir, d, "extracted.parquet"))
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("partition_id=")
+    ]
+    return pa.concat_tables(parts).sort_by("url")
+
+
+def test_resume_skips_completed_partitions(ray_session, small_corpus, tmp_path):
+    from pdf_extractor_ray.pipelines.extract import run_checkpoint
+
+    out = str(tmp_path / "out")
+    m1 = run_checkpoint(small_corpus["corpus"], out, n_partitions=8, resume=False)
+    assert m1.num_rows == 8
+    full = _read_all(out)
+
+    # simulate a crash that lost 3 partitions
+    for pid in (1, 4, 6):
+        shutil.rmtree(os.path.join(out, f"partition_id={pid}"))
+
+    m2 = run_checkpoint(small_corpus["corpus"], out, n_partitions=8, resume=True)
+    # only the 3 missing partitions were recomputed
+    assert sorted(m2["partition_id"].to_pylist()) == [1, 4, 6]
+
+    resumed = _read_all(out)
+    # latency_ms is wall-clock instrumentation; every semantic column must
+    # be byte-identical
+    assert resumed.drop_columns(["latency_ms"]).equals(
+        full.drop_columns(["latency_ms"])
+    ), "resume must reproduce byte-identical output"
+
+    golden = pq.read_table(small_corpus["golden"] + "/extracted.parquet").sort_by("url")
+    assert resumed["extracted_text"].to_pylist() == golden["extracted_text"].to_pylist()
+
+
+def test_resume_noop_when_complete(ray_session, small_corpus, tmp_path):
+    from pdf_extractor_ray.pipelines.extract import run_checkpoint
+
+    out = str(tmp_path / "out")
+    run_checkpoint(small_corpus["corpus"], out, n_partitions=4, resume=False)
+    m2 = run_checkpoint(small_corpus["corpus"], out, n_partitions=4, resume=True)
+    assert m2.num_rows == 0
+
+
+def test_input_order_independence(ray_session, small_corpus, tmp_path):
+    """Shuffling input rows across differently-sized shards changes nothing
+    after the url sort (FIXTURES §4.2)."""
+    import ray
+
+    from pdf_extractor_ray.pipelines.extract import extracted_dataset
+
+    # rewrite the corpus with rows reversed and re-sharded into 3 files
+    src = pq.read_table(small_corpus["corpus"])
+    reversed_t = src.take(pa.array(list(range(src.num_rows))[::-1]))
+    shuffled_dir = str(tmp_path / "shuffled")
+    os.makedirs(shuffled_dir)
+    n = reversed_t.num_rows
+    for i in range(3):
+        pq.write_table(
+            reversed_t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            os.path.join(shuffled_dir, f"part-{i:05d}.parquet"),
+        )
+
+    def run(path):
+        ds = extracted_dataset(path, n_partitions=8, concurrency=2)
+        t = pa.concat_tables(
+            [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        )
+        return t.sort_by("url")
+
+    a, b = run(small_corpus["corpus"]), run(shuffled_dir)
+    assert a["url"].to_pylist() == b["url"].to_pylist()
+    assert a["extracted_text"].to_pylist() == b["extracted_text"].to_pylist()
+    assert a["spans"].to_pylist() == b["spans"].to_pylist()
+    assert a["status"].to_pylist() == b["status"].to_pylist()
