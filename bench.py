@@ -67,6 +67,13 @@ def bench_extract(corpus_path: str, num_cpus: int) -> dict:
         for f in os.listdir(corpus_path)
         if f.endswith(".parquet")
     )
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out_dir = "/tmp/graft_bench_stream_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     ds = extracted_dataset(
         corpus_path,
@@ -74,12 +81,13 @@ def bench_extract(corpus_path: str, num_cpus: int) -> dict:
         batch_size=64,
         concurrency=max(2, num_cpus - 2),
     )
-    n_rows = 0
-    n_bytes = 0
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=1024):
-        n_rows += batch.num_rows
-        n_bytes += batch.nbytes
+    # production consume: distributed parquet write (funnelling the output
+    # through driver iter_batches measured 1.5x slower at 32 cpus)
+    ds.write_parquet(out_dir)
     wall = time.perf_counter() - t0
+    n_rows = sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(f"{out_dir}/*.parquet")
+    )
     return {
         "rows": n_rows,
         "wall_s": round(wall, 3),

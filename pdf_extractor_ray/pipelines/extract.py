@@ -6,10 +6,8 @@ persist lifecycle (``/root/reference/backend/src/main.py:324-489`` +
 
     read_parquet(pages shards, columns pruned)
       -> [keys-only dup-index scan, broadcast]        # stages/dedup.py
-      -> map_batches(sniff_and_partition)             # magic sniff + crc32(url)%P
-      -> map_batches(drop_dup_losers)                 # vectorized broadcast filter
-      -> map_batches(DocumentExtractor, actor pool)
-      -> write parquet | iterate
+      -> map_batches(FusedExtractor, actor pool)      # sniff + dedup-filter
+      -> write parquet | iterate                      #   + extract, one hop
 
 The payload-bearing dataflow is **shuffle-free**: dedup is decided from a
 16-byte-per-row key scan broadcast back as a filter (measured: a payload
@@ -39,7 +37,6 @@ rides on every output row for downstream bucketing/joins.
 
 from __future__ import annotations
 
-import functools
 import glob as _glob
 import os
 import time
@@ -51,7 +48,7 @@ import ray.data as rd
 
 from ..stages.sniff import sniff_and_partition
 from ..stages.dedup import build_dup_index, dedup_first_wins, drop_dup_losers
-from ..stages.extract import DocumentExtractor, extract_batch
+from ..stages.extract import DocumentExtractor, FusedExtractor, extract_batch
 from ..state.manifest import (
     PartitionManifest,
     completed_partitions,
@@ -92,22 +89,15 @@ def extracted_dataset(
         concurrency = max(2, avail - 2)
     dup_index = build_dup_index(input_path) if dedup else None
     ds = read_pages(input_path)
-    ds = ds.map_batches(
-        functools.partial(
-            sniff_and_partition,
-            n_partitions=n_partitions,
-            skip_partitions=skip_partitions,
-        ),
-        batch_format="pyarrow",
-    )
-    if dup_index is not None:
-        ds = ds.map_batches(
-            functools.partial(drop_dup_losers, dup_index=dup_index),
-            batch_format="pyarrow",
-        )
+    # ONE fused actor stage (sniff + dedup-filter + extract): payload blocks
+    # hop the object store exactly once; the staged pipeline measured 2.2x
+    # slower at 32 CPUs (see stages/extract.py FusedExtractor).
     return ds.map_batches(
-        DocumentExtractor,
+        FusedExtractor,
         fn_constructor_kwargs={
+            "dup_index": dup_index,
+            "n_partitions": n_partitions,
+            "skip_partitions": skip_partitions,
             "emit_pages": emit_pages,
             "skew_threshold_bytes": skew_threshold_bytes,
         },

@@ -136,6 +136,51 @@ class _Breaker:
         self.consecutive = self.consecutive + 1 if failed else 0
 
 
+class FusedExtractor:
+    """Single-stage stream pipeline body: sniff + broadcast-dedup + extract
+    in ONE actor-pool ``map_batches``. Payload blocks make exactly one hop
+    (read task -> actor); the staged variant (separate sniff/filter/extract
+    operators) measured 2.2x slower at 32 CPUs because every intermediate
+    block round-trips the object store."""
+
+    def __init__(
+        self,
+        dup_index=None,
+        n_partitions: int = 32,
+        skip_partitions: frozenset[int] | None = None,
+        emit_pages: bool = False,
+        breaker_threshold: int = 0,
+        skew_threshold_bytes: int | None = None,
+    ):
+        from .sniff import sniff_and_partition  # compile at actor start
+        from .dedup import drop_dup_losers
+
+        extract_document(b"")
+        self._sniff = sniff_and_partition
+        self._drop = drop_dup_losers
+        self.dup_index = dup_index
+        self.n_partitions = n_partitions
+        self.skip_partitions = skip_partitions
+        self.emit_pages = emit_pages
+        self.breaker = _Breaker(breaker_threshold) if breaker_threshold else None
+        self.skew_threshold_bytes = skew_threshold_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = self._sniff(
+            batch,
+            n_partitions=self.n_partitions,
+            skip_partitions=self.skip_partitions,
+        )
+        if self.dup_index is not None:
+            b = self._drop(b, dup_index=self.dup_index)
+        return extract_batch(
+            b,
+            emit_pages=self.emit_pages,
+            breaker=self.breaker,
+            skew_threshold_bytes=self.skew_threshold_bytes,
+        )
+
+
 class DocumentExtractor:
     """Actor-pool stage: ``ds.map_batches(DocumentExtractor, concurrency=N,
     batch_size=B, batch_format="pyarrow")``. State (dispatcher + breaker) is
