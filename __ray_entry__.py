@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": R.user_activity,
         "events_hourly": R.events_hourly,
         "search_docs": R.search_docs,
+        "search_docs_ci": R.search_docs_ci,
+        "cost_model": R.cost_model,
+        "events_ordered": R.events_ordered,
         "lang_histogram": R.lang_histogram,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
@@ -122,6 +125,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars
             FROM documents
             WHERE text LIKE '%data%'
+        """,
+        "search_docs_ci": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE lower(text) LIKE '%spark%'
+        """,
+        "cost_model": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*100) AS BIGINT) *
+                       CASE event_type
+                         WHEN 'click' THEN 10 WHEN 'view' THEN 5
+                         WHEN 'signup' THEN 100 WHEN 'purchase' THEN 200
+                         WHEN 'error' THEN 0 ELSE 10 END) AS cost_u
+            FROM events
+            GROUP BY event_type
+        """,
+        "events_ordered": """
+            SELECT event_id, event_type, ts
+            FROM events
+            ORDER BY event_type ASC, ts DESC, event_id ASC
+            LIMIT 50
         """,
         "lang_histogram": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -284,3 +284,81 @@ def lang_histogram(sf_dir: str) -> rd.Dataset:
         return partial_group_agg(t, keys=["lang"], aggs=[("n_docs", "sum")])
 
     return grouped_sum(ds, keys=["lang"], partial=partial, sum_cols=["n_docs"])
+
+
+# -------------------------------------------------------------------------
+# cost_model — the reference's per-job cost computation (rate[extractor] *
+# page_count, backend/src/tasks.py:85-104, SURVEY §2.5 A5) re-expressed as
+# a broadcast rate-table lookup + grouped exact-cents aggregate: cost per
+# event = rate[event_type] * value, summed per type.
+# -------------------------------------------------------------------------
+
+_EVENT_RATES = {  # fixed rate table, the analog of COST_PER_PAGE
+    "click": 0.001,
+    "view": 0.0005,
+    "signup": 0.01,
+    "purchase": 0.02,
+    "error": 0.0,
+}
+
+
+def cost_model(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_pylist()
+        rate_m = [_EVENT_RATES.get(t, 0.001) for t in types]
+        # micro-dollar integer arithmetic for exact oracle parity:
+        # cost_u = round(value*100) * round(rate*10000)  (cents x rate e-4)
+        value_c = cents(batch["value"])
+        rate_u = pa.array([int(round(r * 10000)) for r in rate_m], pa.int64())
+        cost_u = pc.multiply(value_c, rate_u)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n_events": pa.array([1] * batch.num_rows, pa.int64()),
+                "cost_u": cost_u,
+            }
+        )
+        return partial_group_agg(
+            t, keys=["event_type"], aggs=[("n_events", "sum"), ("cost_u", "sum")]
+        )
+
+    return grouped_sum(
+        ds, keys=["event_type"], partial=partial, sum_cols=["n_events", "cost_u"]
+    )
+
+
+# -------------------------------------------------------------------------
+# search_docs_ci — case-insensitive containment (the reference's ILIKE
+# search, main.py:1438-1445) via utf8_lower + match_substring.
+# -------------------------------------------------------------------------
+
+def search_docs_ci(sf_dir: str, needle: str = "SPARK") -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(
+            pc.utf8_lower(batch["text"]), pattern=needle.lower()
+        )
+        return batch.filter(mask).select(["doc_id", "source"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# events_ordered — multi-key sort + limit (annotations ordered page asc,
+# created_at desc; main.py:1447, SURVEY §2.6 O4) as distributed top-k.
+# -------------------------------------------------------------------------
+
+def events_ordered(sf_dir: str, k: int = 50) -> pa.Table:
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    return topk(
+        ds,
+        k=k,
+        sort_keys=[
+            ("event_type", "ascending"),
+            ("ts", "descending"),
+            ("event_id", "ascending"),
+        ],
+    )

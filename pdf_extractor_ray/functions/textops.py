@@ -410,3 +410,30 @@ class SimHasher:
 def simhash_fingerprint(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# -------------------------------------------------------------------------
+# markdown page splitting — the reference's LlamaParse result parser
+# (``llamaparse.py:137-222``): split "PAGE N:" sections; fall back to
+# "\n---\n" separators; final fallback = whole text as page 1. Re-expressed
+# as a pure per-row function usable inside map_batches.
+# -------------------------------------------------------------------------
+
+_PAGE_RE = re.compile(r"PAGE\s+(\d+):\s*\n(.*?)(?=PAGE\s+\d+:|$)", re.DOTALL)
+
+
+def split_markdown_pages(text: str) -> dict[int, str]:
+    """markdown -> {1-based page_number: page_text} (llamaparse.py:149-163
+    semantics: explicit PAGE markers win; '---' rules split next; else all
+    content is page 1)."""
+    if not text:
+        return {1: ""}
+    matches = _PAGE_RE.findall(text)
+    if matches:
+        return {int(n): body.strip() for n, body in matches}
+    if "\n---\n" in text:
+        return {
+            i + 1: part.strip()
+            for i, part in enumerate(text.split("\n---\n"))
+        }
+    return {1: text.strip()}

@@ -104,3 +104,24 @@ def test_entry_smoke(ray_session):
     assert len(df) > 0
     assert {"url", "extracted_text", "status"} <= set(df.columns)
     assert (df["status"] == "ok").mean() > 0.9
+
+
+@pytest.mark.parametrize("name", ["cost_model", "search_docs_ci", "events_ordered"])
+def test_new_queries_match_oracle(ray_session, con, name):
+    import __ray_entry__ as E
+
+    res = _canon(_to_pandas(E.queries()[name](SF)))
+    gold = _canon(con.execute(E.oracle_sql()[name]).fetchdf())
+    assert list(res.columns) == list(gold.columns)
+    pd.testing.assert_frame_equal(res, gold, check_dtype=False)
+
+
+def test_split_markdown_pages_unit():
+    """LlamaParse page-split semantics (reference llamaparse.py:137-222)."""
+    from pdf_extractor_ray.functions.textops import split_markdown_pages
+
+    md = "PAGE 1:\nfirst page\nPAGE 2:\nsecond page"
+    assert split_markdown_pages(md) == {1: "first page", 2: "second page"}
+    assert split_markdown_pages("a\n---\nb") == {1: "a", 2: "b"}
+    assert split_markdown_pages("just text") == {1: "just text"}
+    assert split_markdown_pages("") == {1: ""}
