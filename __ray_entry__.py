@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_docs_ci": R.search_docs_ci,
         "cost_model": R.cost_model,
         "events_ordered": R.events_ordered,
+        "orders_by_segment": R.orders_by_segment,
+        "latest_event_per_user": R.latest_event_per_user,
+        "sessionize": R.sessionize,
         "lang_histogram": R.lang_histogram,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
@@ -147,6 +150,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY event_type ASC, ts DESC, event_id ASC
             LIMIT 50
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_totalprice_c
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id AS last_event_id, ts AS last_ts
+            FROM (
+                SELECT user_id, event_id, ts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events)
+            WHERE rn = 1
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, SUM(new_session) AS n_sessions
+            FROM gaps GROUP BY user_id
         """,
         "lang_histogram": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -362,3 +362,120 @@ def events_ordered(sf_dir: str, k: int = 50) -> pa.Table:
             ("event_id", "ascending"),
         ],
     )
+
+
+# -------------------------------------------------------------------------
+# orders_by_segment — two-sided distributed hash join (orders |x| customer)
+# via Ray's native Dataset.join, then grouped exact-cents aggregate. The
+# reference only ever joins via broadcast dict probes (main.py:1066-1098) —
+# this is the scale path when neither side is broadcastable.
+# -------------------------------------------------------------------------
+
+def orders_by_segment(sf_dir: str) -> rd.Dataset:
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_totalprice_c": cents(batch["o_totalprice"]),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["c_mktsegment"],
+            aggs=[("n_orders", "sum"), ("sum_totalprice_c", "sum")],
+        )
+
+    return grouped_sum(
+        joined,
+        keys=["c_mktsegment"],
+        partial=partial,
+        sum_cols=["n_orders", "sum_totalprice_c"],
+    )
+
+
+# -------------------------------------------------------------------------
+# latest_event_per_user — per-key argmax (the reference's "latest comment"
+# per user, main.py:1291-1318 A2): full row of each user's newest event.
+# Partial argmax per batch -> tiny exchange -> final argmax per group.
+# -------------------------------------------------------------------------
+
+def latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # keep each user's newest row within the batch (sort desc, first)
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = batch.take(idx)
+        users = t["user_id"].combine_chunks()
+        changed = pc.not_equal(users.slice(1), users.slice(0, len(users) - 1))
+        if isinstance(changed, pa.ChunkedArray):
+            changed = changed.combine_chunks()
+        first = pa.concat_arrays([pa.array([True]), changed])
+        return t.filter(first)
+
+    def combine(group: pa.Table) -> pa.Table:
+        best = partial(group)
+        return pa.table(
+            {
+                "user_id": best["user_id"],
+                "last_event_id": pc.cast(best["event_id"], pa.int64()),
+                "last_ts": best["ts"],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# sessionize — gap-based session counting per user (30-minute inactivity
+# gap): the windowed/streaming-aggregate analog the reference's Celery
+# queue never needed (SURVEY §2.8: no windows in the reference). Per-user
+# rows co-locate via one small groupby; within a group it's a vectorized
+# sorted-diff. Sessions can't split across groups (partition key = the
+# window key), which is the documented partitioning assumption.
+# -------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("ts", "ascending")])
+        ts = pc.cast(t["ts"], pa.int64()).combine_chunks()
+        if len(ts) <= 1:
+            n_sessions = len(ts)
+        else:
+            gaps = pc.subtract(ts.slice(1), ts.slice(0, len(ts) - 1))
+            n_new = pc.sum(
+                pc.cast(pc.greater(gaps, SESSION_GAP_US), pa.int64())
+            ).as_py()
+            n_sessions = 1 + (n_new or 0)
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(combine, batch_format="pyarrow")
