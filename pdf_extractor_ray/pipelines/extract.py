@@ -111,11 +111,21 @@ def extracted_dataset(
 def run_stream(
     input_path: str,
     output_path: str | None = None,
+    *,
+    partition_output: bool = False,
     **kwargs,
 ) -> rd.Dataset:
+    """Stream mode; with ``partition_output`` the write is hive-partitioned
+    by the url-hash ``partition_id`` column (no shuffle — each task appends
+    files under every partition dir it touches; downstream readers get
+    partition pruning, but per-partition atomicity needs checkpoint mode).
+    """
     ds = extracted_dataset(input_path, **kwargs)
     if output_path:
-        ds.write_parquet(output_path)
+        if partition_output:
+            ds.write_parquet(output_path, partition_cols=["partition_id"])
+        else:
+            ds.write_parquet(output_path)
         return rd.read_parquet(output_path)
     return ds
 
@@ -244,6 +254,7 @@ def run_checkpoint(
     resume: bool = True,
     emit_pages: bool = True,
     dedup: bool = True,
+    skew_threshold_bytes: int | None = None,
 ) -> pa.Table:
     """Resumable run; returns the per-partition metrics table."""
     import ray
@@ -256,7 +267,8 @@ def run_checkpoint(
     worker = ray.remote(num_cpus=1)(process_partition)
     futures = [
         worker.remote(
-            pid, files, output_dir, dup_ref, emit_pages=emit_pages
+            pid, files, output_dir, dup_ref, emit_pages=emit_pages,
+            skew_threshold_bytes=skew_threshold_bytes,
         )
         for pid, files in enumerate(groups)
         if pid not in skip
