@@ -66,8 +66,13 @@ def _kind_for(tag: str) -> str:
 
 
 def normalize_text(raw: str) -> str:
-    """Collapse whitespace to single spaces, NFC-normalize, strip."""
-    return unicodedata.normalize("NFC", _WS_RE.sub(" ", raw)).strip()
+    """Collapse whitespace to single spaces, NFC-normalize, strip.
+    NFC is the identity on pure-ASCII input, so it is skipped there
+    (``str.isascii`` is a cheap C call; most corpus blocks are ASCII)."""
+    collapsed = _WS_RE.sub(" ", raw)
+    if collapsed.isascii():
+        return collapsed.strip()
+    return unicodedata.normalize("NFC", collapsed).strip()
 
 
 # -- fast HTML scanner ----------------------------------------------------

@@ -243,9 +243,13 @@ def _literal_string(stream: bytes, i: int, n: int) -> tuple[str, int]:
     return "".join(out), i
 
 
-def _tokenize(stream: bytes):
-    """Yield ('str', text) | ('num', float) | ('name', bytes) | ('op', bytes)
-    | ('arr_open'|'arr_close', None)."""
+def _tokenize(stream: bytes) -> list:
+    """Token list of ('str', text) | ('num', float) | ('name', bytes) |
+    ('op', bytes) | ('arr_open'|'arr_close', None). Returns a list rather
+    than a generator: the consumer iterates every token anyway and the
+    generator protocol measured ~20% of tokenizer time."""
+    out: list = []
+    emit = out.append
     i, n = 0, len(stream)
     match = _SIMPLE_TOK_RE.match
     while i < n:
@@ -258,11 +262,11 @@ def _tokenize(stream: bytes):
                 and stream.find(b"\\", i + 1, j) == -1
                 and stream.find(b"(", i + 1, j) == -1
             ):
-                yield ("str", stream[i + 1 : j].decode("latin-1"))
+                emit(("str", stream[i + 1 : j].decode("latin-1")))
                 i = j + 1
             else:
                 s, i = _literal_string(stream, i, n)
-                yield ("str", s)
+                emit(("str", s))
             continue
         if c == 60 and not stream.startswith(b"<<", i):  # "<" hex string
             j = stream.find(b">", i)
@@ -271,7 +275,7 @@ def _tokenize(stream: bytes):
             hx = bytes(ch for ch in stream[i + 1 : j] if ch not in b" \t\r\n\f")
             if len(hx) % 2:
                 hx += b"0"
-            yield ("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            emit(("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1")))
             i = j + 1
             continue
         m = match(stream, i)
@@ -279,7 +283,7 @@ def _tokenize(stream: bytes):
             j = i + 1
             while j < n and stream[j] not in _DELIMS:
                 j += 1
-            yield ("op", stream[i:j])
+            emit(("op", stream[i:j]))
             i = j
             continue
         tok = m.group()
@@ -288,18 +292,19 @@ def _tokenize(stream: bytes):
         if t0 in b"\x00\t\r\n\f %":
             continue
         if t0 == 47:  # '/'
-            yield ("name", tok[1:])
+            emit(("name", tok[1:]))
         elif t0 in b"+-.0123456789":
             try:
-                yield ("num", float(tok))
+                emit(("num", float(tok)))
             except ValueError:
                 pass
         elif tok == b"[":
-            yield ("arr_open", None)
+            emit(("arr_open", None))
         elif tok == b"]":
-            yield ("arr_close", None)
+            emit(("arr_close", None))
         else:
-            yield ("op", tok)
+            emit(("op", tok))
+    return out
 
 
 class _Chunk:
