@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": R.orders_by_segment,
         "latest_event_per_user": R.latest_event_per_user,
         "sessionize": R.sessionize,
+        "price_quantiles": R.price_quantiles,
         "lang_histogram": R.lang_histogram,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
@@ -179,6 +180,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, SUM(new_session) AS n_sessions
             FROM gaps GROUP BY user_id
+        """,
+        "price_quantiles": """
+            WITH s AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+                       FROM orders),
+                 r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                              COUNT(*) OVER () AS n
+                       FROM s)
+            -- rank = ceil(q*n/100) in pure integer math (FLOOR((q*n+99)/100)
+            -- is exact for integer operands; CEIL(0.95*n) is not, 0.95 has
+            -- no finite binary representation)
+            SELECT 25 AS q_pct, c AS price_c FROM r WHERE rn = CAST(FLOOR((25*n+99)/100) AS BIGINT)
+            UNION ALL
+            SELECT 50, c FROM r WHERE rn = CAST(FLOOR((50*n+99)/100) AS BIGINT)
+            UNION ALL
+            SELECT 75, c FROM r WHERE rn = CAST(FLOOR((75*n+99)/100) AS BIGINT)
+            UNION ALL
+            SELECT 95, c FROM r WHERE rn = CAST(FLOOR((95*n+99)/100) AS BIGINT)
         """,
         "lang_histogram": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

@@ -479,3 +479,55 @@ def sessionize(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# price_quantiles — EXACT distributed quantiles via integer value-count
+# histogram (no full sort): per-batch cents histograms -> merged counts ->
+# cumulative walk. Quantile rule (deterministic, mirrored in the SQL
+# oracle): value at 1-based ascending rank ceil(q*n). At 10^12 rows the
+# same shape works with fixed-width bins + a second refinement pass over
+# the one candidate bin (documented scale path); the driver-side merge here
+# holds one entry per distinct cent value.
+# -------------------------------------------------------------------------
+
+_QUANTILES = (25, 50, 75, 95)
+
+
+def price_quantiles(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"price_c": cents(batch["o_totalprice"])})
+        g = t.group_by(["price_c"]).aggregate([("price_c", "count")])
+        return g.rename_columns(["price_c", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    import ray
+
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    merged = (
+        pa.concat_tables(tables)
+        .group_by(["price_c"])
+        .aggregate([("cnt", "sum")])
+        .sort_by("price_c")
+    )
+    values = merged["price_c"].to_pylist()
+    counts = merged["cnt_sum"].to_pylist()
+    n = sum(counts)
+    out_q, out_v = [], []
+    for q in _QUANTILES:
+        rank = -(-q * n // 100)  # ceil(q/100 * n) in exact integer math
+        cum = 0
+        for v, c in zip(values, counts):
+            cum += c
+            if cum >= rank:
+                out_q.append(q)
+                out_v.append(v)
+                break
+    return pa.table(
+        {
+            "q_pct": pa.array(out_q, pa.int64()),
+            "price_c": pa.array(out_v, pa.int64()),
+        }
+    )
