@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": R.latest_event_per_user,
         "sessionize": R.sessionize,
         "price_quantiles": R.price_quantiles,
+        "props_stats": R.props_stats,
+        "orders_page": R.orders_page,
         "lang_histogram": R.lang_histogram,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
@@ -197,6 +199,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 75, c FROM r WHERE rn = CAST(FLOOR((75*n+99)/100) AS BIGINT)
             UNION ALL
             SELECT 95, c FROM r WHERE rn = CAST(FLOOR((95*n+99)/100) AS BIGINT)
+        """,
+        "props_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS sum_k,
+                   MAX(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS max_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "orders_page": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            ORDER BY o_orderdate DESC, o_orderkey ASC
+            LIMIT 20 OFFSET 60
         """,
         "lang_histogram": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

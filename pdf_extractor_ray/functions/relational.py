@@ -531,3 +531,62 @@ def price_quantiles(sf_dir: str) -> pa.Table:
             "price_c": pa.array(out_v, pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# props_stats — JSON payload parsing (the reference's dynamic-JSON content
+# columns + json.loads of form fields, main.py:345, database.py:67-68):
+# extract $.k from the events props JSON, aggregate per event_type.
+# -------------------------------------------------------------------------
+
+def props_stats(sf_dir: str) -> rd.Dataset:
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k")
+                ks.append(int(v) if v is not None else 0)
+            except (ValueError, TypeError, AttributeError):
+                ks.append(0)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n_events": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_k": pa.array(ks, pa.int64()),
+                "max_k": pa.array(ks, pa.int64()),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["event_type"],
+            aggs=[("n_events", "sum"), ("sum_k", "sum"), ("max_k", "max")],
+        )
+
+    return grouped_sum(
+        ds,
+        keys=["event_type"],
+        partial=partial,
+        sum_cols=["n_events", "sum_k"],
+        max_cols=["max_k"],
+    )
+
+
+# -------------------------------------------------------------------------
+# orders_page — offset pagination with a dynamic sort column
+# (main.py:617-655 O1: sort by any field asc/desc, offset/limit). Exact:
+# distributed top-(offset+limit) prefilter, then slice — the offset rows
+# never reach a global sort.
+# -------------------------------------------------------------------------
+
+def orders_page(sf_dir: str, page: int = 3, page_size: int = 20) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    upto = topk(
+        ds,
+        k=(page + 1) * page_size,
+        sort_keys=[("o_orderdate", "descending"), ("o_orderkey", "ascending")],
+    )
+    return upto.slice(page * page_size, page_size)
