@@ -78,7 +78,7 @@ def bench_extract(corpus_path: str, num_cpus: int) -> dict:
     ds = extracted_dataset(
         corpus_path,
         n_partitions=max(64, 4 * num_cpus),
-        batch_size=64,
+        batch_size=128,
         concurrency=max(2, num_cpus - 2),
     )
     # production consume: distributed parquet write (funnelling the output

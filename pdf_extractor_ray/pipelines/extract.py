@@ -71,7 +71,7 @@ def extracted_dataset(
     *,
     n_partitions: int = 32,
     dedup: bool = True,
-    batch_size: int = 64,
+    batch_size: int = 128,
     concurrency: tuple[int, int] | int | None = None,
     emit_pages: bool = False,
     skip_partitions: frozenset[int] | None = None,
@@ -303,6 +303,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--skew-threshold-mb", type=float, default=8.0,
+        help="PDFs above this size are page-range-split across the cluster",
+    )
     args = ap.parse_args()
 
     if not ray.is_initialized():
@@ -313,12 +317,17 @@ def main() -> None:
             logging_level="ERROR",
         )
     try:
+        skew_bytes = int(args.skew_threshold_mb * 1e6) or None
         if args.mode == "stream":
-            run_stream(args.input, args.output, n_partitions=args.partitions)
+            run_stream(
+                args.input, args.output, n_partitions=args.partitions,
+                skew_threshold_bytes=skew_bytes,
+            )
             print(f"stream output -> {args.output}")
         else:
             metrics = run_checkpoint(
-                args.input, args.output, n_partitions=args.partitions, resume=args.resume
+                args.input, args.output, n_partitions=args.partitions,
+                resume=args.resume, skew_threshold_bytes=skew_bytes,
             )
             done = metrics.num_rows
             total_rows = sum(metrics["rows_out"].to_pylist()) if done else 0
