@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": T.minhash_signatures,
         "minhash_dedup_pairs": T.minhash_dedup_pairs,
         "simhash_fingerprint": T.simhash_fingerprint,
+        "quality_filter": T.quality_filter,
+        "winnow_fingerprints": T.winnow_fingerprints,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -240,6 +242,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "quality_filter": """
+            SELECT doc_id FROM documents
+            WHERE LENGTH(text) BETWEEN 100 AND 20000
+              AND (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 100
+                  >= 5 * LENGTH(text)
+              AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 100
+                  <= 20 * LENGTH(text)
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups

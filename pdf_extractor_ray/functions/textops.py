@@ -437,3 +437,94 @@ def split_markdown_pages(text: str) -> dict[int, str]:
             for i, part in enumerate(text.split("\n---\n"))
         }
     return {1: text.strip()}
+
+
+# -------------------------------------------------------------------------
+# quality_filter — training-data curation gate: keep documents passing
+# integer-exact quality thresholds (length window, minimum space ratio,
+# bounded digit ratio). The Gopher-style rule family reduced to the
+# counters available without a tokenizer model; thresholds are plain
+# integers so the SQL oracle matches bit-for-bit.
+# -------------------------------------------------------------------------
+
+def quality_filter(
+    sf_dir: str,
+    *,
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    min_space_pct: int = 5,
+    max_digit_pct: int = 20,
+) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep_ids = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            n = len(t)
+            if not (min_chars <= n <= max_chars):
+                continue
+            if t.count(" ") * 100 < min_space_pct * n:
+                continue
+            if len(_DIGIT_RE.findall(t)) * 100 > max_digit_pct * n:
+                continue
+            keep_ids.append(d)
+        return pa.table({"doc_id": pa.array(keep_ids, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# winnow_fingerprints — rolling-hash document fingerprinting (winnowing:
+# k-gram rolling hashes, minimum per sliding window — the classic local
+# document fingerprint for plagiarism/near-dup detection). Rows-only
+# (no SQL analog); deterministic.
+# -------------------------------------------------------------------------
+
+_WINNOW_K = 5  # gram length (characters)
+_WINNOW_W = 8  # window of consecutive gram hashes; one min kept per window
+_B = 257
+_MOD = (1 << 61) - 1
+
+
+def winnow(text: str, k: int = _WINNOW_K, w: int = _WINNOW_W) -> list[int]:
+    """Winnowed fingerprint set (sorted, deduped) of character k-grams."""
+    s = text.lower()
+    n = len(s)
+    if n < k:
+        return [zlib.crc32(s.encode())] if s else []
+    # rolling polynomial hash of all k-grams
+    h = 0
+    pow_k = pow(_B, k - 1, _MOD)
+    hashes = []
+    for i, ch in enumerate(map(ord, s)):
+        h = (h * _B + ch) % _MOD
+        if i >= k - 1:
+            hashes.append(h)
+            h = (h - ord(s[i - k + 1]) * pow_k) % _MOD
+    # winnow: min of each window of w gram hashes (rightmost min wins)
+    if len(hashes) <= w:
+        return sorted({min(hashes)})
+    out = set()
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i : i + w]
+        out.add(min(window))
+    return sorted(out)
+
+
+class Winnower:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [winnow(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+                "min_fp": pa.array(
+                    [f"{min(f):016x}" if f else "" for f in fps], pa.string()
+                ),
+            }
+        )
+
+
+def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(Winnower, batch_format="pyarrow", concurrency=(1, 4))

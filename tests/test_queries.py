@@ -106,7 +106,7 @@ def test_entry_smoke(ray_session):
     assert (df["status"] == "ok").mean() > 0.9
 
 
-@pytest.mark.parametrize("name", ["cost_model", "search_docs_ci", "events_ordered", "orders_by_segment", "latest_event_per_user", "sessionize", "price_quantiles", "props_stats", "orders_page"])
+@pytest.mark.parametrize("name", ["cost_model", "search_docs_ci", "events_ordered", "orders_by_segment", "latest_event_per_user", "sessionize", "price_quantiles", "props_stats", "orders_page", "quality_filter"])
 def test_new_queries_match_oracle(ray_session, con, name):
     import __ray_entry__ as E
 

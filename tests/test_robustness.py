@@ -76,3 +76,50 @@ def test_circuit_breaker_opens_and_resets():
     out = extract_batch(mixed, breaker=breaker)
     assert out["status"].to_pylist() == ["error", "error", "ok", "error"]
     assert breaker.consecutive == 1  # reset by the success, then one failure
+
+
+def test_corpus_shard_layout_independence(tmp_path):
+    """verify-skill probe: 3 shards vs 8 shards -> identical oracle golden."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.corpus import write_corpus
+    from pdf_extractor_ray.oracle import write_golden
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_corpus(a + "/pages", n_rows=120, seed=42, n_shards=3)
+    write_corpus(b + "/pages", n_rows=120, seed=42, n_shards=8)
+    write_golden(a + "/pages", a + "/gold")
+    write_golden(b + "/pages", b + "/gold")
+    ta = pq.read_table(a + "/gold/extracted.parquet")
+    tb = pq.read_table(b + "/gold/extracted.parquet")
+    assert ta.equals(tb)
+
+
+def test_corpus_parallel_generation_identical(ray_session, tmp_path):
+    """Ray-parallel shard generation must be byte-identical to sequential."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray import corpus as C
+
+    seq_dir, par_dir = str(tmp_path / "seq"), str(tmp_path / "par")
+    import os
+    os.makedirs(seq_dir)
+    for k in range(4):
+        C._write_shard(seq_dir, k, 4, 100, 42)
+    C.write_corpus(par_dir, n_rows=100, seed=42, n_shards=4)  # uses Ray here
+    for k in range(4):
+        sa = pq.read_table(f"{seq_dir}/part-{k:05d}.parquet")
+        sb = pq.read_table(f"{par_dir}/part-{k:05d}.parquet")
+        assert sa.equals(sb)
+
+
+def test_winnow_properties():
+    from pdf_extractor_ray.functions.textops import winnow
+
+    a = winnow("the quick brown fox jumps over the lazy dog")
+    assert a == winnow("the quick brown fox jumps over the lazy dog")
+    assert winnow("") == []
+    assert len(winnow("ab")) == 1
+    # local change perturbs only a bounded number of fingerprints
+    b = winnow("the quick brown fox jumps over the lazy cat")
+    assert len(set(a) & set(b)) > len(a) // 2
