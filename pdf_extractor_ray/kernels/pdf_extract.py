@@ -493,9 +493,9 @@ def assemble_pdf_result(pages: list[str]) -> ExtractResult:
     text = "\f".join(pages)
     spans: list[Span] = []
     offset = 0
-    for p in pages:
-        if offset:
-            offset += 1  # the "\f"
+    for i, p in enumerate(pages):
+        if i:
+            offset += 1  # the "\f" separator precedes every page but the first
         spans.append(Span(offset, offset + len(p), "page"))
         offset += len(p)
     return ExtractResult(text=text, pages=pages, spans=spans, status="ok")

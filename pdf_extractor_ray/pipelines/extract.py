@@ -48,7 +48,7 @@ import ray.data as rd
 
 from ..stages.sniff import sniff_and_partition
 from ..stages.dedup import build_dup_index, dedup_first_wins, drop_dup_losers
-from ..stages.extract import DocumentExtractor, FusedExtractor, extract_batch
+from ..stages.extract import FusedExtractor, extract_batch
 from ..state.manifest import (
     PartitionManifest,
     completed_partitions,
@@ -56,14 +56,12 @@ from ..state.manifest import (
     write_partition_atomic,
 )
 
+from ..sources.pages import EXTRACT_COLUMNS as READ_COLUMNS  # noqa: E402
+from ..sources.pages import read_pages  # noqa: E402,F401
+
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
-READ_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
-
-def read_pages(input_path: str) -> rd.Dataset:
-    """Column-pruned read of the pages table (drops the carried-through
-    ``text`` WET snippet at the scan — it is not an extraction input)."""
-    return rd.read_parquet(input_path, columns=READ_COLUMNS)
+DEFAULT_URL_BUCKETS = 1024  # modulus of the url-hash partition_id COLUMN
 
 
 def extracted_dataset(
@@ -141,6 +139,8 @@ def shard_groups(input_path: str, n_partitions: int) -> list[list[str]]:
         files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
     else:
         files = [input_path]
+    if not files:
+        raise ValueError(f"no input parquet shards found under {input_path!r}")
     n = min(n_partitions, len(files))
     base, rem = divmod(len(files), n)
     groups, off = [], 0
@@ -157,7 +157,7 @@ def process_partition(
     output_dir: str,
     dup_index: pa.Table | None,
     *,
-    n_url_buckets: int = 1024,
+    n_url_buckets: int = DEFAULT_URL_BUCKETS,
     emit_pages: bool = True,
     batch_size: int = 64,
     skew_threshold_bytes: int | None = None,
@@ -286,7 +286,7 @@ def read_extracted(output_dir: str) -> rd.Dataset:
     paths = [
         os.path.join(output_dir, d, "extracted.parquet")
         for d in sorted(os.listdir(output_dir))
-        if d.startswith("partition_id=")
+        if d.startswith("part-")
     ]
     return rd.read_parquet(paths)
 
@@ -305,7 +305,7 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument(
         "--skew-threshold-mb", type=float, default=8.0,
-        help="PDFs above this size are page-range-split across the cluster",
+        help="PDFs above this many MiB are page-range-split across the cluster",
     )
     args = ap.parse_args()
 
@@ -317,7 +317,7 @@ def main() -> None:
             logging_level="ERROR",
         )
     try:
-        skew_bytes = int(args.skew_threshold_mb * 1e6) or None
+        skew_bytes = int(args.skew_threshold_mb * 1024 * 1024) or None
         if args.mode == "stream":
             run_stream(
                 args.input, args.output, n_partitions=args.partitions,

@@ -120,21 +120,50 @@ def build_dup_index(input_path: str) -> pa.Table | None:
     )
 
 
+class DupFilter:
+    """Prebuilt broadcast-filter state: the url value-set and the
+    url -> winning warc_ts dict are built ONCE (per actor / per partition
+    task), not per batch — with a large dup index a per-batch rebuild would
+    dominate the filter itself."""
+
+    def __init__(self, dup_index: pa.Table):
+        self.value_set = dup_index["url"].combine_chunks()
+        self.winner = dict(
+            zip(dup_index["url"].to_pylist(), dup_index["min_ts"].to_pylist())
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        hit = pc.is_in(urls, value_set=self.value_set)
+        if not pc.any(hit).as_py():
+            return batch
+        winner = self.winner
+        hit_np = hit.to_numpy(zero_copy_only=False)
+        url_py = urls.to_pylist()
+        ts_py = batch["warc_ts"].to_pylist()
+        seen_tie: set[str] = set()
+        keep = []
+        for i, h in enumerate(hit_np):
+            if not h:
+                keep.append(True)
+                continue
+            u = url_py[i]
+            ok = ts_py[i] == winner[u]
+            if ok:
+                # tie collapse: equal (url, min_ts) rows are the same capture
+                # (identical payload by assumption); keep the first in this
+                # batch. Ties split across batches are NOT collapsed in
+                # stream mode — see module docstring; checkpoint mode
+                # collapses them per partition via dedup_first_wins.
+                if u in seen_tie:
+                    ok = False
+                else:
+                    seen_tie.add(u)
+            keep.append(ok)
+        return batch.filter(pa.array(keep))
+
+
 def drop_dup_losers(batch: pa.Table, *, dup_index: pa.Table) -> pa.Table:
-    """Vectorized broadcast-filter: drop rows whose url is in the dup index
-    with a warc_ts later than the winner's."""
-    urls = batch["url"]
-    hit = pc.is_in(urls, value_set=dup_index["url"].combine_chunks())
-    if not pc.any(hit).as_py():
-        return batch
-    winner = dict(
-        zip(dup_index["url"].to_pylist(), dup_index["min_ts"].to_pylist())
-    )
-    hit_np = hit.to_numpy(zero_copy_only=False)
-    url_py = urls.to_pylist()
-    ts_py = batch["warc_ts"].to_pylist()
-    keep = [
-        (not h) or (ts_py[i] == winner[url_py[i]])
-        for i, h in enumerate(hit_np)
-    ]
-    return batch.filter(pa.array(keep))
+    """One-shot convenience wrapper over DupFilter (checkpoint tasks call
+    this once per partition group)."""
+    return DupFilter(dup_index)(batch)

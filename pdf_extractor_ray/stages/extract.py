@@ -124,16 +124,37 @@ def extract_batch(
 
 
 class _Breaker:
-    def __init__(self, threshold: int = 5):
+    """Row-count-based circuit breaker with a half-open probe: after
+    ``threshold`` consecutive failures rows are skipped (flagged
+    ``breaker_open``) for ``cooldown`` rows, then ONE row is parsed as a
+    trial — success closes the breaker, failure re-opens it for another
+    cooldown (the reference's 5-failures/300s-cooldown semantics,
+    ``backend/src/tasks.py:126-151``, with rows standing in for wall time
+    so behavior is deterministic and testable)."""
+
+    def __init__(self, threshold: int = 5, cooldown: int = 256):
         self.threshold = threshold
+        self.cooldown = cooldown
         self.consecutive = 0
+        self.skipped = 0
 
     @property
     def open(self) -> bool:
-        return self.threshold > 0 and self.consecutive >= self.threshold
+        if self.threshold <= 0 or self.consecutive < self.threshold:
+            return False
+        if self.skipped >= self.cooldown:
+            return False  # half-open: let the next row through as a probe
+        self.skipped += 1
+        return True
 
     def record(self, failed: bool) -> None:
-        self.consecutive = self.consecutive + 1 if failed else 0
+        if failed:
+            self.consecutive += 1
+            if self.consecutive >= self.threshold:
+                self.skipped = 0  # (re-)start a cooldown window
+        else:
+            self.consecutive = 0
+            self.skipped = 0
 
 
 class FusedExtractor:
@@ -153,12 +174,12 @@ class FusedExtractor:
         skew_threshold_bytes: int | None = None,
     ):
         from .sniff import sniff_and_partition  # compile at actor start
-        from .dedup import drop_dup_losers
+        from .dedup import DupFilter
 
         extract_document(b"")
         self._sniff = sniff_and_partition
-        self._drop = drop_dup_losers
-        self.dup_index = dup_index
+        # winner dict built once per actor, not per batch
+        self._dup_filter = DupFilter(dup_index) if dup_index is not None else None
         self.n_partitions = n_partitions
         self.skip_partitions = skip_partitions
         self.emit_pages = emit_pages
@@ -171,8 +192,8 @@ class FusedExtractor:
             n_partitions=self.n_partitions,
             skip_partitions=self.skip_partitions,
         )
-        if self.dup_index is not None:
-            b = self._drop(b, dup_index=self.dup_index)
+        if self._dup_filter is not None:
+            b = self._dup_filter(b)
         return extract_batch(
             b,
             emit_pages=self.emit_pages,

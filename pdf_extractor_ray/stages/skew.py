@@ -38,14 +38,21 @@ DEFAULT_SKEW_THRESHOLD_BYTES = 8 * 1024 * 1024
 DEFAULT_PAGES_PER_CHUNK = 25
 
 
+_CHUNK_REMOTE = None
+
+
 def _chunk_remote():
-    import ray
+    """Cached remote fn (one export per worker process, not per document)."""
+    global _CHUNK_REMOTE
+    if _CHUNK_REMOTE is None:
+        import ray
 
-    @ray.remote(num_cpus=1)
-    def _extract_chunk(payload: bytes, lo: int, hi: int) -> list[str]:
-        return extract_pdf_pages(payload, lo, hi)
+        @ray.remote(num_cpus=1)
+        def _extract_chunk(payload: bytes, lo: int, hi: int) -> list[str]:
+            return extract_pdf_pages(payload, lo, hi)
 
-    return _extract_chunk
+        _CHUNK_REMOTE = _extract_chunk
+    return _CHUNK_REMOTE
 
 
 def extract_pdf_skew_split(
@@ -76,8 +83,11 @@ def extract_pdf_skew_split(
         for chunk in ray.get(futures):
             pages.extend(chunk)
         return assemble_pdf_result(pages)
-    except Exception as exc:
-        return ExtractResult(
-            text="", pages=[""], status="error",
-            error=f"pdf:{type(exc).__name__}:{exc}"[:200],
-        )
+    except Exception:
+        # a failed chunk surfaces as RayTaskError, whose message differs
+        # from the inline kernel's; re-extract inline so the (rare)
+        # malformed oversized document produces the EXACT error row the
+        # oracle produces — byte-identity holds for error columns too
+        from ..kernels.pdf_extract import extract_pdf
+
+        return extract_pdf(payload)

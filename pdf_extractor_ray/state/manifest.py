@@ -41,7 +41,10 @@ class PartitionManifest:
 
 
 def partition_dir(output_dir: str, partition_id: int) -> str:
-    return os.path.join(output_dir, f"partition_id={partition_id}")
+    # deliberately NOT hive "key=value" syntax: a hive-aware reader would
+    # silently overwrite the url-hash partition_id COLUMN with the
+    # shard-group directory index (they are different things)
+    return os.path.join(output_dir, f"part-{partition_id}")
 
 
 def manifest_path(output_dir: str, partition_id: int) -> str:
@@ -71,7 +74,12 @@ def write_partition_atomic(
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
             json.dump(asdict(manifest), f, indent=1)
         if os.path.exists(final):
-            stale = final + f".stale-{uuid.uuid4().hex[:8]}"
+            # "_stale-" prefix so a crash between renames can never be
+            # mistaken for a live partition dir by resume/readers
+            stale = os.path.join(
+                os.path.dirname(final),
+                f"_stale-{manifest.partition_id}-{uuid.uuid4().hex[:8]}",
+            )
             os.rename(final, stale)
             _rmtree(stale)
         os.rename(tmp, final)
@@ -92,7 +100,7 @@ def read_manifests(output_dir: str) -> dict[int, PartitionManifest]:
     if not os.path.isdir(output_dir):
         return out
     for name in os.listdir(output_dir):
-        if not name.startswith("partition_id="):
+        if not name.startswith("part-"):
             continue
         mp = os.path.join(output_dir, name, "_MANIFEST.json")
         if os.path.exists(mp):

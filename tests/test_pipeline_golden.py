@@ -54,7 +54,7 @@ def test_checkpoint_mode_matches_golden(ray_session, small_corpus, tmp_path):
     # pages long table matches too
     pages = pa.concat_tables(
         [
-            pq.read_table(f"{out}/partition_id={p}/extracted_pages.parquet")
+            pq.read_table(f"{out}/part-{p}/extracted_pages.parquet")
             for p in metrics["partition_id"].to_pylist()
         ]
     ).sort_by([("url", "ascending"), ("page_number", "ascending")])

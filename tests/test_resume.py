@@ -11,7 +11,7 @@ def _read_all(out_dir: str) -> pa.Table:
     parts = [
         pq.read_table(os.path.join(out_dir, d, "extracted.parquet"))
         for d in sorted(os.listdir(out_dir))
-        if d.startswith("partition_id=")
+        if d.startswith("part-")
     ]
     return pa.concat_tables(parts).sort_by("url")
 
@@ -26,7 +26,7 @@ def test_resume_skips_completed_partitions(ray_session, small_corpus, tmp_path):
 
     # simulate a crash that lost 3 partitions
     for pid in (1, 4, 6):
-        shutil.rmtree(os.path.join(out, f"partition_id={pid}"))
+        shutil.rmtree(os.path.join(out, f"part-{pid}"))
 
     m2 = run_checkpoint(small_corpus["corpus"], out, n_partitions=8, resume=True)
     # only the 3 missing partitions were recomputed

@@ -123,3 +123,62 @@ def test_winnow_properties():
     # local change perturbs only a bounded number of fingerprints
     b = winnow("the quick brown fox jumps over the lazy cat")
     assert len(set(a) & set(b)) > len(a) // 2
+
+
+def test_circuit_breaker_half_open_recovers():
+    """After the cooldown the breaker probes one row; success closes it."""
+    from pdf_extractor_ray.stages.extract import _Breaker
+
+    b = _Breaker(threshold=2, cooldown=3)
+    b.record(True)
+    b.record(True)
+    assert [b.open for _ in range(3)] == [True, True, True]  # cooldown skips
+    assert b.open is False  # half-open probe row
+    b.record(False)  # probe succeeded
+    assert b.open is False and b.consecutive == 0
+    # failure during probe re-opens for another cooldown
+    b.record(True)
+    b.record(True)
+    assert b.open is True
+
+
+def test_dup_filter_collapses_same_batch_ties():
+    import pyarrow as pa
+
+    from pdf_extractor_ray.stages.dedup import DupFilter
+
+    ts = pa.array([100, 100, 100], pa.timestamp("us", tz="UTC"))
+    batch = pa.table(
+        {
+            "url": pa.array(["u", "u", "v"]),
+            "warc_ts": ts,
+            "html": pa.array([b"x", b"x", b"y"], pa.large_binary()),
+        }
+    )
+    idx = pa.table(
+        {
+            "url": pa.array(["u"]),
+            "min_ts": pa.array([100], pa.timestamp("us", tz="UTC")),
+        }
+    )
+    out = DupFilter(idx)(batch)
+    assert out["url"].to_pylist() == ["u", "v"]
+
+
+def test_stale_partition_dirs_ignored(tmp_path):
+    import json
+    import os
+
+    from pdf_extractor_ray.state.manifest import completed_partitions
+
+    out = str(tmp_path)
+    os.makedirs(f"{out}/part-0")
+    json.dump(
+        {"partition_id": 0, "rows_in": 1, "rows_out": 1, "n_ok": 1, "n_empty": 0,
+         "n_error": 0, "n_unknown": 0, "bytes_in": 1, "wall_s": 0.1,
+         "input_fingerprint": 1},
+        open(f"{out}/part-0/_MANIFEST.json", "w"),
+    )
+    os.makedirs(f"{out}/_stale-1-abcd1234")
+    json.dump({"partition_id": 1}, open(f"{out}/_stale-1-abcd1234/_MANIFEST.json", "w"))
+    assert completed_partitions(out) == frozenset({0})
