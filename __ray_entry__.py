@@ -227,7 +227,9 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0
                             ELSE array_length(regexp_split_to_array(
                                  trim(text, ' ' || chr(9) || chr(10) || chr(13)
-                                      || chr(12) || chr(11)), '\\s+'))
+                                      || chr(12) || chr(11)),
+                                 '[ ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11) || ']+'))
                        END) AS sum_tokens
             FROM documents
             GROUP BY lang

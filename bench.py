@@ -11,7 +11,7 @@ over the sf tables. Prints ONE JSON line:
 --scaling: runs the resumable checkpoint pipeline in TWO fresh
 subprocesses at N and 4N CPUs (default 4 and 16 — see SCALING_LEVELS for
 why not 8/32 on this VM) on the same corpus and reports throughput at both
-plus scaling efficiency = T_4N / (4 * T_N)  (the sandbox stand-in for the
+plus scaling efficiency = throughput_4N / (4 * throughput_N)  (the sandbox stand-in for the
 north rule's N vs 4N node clusters); also appended to BENCH/SCALING.md.
 """
 
@@ -30,6 +30,14 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def corpus_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -42,16 +50,32 @@ def corpus_rows(sf: float) -> int:
     return max(500, int(2_400_000 * sf))
 
 
+def _generator_fingerprint() -> str:
+    """Hash of the generator source: a cached corpus is only valid for the
+    exact code that produced it."""
+    import hashlib
+
+    import pdf_extractor_ray.corpus as C
+
+    with open(C.__file__, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
 def ensure_corpus(sf: float) -> str:
-    """sf-scaled synthetic web-page corpus, cached under /tmp by row count."""
+    """sf-scaled synthetic web-page corpus, cached under /tmp keyed by row
+    count AND generator-source hash (stale caches regenerate silently
+    otherwise)."""
     from pdf_extractor_ray.corpus import write_corpus
 
     rows = corpus_rows(sf)
     path = f"/tmp/graft_bench_corpus_{rows}"
     marker = os.path.join(path, "_DONE")
-    if not os.path.exists(marker):
+    fp = _generator_fingerprint()
+    current = open(marker).read() if os.path.exists(marker) else None
+    if current != fp:
         write_corpus(path, n_rows=rows, seed=42, n_shards=max(16, rows // 1000))
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(fp)
     return path
 
 
@@ -62,11 +86,7 @@ def bench_extract(corpus_path: str, num_cpus: int) -> dict:
 
     from pdf_extractor_ray.pipelines.extract import extracted_dataset
 
-    frag_bytes = sum(
-        os.path.getsize(os.path.join(corpus_path, f))
-        for f in os.listdir(corpus_path)
-        if f.endswith(".parquet")
-    )
+    frag_bytes = corpus_bytes(corpus_path)
     import glob
     import shutil
 
@@ -170,11 +190,7 @@ def bench_checkpoint_child(sf_dir: str, num_cpus: int) -> dict:
 
     out = f"/tmp/graft_scale_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    frag_bytes = sum(
-        os.path.getsize(os.path.join(corpus, f))
-        for f in os.listdir(corpus)
-        if f.endswith(".parquet")
-    )
+    frag_bytes = corpus_bytes(corpus)
     t0 = time.perf_counter()
     metrics = run_checkpoint(corpus, out, n_partitions=256, resume=False)
     wall = time.perf_counter() - t0
@@ -185,7 +201,7 @@ def bench_checkpoint_child(sf_dir: str, num_cpus: int) -> dict:
         "wall_s": round(wall, 3),
         "docs_per_s": round(rows / wall, 1),
         "mb_per_s": round(frag_bytes / wall / 1e6, 2),
-        "n_partitions": 256,
+        "n_partitions": int(metrics.num_rows),  # shard_groups clamps to #files
         "failures": int(sum(metrics["n_error"].to_pylist())),
     }
 
@@ -219,8 +235,14 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALING_LEVELS) -> dict:
              "--cpus", str(cpus)],
             capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) failed rc={proc.returncode}\n"
+                f"--- stdout ---\n{proc.stdout[-2000:]}\n"
+                f"--- stderr ---\n{proc.stderr[-2000:]}"
+            )
+        r = json.loads(json_lines[-1])
         if cpus not in results or r["docs_per_s"] > results[cpus]["docs_per_s"]:
             results[cpus] = r
     lo, hi = levels
@@ -232,8 +254,9 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALING_LEVELS) -> dict:
         "levels": {str(k): v for k, v in results.items()},
         "sf": sf,
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/SCALING.md", "a") as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "SCALING.md"), "a") as f:
         f.write(
             f"\n- sf={sf}: {lo}cpu {results[lo]['docs_per_s']} docs/s "
             f"({results[lo]['mb_per_s']} MB/s), {hi}cpu {results[hi]['docs_per_s']} docs/s "
@@ -255,6 +278,8 @@ def main() -> None:
 
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(",")) if args.levels else SCALING_LEVELS
+        if len(levels) != 2 or levels[0] >= levels[1]:
+            ap.error("--levels must be two increasing cpu counts, e.g. 4,16")
         print(json.dumps(run_scaling(args.sf_dir, levels)))
     elif args.scale_child:
         print(json.dumps(bench_checkpoint_child(args.sf_dir, args.cpus)))

@@ -361,9 +361,14 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, n_shards: int = 8) -
     Generation is per-shard pure-functional, so if a Ray session is already
     live (bench/scripts own one) shards are generated as parallel Ray tasks;
     output is byte-identical to the sequential path either way."""
+    import glob as _glob
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    # clear shards from any previous layout: a rerun with fewer shards must
+    # not leave stale part-files that silently corrupt the corpus
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        os.remove(stale)
     try:
         import ray
 
