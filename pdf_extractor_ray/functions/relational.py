@@ -15,15 +15,13 @@ a full sort.
 
 from __future__ import annotations
 
-import functools
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .agg import cents, grouped_sum, local_topk, partial_group_agg, topk
+from .agg import cents, grouped_sum, partial_group_agg, topk
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:

@@ -21,7 +21,6 @@ with state built in ``__init__``. The exchanges:
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import re
 import struct
