@@ -90,3 +90,24 @@ def test_duplicate_urls_collapse(ray_session, small_corpus):
     t = _collect(ds)
     urls = t["url"].to_pylist()
     assert len(urls) == len(set(urls))
+
+
+def test_stream_and_checkpoint_modes_agree(ray_session, small_corpus, tmp_path):
+    """The two physical modes are different executions of the same logical
+    pipeline — their outputs must match row for row."""
+    import ray
+    from pdf_extractor_ray.pipelines.extract import extracted_dataset, read_extracted, run_checkpoint
+
+    out = str(tmp_path / "ck")
+    run_checkpoint(small_corpus["corpus"], out, n_partitions=4, resume=False)
+    ck = _collect(read_extracted(out)).sort_by("url")
+
+    st = _collect(
+        extracted_dataset(small_corpus["corpus"], n_partitions=8, concurrency=2)
+    ).sort_by("url")
+
+    assert st["url"].to_pylist() == ck["url"].to_pylist()
+    assert st["extracted_text"].to_pylist() == ck["extracted_text"].to_pylist()
+    assert st["spans"].to_pylist() == ck["spans"].to_pylist()
+    assert st["status"].to_pylist() == ck["status"].to_pylist()
+    assert st["n_pages"].to_pylist() == ck["n_pages"].to_pylist()
