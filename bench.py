@@ -47,6 +47,9 @@ def sf_of(sf_dir: str) -> float:
 
 
 def corpus_rows(sf: float) -> int:
+    override = os.environ.get("GRAFT_BENCH_ROWS")
+    if override:
+        return int(override)
     return max(500, int(2_400_000 * sf))
 
 
