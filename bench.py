@@ -270,15 +270,45 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALING_LEVELS) -> dict:
     return report
 
 
+def dump_stream_stats(sf_dir: str, num_cpus: int) -> str:
+    """Run the stream pipeline once and write its ds.stats() operator
+    breakdown to BENCH/STREAM_STATS.txt (streaming-executor evidence)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from pdf_extractor_ray.pipelines.extract import extracted_dataset
+
+    corpus = ensure_corpus(sf_of(sf_dir))
+    ds = extracted_dataset(corpus, n_partitions=max(64, 4 * num_cpus),
+                           concurrency=max(2, num_cpus - 2))
+    for _ in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        pass
+    stats = ds.stats()
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    out = os.path.join(bench_dir, "STREAM_STATS.txt")
+    with open(out, "w") as f:
+        f.write(f"# ds.stats() of the stream pipeline, num_cpus={num_cpus}\n\n")
+        f.write(stats)
+    ray.shutdown()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="write the stream pipeline's ds.stats() to BENCH/")
     ap.add_argument("--levels", default=None, help="two comma-separated cpu counts for --scaling")
     ap.add_argument("--_scale-child", dest="scale_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.stats:
+        print(dump_stream_stats(args.sf_dir, args.cpus))
+        return
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(",")) if args.levels else SCALING_LEVELS
         if len(levels) != 2 or levels[0] >= levels[1]:

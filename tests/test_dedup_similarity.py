@@ -125,3 +125,16 @@ def test_read_pages_filtered(ray_session, small_corpus):
     ds = read_pages_filtered(small_corpus["corpus"], lang="en", columns=["url", "lang"])
     t = ds.to_pandas()
     assert len(t) > 0 and set(t["lang"]) == {"en"}
+
+
+def test_read_pages_filtered_url_prefix(ray_session, small_corpus):
+    from pdf_extractor_ray.sources import read_pages_filtered
+
+    ds = read_pages_filtered(
+        small_corpus["corpus"], url_prefix="https://a", columns=["url"]
+    )
+    urls = ds.to_pandas()["url"].tolist()
+    assert all(u.startswith("https://a") for u in urls)
+    # complements must partition the corpus: prefix + non-prefix = total
+    all_ds = read_pages_filtered(small_corpus["corpus"], columns=["url"])
+    assert len(urls) < all_ds.count()
