@@ -2,7 +2,6 @@
 the single-process oracle (FIXTURES.md §4.1-4.3)."""
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -10,6 +9,7 @@ def _collect(ds) -> pa.Table:
     import ray
 
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    assert tables, "pipeline produced no rows"
     return pa.concat_tables(tables, promote_options="default")
 
 
@@ -32,6 +32,9 @@ def _assert_matches_golden(extracted: pa.Table, golden_path: str):
     assert ext["content_type"].to_pylist() == gold["content_type"].to_pylist()
     assert ext["n_pages"].to_pylist() == gold["n_pages"].to_pylist()
     assert ext["spans"].to_pylist() == gold["spans"].to_pylist()
+    # first-wins dedup: the surviving row must carry the WINNING (min)
+    # warc_ts — a last-wins regression differs only here (FIXTURES §4.3)
+    assert ext["warc_ts"].to_pylist() == gold["warc_ts"].to_pylist()
 
 
 def test_stream_mode_matches_golden(ray_session, small_corpus):
@@ -42,7 +45,6 @@ def test_stream_mode_matches_golden(ray_session, small_corpus):
 
 
 def test_checkpoint_mode_matches_golden(ray_session, small_corpus, tmp_path):
-    import ray
     from pdf_extractor_ray.pipelines.extract import read_extracted, run_checkpoint
 
     out = str(tmp_path / "out")
@@ -60,12 +62,13 @@ def test_checkpoint_mode_matches_golden(ray_session, small_corpus, tmp_path):
     ).sort_by([("url", "ascending"), ("page_number", "ascending")])
     golden_pages = pq.read_table(small_corpus["golden"] + "/extracted_pages.parquet")
     assert pages.num_rows == golden_pages.num_rows
+    assert pages["url"].to_pylist() == golden_pages["url"].to_pylist()
+    assert pages["page_number"].to_pylist() == golden_pages["page_number"].to_pylist()
     assert pages["page_text"].to_pylist() == golden_pages["page_text"].to_pylist()
 
 
 def test_two_parallelism_levels_identical(ray_session, small_corpus):
     """Partition count / parallelism must not change a byte (FIXTURES §4.1)."""
-    import ray
     from pdf_extractor_ray.pipelines.extract import extracted_dataset
 
     def run(n_partitions, batch_size):
@@ -77,25 +80,27 @@ def test_two_parallelism_levels_identical(ray_session, small_corpus):
 
     a = run(4, 16)
     b = run(32, 128)
-    assert a["url"].to_pylist() == b["url"].to_pylist()
-    assert a["extracted_text"].to_pylist() == b["extracted_text"].to_pylist()
-    assert a["spans"].to_pylist() == b["spans"].to_pylist()
+    for col in ("url", "extracted_text", "spans", "status", "content_type",
+                "n_pages", "warc_ts"):
+        assert a[col].to_pylist() == b[col].to_pylist(), col
 
 
 def test_duplicate_urls_collapse(ray_session, small_corpus):
-    import ray
     from pdf_extractor_ray.pipelines.extract import extracted_dataset
 
+    raw = pq.read_table(small_corpus["corpus"], columns=["url"])
+    raw_urls = raw["url"].to_pylist()
+    assert len(raw_urls) > len(set(raw_urls)), "corpus must contain dup urls"
     ds = extracted_dataset(small_corpus["corpus"], n_partitions=8)
     t = _collect(ds)
     urls = t["url"].to_pylist()
     assert len(urls) == len(set(urls))
+    assert set(urls) == set(raw_urls)
 
 
 def test_stream_and_checkpoint_modes_agree(ray_session, small_corpus, tmp_path):
     """The two physical modes are different executions of the same logical
     pipeline — their outputs must match row for row."""
-    import ray
     from pdf_extractor_ray.pipelines.extract import extracted_dataset, read_extracted, run_checkpoint
 
     out = str(tmp_path / "ck")
