@@ -209,6 +209,7 @@ def process_partition(
         bytes_in=bytes_in,
         wall_s=round(time.perf_counter() - t0, 4),
         input_fingerprint=fp,
+        files=list(files),
     )
     write_partition_atomic(output_dir, manifest, writer)
     return pa.table(
@@ -261,7 +262,7 @@ def run_checkpoint(
 
     os.makedirs(output_dir, exist_ok=True)
     groups = shard_groups(input_path, n_partitions)
-    skip = completed_partitions(output_dir) if resume else frozenset()
+    skip = completed_partitions(output_dir, groups) if resume else frozenset()
     dup_index = build_dup_index(input_path) if dedup else None
     dup_ref = ray.put(dup_index)  # broadcast once, read zero-copy per task
     worker = ray.remote(num_cpus=1)(process_partition)

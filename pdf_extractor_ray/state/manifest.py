@@ -34,6 +34,7 @@ class PartitionManifest:
     bytes_in: int
     wall_s: float
     input_fingerprint: int  # order-independent: sum of crc32(url|ts) mod 2^64
+    files: list[str] = None  # input shard paths this partition covered
 
     @property
     def docs_per_s(self) -> float:
@@ -111,5 +112,20 @@ def read_manifests(output_dir: str) -> dict[int, PartitionManifest]:
     return out
 
 
-def completed_partitions(output_dir: str) -> frozenset[int]:
-    return frozenset(read_manifests(output_dir).keys())
+def completed_partitions(
+    output_dir: str, groups: list[list[str]] | None = None
+) -> frozenset[int]:
+    """Partitions safe to skip on resume. When ``groups`` (the CURRENT
+    shard grouping) is given, a manifest only counts as complete if it
+    covered exactly the same file list — so adding/removing input shards
+    (which shifts contiguous group boundaries) automatically invalidates
+    and recomputes the affected partitions instead of silently skipping
+    them with stale coverage. Manifests written before this field existed
+    (files=None) are trusted as before."""
+    out = set()
+    for pid, man in read_manifests(output_dir).items():
+        if groups is not None and man.files is not None:
+            if pid >= len(groups) or man.files != groups[pid]:
+                continue
+        out.add(pid)
+    return frozenset(out)

@@ -83,3 +83,29 @@ def test_input_order_independence(ray_session, small_corpus, tmp_path):
     assert a["extracted_text"].to_pylist() == b["extracted_text"].to_pylist()
     assert a["spans"].to_pylist() == b["spans"].to_pylist()
     assert a["status"].to_pylist() == b["status"].to_pylist()
+
+
+def test_resume_invalidates_on_input_change(ray_session, small_corpus, tmp_path):
+    """Appending input shards shifts shard-group boundaries; manifests that
+    no longer match their group's file list must recompute, not skip."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.extract import run_checkpoint
+
+    src = str(tmp_path / "pages")
+    shutil.copytree(small_corpus["corpus"], src)
+    out = str(tmp_path / "out")
+    run_checkpoint(src, out, n_partitions=4, resume=False)
+
+    # append a new shard: every contiguous group's file list changes
+    extra = pq.read_table(src + "/part-00000.parquet").slice(0, 5)
+    new_urls = [u + "?v=2" for u in extra["url"].to_pylist()]
+    import pyarrow as pa
+
+    extra = extra.set_column(0, "url", pa.array(new_urls, pa.string()))
+    pq.write_table(extra, src + "/part-99999.parquet")
+
+    m2 = run_checkpoint(src, out, n_partitions=4, resume=True)
+    assert m2.num_rows == 4  # all groups recomputed (boundaries shifted)
+    total = _read_all(out)
+    assert set(new_urls) <= set(total["url"].to_pylist())
