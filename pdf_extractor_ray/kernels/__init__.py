@@ -13,7 +13,7 @@ from .result import ExtractResult, Span
 from .sniff import sniff_bytes
 from .html_extract import extract_html
 from .pdf_extract import extract_pdf
-from .dispatch import extract_document
+from .dispatch import extract_document, extract_routed
 
 __all__ = [
     "ExtractResult",
@@ -21,5 +21,5 @@ __all__ = [
     "sniff_bytes",
     "extract_html",
     "extract_pdf",
-    "extract_document",
+    "extract_document", "extract_routed",
 ]

@@ -24,3 +24,16 @@ def extract_document(payload: bytes | None) -> tuple[str, ExtractResult]:
     if ctype == "empty":
         return ctype, ExtractResult(text="", pages=[""], status="empty")
     return ctype, ExtractResult(text="", pages=[""], status="unknown")
+
+
+def extract_routed(ctype: str, payload: bytes | None) -> ExtractResult:
+    """Kernel routing for an already-sniffed content type (the vectorized
+    stage sniff is property-tested equal to ``sniff_bytes``, so routing on
+    its column skips a second per-row sniff of every payload)."""
+    if ctype == "pdf":
+        return extract_pdf(payload)
+    if ctype == "html":
+        return extract_html(payload)
+    if ctype == "empty":
+        return ExtractResult(text="", pages=[""], status="empty")
+    return ExtractResult(text="", pages=[""], status="unknown")

@@ -37,7 +37,6 @@ rides on every output row for downstream bucketing/joins.
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import time
 
@@ -59,15 +58,13 @@ from ..state.manifest import (
 from ..sources.pages import EXTRACT_COLUMNS as READ_COLUMNS  # noqa: E402
 from ..sources.pages import read_pages  # noqa: E402,F401
 
-PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
-
 DEFAULT_URL_BUCKETS = 1024  # modulus of the url-hash partition_id COLUMN
 
 
 def extracted_dataset(
     input_path: str,
     *,
-    n_partitions: int = 32,
+    n_partitions: int = 1024,  # url-hash bucket modulus (== DEFAULT_URL_BUCKETS)
     dedup: bool = True,
     batch_size: int = 128,
     concurrency: tuple[int, int] | int | None = None,
@@ -135,10 +132,9 @@ def run_stream(
 def shard_groups(input_path: str, n_partitions: int) -> list[list[str]]:
     """Deterministic contiguous grouping of sorted input shards. Resume
     requires re-running with the same (input file set, n_partitions)."""
-    if os.path.isdir(input_path):
-        files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
-    else:
-        files = [input_path]
+    from ..sources.pages import list_shards
+
+    files = list_shards(input_path)
     if not files:
         raise ValueError(f"no input parquet shards found under {input_path!r}")
     n = min(n_partitions, len(files))
@@ -182,12 +178,19 @@ def process_partition(
             skew_threshold_bytes=skew_threshold_bytes,
         )
         for off in range(0, deduped.num_rows, batch_size)
+    ] or [
+        # zero-row partition (all rows were dedup losers, or an empty
+        # shard): emit an empty table with the full schema so the manifest
+        # still lands and resume can skip it
+        extract_batch(deduped.slice(0, 0), emit_pages=True)
     ]
     out = pa.concat_tables(parts)
     out = out.take(pa.compute.sort_indices(out, sort_keys=[("url", "ascending")]))
 
     statuses = out["status"].to_pylist()
-    bytes_in = sum(len(b) for b in deduped["html"].to_pylist() if b)
+    bytes_in = int(
+        pa.compute.sum(pa.compute.binary_length(deduped["html"])).as_py() or 0
+    )
 
     def writer(dir_path: str) -> None:
         pq.write_table(
@@ -210,6 +213,7 @@ def process_partition(
         wall_s=round(time.perf_counter() - t0, 4),
         input_fingerprint=fp,
         files=list(files),
+        file_sizes=[os.path.getsize(f) for f in files],
     )
     write_partition_atomic(output_dir, manifest, writer)
     return pa.table(
@@ -262,6 +266,19 @@ def run_checkpoint(
 
     os.makedirs(output_dir, exist_ok=True)
     groups = shard_groups(input_path, n_partitions)
+    # drop output dirs beyond the current group count (a previous run with
+    # more groups would otherwise leave stale part-K dirs that duplicate
+    # rows in read_extracted)
+    for name in os.listdir(output_dir):
+        if name.startswith("part-"):
+            try:
+                pid = int(name.split("-", 1)[1])
+            except ValueError:
+                continue
+            if pid >= len(groups):
+                import shutil as _shutil
+
+                _shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
     skip = completed_partitions(output_dir, groups) if resume else frozenset()
     dup_index = build_dup_index(input_path) if dedup else None
     dup_ref = ray.put(dup_index)  # broadcast once, read zero-copy per task

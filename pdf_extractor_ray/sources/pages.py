@@ -62,3 +62,15 @@ def read_pages_filtered(
     return rd.read_parquet(
         input_path, columns=columns or EXTRACT_COLUMNS, filter=expr
     )
+
+
+def list_shards(input_path: str) -> list[str]:
+    """Canonical shard listing: sorted top-level *.parquet files of a dir,
+    or the single file itself. Shared by grouping, key scans and metadata
+    row counts so every consumer sees the same file set."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(input_path):
+        return sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+    return [input_path]

@@ -64,17 +64,9 @@ def _key_partial(batch: pa.Table) -> pa.Table:
 _DRIVER_KEY_ROWS = 20_000_000  # keys below this: one multithreaded arrow read
 
 
-def _total_rows(input_path: str) -> int:
-    import glob as _glob
-    import os
-
+def _total_rows(files: list[str]) -> int:
     import pyarrow.parquet as pq
 
-    files = (
-        sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
-        if os.path.isdir(input_path)
-        else [input_path]
-    )
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 
@@ -90,8 +82,15 @@ def build_dup_index(input_path: str) -> pa.Table | None:
     """
     import pyarrow.parquet as pq
 
-    if _total_rows(input_path) <= _DRIVER_KEY_ROWS:
-        keys_t = pq.read_table(input_path, columns=["url", "warc_ts"])
+    from ..sources.pages import list_shards
+
+    files = list_shards(input_path)
+    if _total_rows(files) <= _DRIVER_KEY_ROWS:
+        # read the exact counted file set (a directory read could include
+        # nested/non-shard files the count did not)
+        keys_t = pa.concat_tables(
+            [pq.read_table(f, columns=["url", "warc_ts"]) for f in files]
+        )
         combined = keys_t.group_by(["url"]).aggregate(
             [("warc_ts", "min"), ("warc_ts", "count")]
         )

@@ -23,7 +23,7 @@ import time
 
 import pyarrow as pa
 
-from ..kernels import extract_document
+from ..kernels import extract_document, extract_routed
 
 SPAN_TYPE = pa.list_(
     pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())])
@@ -62,6 +62,13 @@ def extract_batch(
     n = batch.num_rows
     payloads = batch["html"]
     has_pid = "partition_id" in batch.column_names
+    # upstream sniff column (vectorized, property-tested == sniff_bytes):
+    # route on it instead of re-sniffing every payload
+    pre_ctypes = (
+        batch["content_type"].to_pylist()
+        if "content_type" in batch.column_names
+        else None
+    )
 
     texts: list[str] = []
     spans: list[list[dict]] = []
@@ -87,6 +94,9 @@ def extract_batch(
                 from .skew import extract_pdf_skew_split
 
                 ctype, res = "pdf", extract_pdf_skew_split(payload)
+            elif pre_ctypes is not None:
+                ctype = pre_ctypes[i]
+                res = extract_routed(ctype, payload)
             else:
                 ctype, res = extract_document(payload)
             text, status, err = res.text, res.status, res.error

@@ -76,22 +76,19 @@ class ImageDecode:
                 "environment; run with decode_real=False for the "
                 "deterministic fake"
             )
-        payloads = batch["payload"].to_pylist()
-        dims = [
-            (
-                int.from_bytes(hashlib.md5(p).digest()[:2], "little") % 4096 + 16,
-                int.from_bytes(hashlib.md5(p).digest()[2:4], "little") % 4096 + 16,
-            )
-            for p in payloads
-        ]
+        digests = [hashlib.md5(p).digest() for p in batch["payload"].to_pylist()]
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "width": pa.array([d[0] for d in dims], pa.int32()),
-                "height": pa.array([d[1] for d in dims], pa.int32()),
-                "thumb": pa.array(
-                    [hashlib.md5(p).digest() for p in payloads], pa.large_binary()
+                "width": pa.array(
+                    [int.from_bytes(d[:2], "little") % 4096 + 16 for d in digests],
+                    pa.int32(),
                 ),
+                "height": pa.array(
+                    [int.from_bytes(d[2:4], "little") % 4096 + 16 for d in digests],
+                    pa.int32(),
+                ),
+                "thumb": pa.array(digests, pa.large_binary()),
             }
         )
 

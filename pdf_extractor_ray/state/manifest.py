@@ -35,6 +35,7 @@ class PartitionManifest:
     wall_s: float
     input_fingerprint: int  # order-independent: sum of crc32(url|ts) mod 2^64
     files: list[str] = None  # input shard paths this partition covered
+    file_sizes: list[int] = None  # byte sizes at processing time
 
     @property
     def docs_per_s(self) -> float:
@@ -127,5 +128,12 @@ def completed_partitions(
         if groups is not None and man.files is not None:
             if pid >= len(groups) or man.files != groups[pid]:
                 continue
+            if man.file_sizes is not None:
+                try:
+                    sizes = [os.path.getsize(f) for f in man.files]
+                except OSError:
+                    continue
+                if sizes != man.file_sizes:
+                    continue  # shard rewritten in place -> recompute
         out.add(pid)
     return frozenset(out)
