@@ -27,6 +27,35 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def collect(ds: "rd.Dataset") -> pa.Table | None:
+    """Driver-side gather of a (small, pruned) dataset's blocks; None when
+    every block is empty. The ONE place the empty-input guard lives."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def empty_like(ds: "rd.Dataset") -> pa.Table:
+    """Empty arrow table with the dataset's schema."""
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types))).empty_table()
+
+
+def round_half_away(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """ROUND(x) with DuckDB/ANSI half-away-from-zero ties (pyarrow's
+    default is banker's) -> int64."""
+    return pc.cast(
+        pc.round(
+            pc.cast(col, pa.float64()), ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
 def cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """x -> int64 round(x*100), half away from zero (DuckDB ROUND parity)."""
     return pc.cast(
@@ -117,8 +146,7 @@ def topk(ds: rd.Dataset, *, k: int, sort_keys: list[tuple[str, str]]) -> pa.Tabl
         functools.partial(local_topk, k=k, sort_keys=sort_keys),
         batch_format="pyarrow",
     )
-    import ray
-
-    parts = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
-    all_t = pa.concat_tables(parts, promote_options="default")
+    all_t = collect(pruned)
+    if all_t is None:
+        return empty_like(ds)
     return local_topk(all_t, k=k, sort_keys=sort_keys)

@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from .agg import cents, grouped_sum, partial_group_agg, topk
+from .agg import cents, collect, empty_like, grouped_sum, partial_group_agg, round_half_away, topk
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -42,7 +42,7 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        qty = round_half_away(batch["l_quantity"])  # DuckDB ROUND parity
         ext_c = cents(batch["l_extendedprice"])
         disc_pct = cents(batch["l_discount"])  # discount in integer percent
         disc_c = pc.multiply(ext_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
@@ -412,6 +412,8 @@ def latest_event_per_user(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         # keep each user's newest row within the batch (sort desc, first)
         idx = pc.sort_indices(
             batch,
@@ -501,14 +503,13 @@ def price_quantiles(sf_dir: str) -> pa.Table:
         return g.rename_columns(["price_c", "cnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    import ray
-
-    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    gathered = collect(partials)
+    if gathered is None:
+        return pa.table(
+            {"q_pct": pa.array([], pa.int64()), "price_c": pa.array([], pa.int64())}
+        )
     merged = (
-        pa.concat_tables(tables)
-        .group_by(["price_c"])
-        .aggregate([("cnt", "sum")])
-        .sort_by("price_c")
+        gathered.group_by(["price_c"]).aggregate([("cnt", "sum")]).sort_by("price_c")
     )
     values = merged["price_c"].to_pylist()
     counts = merged["cnt_sum"].to_pylist()
@@ -544,10 +545,19 @@ def props_stats(sf_dir: str) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         ks = []
+        import math
+
         for p in batch["props"].to_pylist():
             try:
                 v = json.loads(p).get("k")
-                ks.append(int(v) if v is not None else 0)
+                if v is None:
+                    ks.append(0)
+                else:
+                    f = float(v)
+                    # DuckDB CAST(double AS BIGINT) rounds half away from 0
+                    ks.append(
+                        int(math.floor(f + 0.5)) if f >= 0 else int(math.ceil(f - 0.5))
+                    )
             except (ValueError, TypeError, AttributeError):
                 ks.append(0)
         t = pa.table(

@@ -83,10 +83,12 @@ def cosine_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
 # -------------------------------------------------------------------------
 
 def _n_planes_for(n_rows: int, target_bucket: int = 64) -> int:
-    """Adaptive code width: ~target_bucket vectors per bucket. 500 rows ->
-    4 planes (16 buckets); 10^9 rows -> 24 planes. A fixed wide code over a
-    small corpus leaves every bucket near-empty and recall collapses
-    (measured: 12 planes on 500 random vectors returned only the query)."""
+    """Adaptive code width: planes = log2(n/target)+3, i.e. mean occupancy
+    ~target_bucket/8 (smaller buckets push precision; the Hamming<=2
+    multiprobe widens recall back). 500 rows -> 6 planes / 64 buckets;
+    10^9 rows -> 24 planes. A fixed wide code over a small corpus leaves
+    every bucket near-empty and recall collapses (measured: 12 planes on
+    500 random vectors returned only the query itself)."""
     import math
 
     return max(3, min(24, int(math.log2(max(n_rows, 2) / target_bucket + 1)) + 3))
@@ -206,7 +208,25 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         a_out, b_out, s_out = [], [], []
-        if 1 < n <= 500:
+        if n > 500:
+            # heavy cluster: star-verify against the bucket representative
+            # (linear) instead of dropping the densest duplicates silently
+            m = _to_matrix(group["embedding"])
+            ids = group["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            rep = order[0]
+            sims = (m @ m[rep]) / (
+                np.linalg.norm(m, axis=1) * np.linalg.norm(m[rep])
+            )
+            for j in order[1:]:
+                if sims[j] >= threshold:
+                    a, b = int(ids[rep]), int(ids[j])
+                    if a > b:
+                        a, b = b, a
+                    a_out.append(a)
+                    b_out.append(b)
+                    s_out.append(round(float(sims[j]), 4))
+        elif 1 < n <= 500:
             m = _to_matrix(group["embedding"])
             norms = np.linalg.norm(m, axis=1)
             sim = (m @ m.T) / np.outer(norms, norms)

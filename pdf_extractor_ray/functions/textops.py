@@ -221,9 +221,15 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Coefficients bounded to 31 bits: shingle hashes are uint32 (crc32),
+    so sh*a + b < 2^63 + 2^31 fits uint64 EXACTLY and the subsequent
+    ``% (2^61-1)`` is true modular arithmetic. (Full-width coefficients
+    silently wrapped mod 2^64 first, voiding the min-wise hashing
+    guarantee.)"""
     rng = np.random.RandomState(0x5EED)
-    a = rng.randint(1, _MERSENNE, size=_N_HASH, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=_N_HASH, dtype=np.int64).astype(np.uint64)
+    hi = (1 << 31) - 1
+    a = rng.randint(1, hi, size=_N_HASH, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, hi, size=_N_HASH, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -309,11 +315,20 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group["doc_id"].to_pylist()))
         a_out, b_out = [], []
-        if 1 < len(ids) <= 200:  # salt guard: giant buckets are degenerate
+        if 1 < len(ids) <= 200:
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a_out.append(ids[i])
                     b_out.append(ids[j])
+        elif len(ids) > 200:
+            # giant bucket (heavy duplicate cluster): quadratic pairing is
+            # degenerate, but silently dropping it would miss exactly the
+            # densest duplicates — emit a star against the representative
+            # (linear), which still links every member into the cluster
+            rep = ids[0]
+            for other in ids[1:]:
+                a_out.append(rep)
+                b_out.append(other)
         return pa.table(
             {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
         )
@@ -336,19 +351,22 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
         )
     cand = pa.concat_tables(cand_tables)
     pairs = sorted(set(zip(cand["doc_a"].to_pylist(), cand["doc_b"].to_pylist())))
-    # verify with true shingle Jaccard: fetch texts of candidate docs only
+    # verify with true shingle Jaccard: fetch texts of candidate docs only —
+    # the filter runs INSIDE map_batches so only candidates' texts ever
+    # reach the driver (the corpus itself never materializes)
     need = sorted({d for p in pairs for d in p})
-    docs = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                _read_docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
+    need_arr = pa.array(need, pa.int64())
+
+    def _only_candidates(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=need_arr))
+
+    cand_docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _only_candidates, batch_format="pyarrow"
     )
-    mask = pc.is_in(docs["doc_id"], value_set=pa.array(need, pa.int64()))
-    docs = docs.filter(mask)
+    docs_tables = [t for t in ray.get(cand_docs.to_arrow_refs()) if t.num_rows]
+    docs = pa.concat_tables(docs_tables) if docs_tables else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
     text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     sh_of = {d: set(_shingles(text_of[d]).tolist()) for d in need}
     a_out, b_out, j_out = [], [], []

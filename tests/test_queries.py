@@ -33,16 +33,13 @@ def _to_pandas(res):
     return res
 
 
-SQL_CHECKED = [
-    "pricing_summary",
-    "customer_region",
-    "events_by_type",
-    "user_activity",
-    "token_count",
-    "dedup_exact",
-    "embedding_topk",
-    "top_orders",
-]
+def _sql_checked():
+    import __ray_entry__ as E
+
+    return sorted(E.oracle_sql())
+
+
+SQL_CHECKED = _sql_checked()
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
@@ -104,16 +101,6 @@ def test_entry_smoke(ray_session):
     assert len(df) > 0
     assert {"url", "extracted_text", "status"} <= set(df.columns)
     assert (df["status"] == "ok").mean() > 0.9
-
-
-@pytest.mark.parametrize("name", ["cost_model", "search_docs_ci", "events_ordered", "orders_by_segment", "latest_event_per_user", "sessionize", "price_quantiles", "props_stats", "orders_page", "quality_filter"])
-def test_new_queries_match_oracle(ray_session, con, name):
-    import __ray_entry__ as E
-
-    res = _canon(_to_pandas(E.queries()[name](SF)))
-    gold = _canon(con.execute(E.oracle_sql()[name]).fetchdf())
-    assert list(res.columns) == list(gold.columns)
-    pd.testing.assert_frame_equal(res, gold, check_dtype=False)
 
 
 def test_split_markdown_pages_unit():
