@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprint": T.simhash_fingerprint,
         "quality_filter": T.quality_filter,
         "winnow_fingerprints": T.winnow_fingerprints,
+        "sample_docs": T.sample_docs,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -252,6 +253,10 @@ def oracle_sql() -> dict[str, str]:
                   >= 5 * LENGTH(text)
               AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 100
                   <= 20 * LENGTH(text)
+        """,
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups

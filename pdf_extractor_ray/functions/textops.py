@@ -545,3 +545,27 @@ class Winnower:
 def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(Winnower, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# -------------------------------------------------------------------------
+# sample_docs — deterministic content-hash sampling (train/holdout split).
+# The reference has no sampling anywhere (SURVEY §2.6: "no sampling");
+# training-data pipelines need reproducible splits, so the sample key is a
+# content hash, not an RNG: a row is in the p%-sample iff its md5 falls in
+# the first p% of hex space. Stable across runs, machines and engines —
+# and therefore SQL-checkable bit-for-bit.
+# -------------------------------------------------------------------------
+
+def sample_docs(sf_dir: str, pct: int = 10) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    # first two hex chars give 256 buckets; keep bucket < round(256*pct/100)
+    cut = (256 * pct) // 100
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(t.encode("utf-8")).digest()[0] < cut
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
