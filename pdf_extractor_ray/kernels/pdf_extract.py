@@ -315,6 +315,11 @@ class _Chunk:
 
 
 def _run_text_ops(stream: bytes) -> list[_Chunk]:
+    """Tokenize + execute the text-operator state machine in ONE pass —
+    the token stream is consumed exactly once, so materializing it
+    (list/generator of per-token tuples) was pure overhead. Token grammar
+    and operator semantics are identical to ``_tokenize`` (kept for tests
+    and the object-scan paths); equivalence-checked over the corpus."""
     chunks: list[_Chunk] = []
     size = 12.0
     leading = 0.0
@@ -338,20 +343,65 @@ def _run_text_ops(stream: bytes) -> list[_Chunk]:
         ly = ly - (leading if leading else 1.2 * size)
         x, y = lx, ly
 
-    for kind, val in _tokenize(stream):
-        if kind == "arr_open":
-            in_array, array = True, []
+    i, n = 0, len(stream)
+    match = _SIMPLE_TOK_RE.match
+    while i < n:
+        c = stream[i]
+        if c == 40:  # "(" literal string
+            j = stream.find(b")", i + 1)
+            if (
+                j != -1
+                and stream.find(b"\\", i + 1, j) == -1
+                and stream.find(b"(", i + 1, j) == -1
+            ):
+                sval = stream[i + 1 : j].decode("latin-1")
+                i = j + 1
+            else:
+                sval, i = _literal_string(stream, i, n)
+            (array if in_array else stack).append(("str", sval))
             continue
-        if kind == "arr_close":
-            in_array = False
-            stack.append(array)
-            array = []
+        if c == 60 and not stream.startswith(b"<<", i):  # "<" hex string
+            j = stream.find(b">", i)
+            if j == -1:
+                raise PdfError("unterminated hex string")
+            hx = bytes(ch for ch in stream[i + 1 : j] if ch not in b" \t\r\n\f")
+            if len(hx) % 2:
+                hx += b"0"
+            sval = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            i = j + 1
+            (array if in_array else stack).append(("str", sval))
             continue
-        if kind in ("str", "num", "name"):
-            (array if in_array else stack).append((kind, val))
-            continue
-        # operator
-        op = val
+        m = match(stream, i)
+        if m is None:  # lone '>' '{' '}' etc. — operator run
+            j = i + 1
+            while j < n and stream[j] not in _DELIMS:
+                j += 1
+            op = stream[i:j]
+            i = j
+        else:
+            tok = m.group()
+            i = m.end()
+            t0 = tok[0]
+            if t0 in b"\x00\t\r\n\f %":
+                continue
+            if t0 == 47:  # '/' name
+                (array if in_array else stack).append(("name", tok[1:]))
+                continue
+            if t0 in b"+-.0123456789":
+                try:
+                    (array if in_array else stack).append(("num", float(tok)))
+                except ValueError:
+                    pass
+                continue
+            if tok == b"[":
+                in_array, array = True, []
+                continue
+            if tok == b"]":
+                in_array = False
+                stack.append(array)
+                array = []
+                continue
+            op = tok
         if op == b"BT":
             in_text = True
             x = y = lx = ly = 0.0
