@@ -120,6 +120,13 @@ def _scan_html(text: str, collector: "_BlockCollector") -> None:
         i = m.end()
         lg = m.lastgroup  # one attribute read instead of 5 group() calls
         if lg == "comment":
+            # degenerate complete comments per the HTML spec: <!--> <!--->
+            if text.startswith(">", i):
+                i += 1
+                continue
+            if text.startswith("->", i):
+                i += 2
+                continue
             close = text.find("-->", i)
             i = n if close == -1 else close + 3
             continue
@@ -130,7 +137,13 @@ def _scan_html(text: str, collector: "_BlockCollector") -> None:
             continue
         tag = m.group("start").lower()
         attrs = m.group("attrs") or ""
-        if attrs.rstrip().endswith("/"):
+        stripped = attrs.rstrip()
+        if stripped.endswith("/") and (
+            len(stripped) == 1 or stripped[-2] in " \t\n\r\"'"
+        ):
+            # self-closing only when '/' is a standalone token — in
+            # <a href=http://x.com/> the slash belongs to the unquoted
+            # attribute value (html.parser semantics) and this IS a start tag
             collector.handle_startendtag(tag, ())
             continue
         if tag in _RAWTEXT_TAGS:
@@ -184,7 +197,9 @@ class _BlockCollector:
             self._in_title = True
             return
         if tag == "a":
-            self._link_depth += 1
+            # a nested/unclosed <a> auto-closes the previous one (HTML5);
+            # += here would poison every later block with link_density 1.0
+            self._link_depth = 1
             return
         if tag == "br":
             self._parts.append(" ")
@@ -192,6 +207,9 @@ class _BlockCollector:
         if tag in BLOCK_TAGS:
             self._flush()
             self._kind = _kind_for(tag)
+            # block boundary implicitly closes inline <a> (HTML5 agency);
+            # without this an unclosed anchor discards the whole document
+            self._link_depth = 0
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if tag == "br" and not self._drop_depth:

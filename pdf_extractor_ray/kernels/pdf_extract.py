@@ -122,7 +122,8 @@ def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
             pm = _PAGES_REF_RE.search(dict_part)
             if pm:
                 root_pages = int(pm.group(1))
-            break
+                break  # first Catalog WITH /Pages wins; keep scanning past
+                       # truncated/orphaned catalogs (incremental updates)
 
     pages: list[int] = []
     if root_pages is not None and root_pages in objects:
@@ -190,7 +191,7 @@ _ESCAPES = {
 # full corpus on rewrite.)
 _SIMPLE_TOK_RE = re.compile(
     rb"[\x00\t\r\n\f ]+"          # whitespace run
-    rb"|%[^\n]*\n?"                # comment to EOL
+    rb"|%[^\r\n]*"               # comment: stops at CR OR LF (spec EOL)
     rb"|<<|>>|\[|\]"               # dict/array delimiters
     rb"|/[^()<>\[\]{}/%\x00\t\r\n\f ]*"   # name
     rb"|[+\-.0-9][+\-.0-9eE]*"     # number
@@ -243,70 +244,6 @@ def _literal_string(stream: bytes, i: int, n: int) -> tuple[str, int]:
     return "".join(out), i
 
 
-def _tokenize(stream: bytes) -> list:
-    """Token list of ('str', text) | ('num', float) | ('name', bytes) |
-    ('op', bytes) | ('arr_open'|'arr_close', None). Returns a list rather
-    than a generator: the consumer iterates every token anyway and the
-    generator protocol measured ~20% of tokenizer time."""
-    out: list = []
-    emit = out.append
-    i, n = 0, len(stream)
-    match = _SIMPLE_TOK_RE.match
-    while i < n:
-        c = stream[i]
-        if c == 40:  # "(" literal string
-            # fast path: no escapes, no nesting before the close paren
-            j = stream.find(b")", i + 1)
-            if (
-                j != -1
-                and stream.find(b"\\", i + 1, j) == -1
-                and stream.find(b"(", i + 1, j) == -1
-            ):
-                emit(("str", stream[i + 1 : j].decode("latin-1")))
-                i = j + 1
-            else:
-                s, i = _literal_string(stream, i, n)
-                emit(("str", s))
-            continue
-        if c == 60 and not stream.startswith(b"<<", i):  # "<" hex string
-            j = stream.find(b">", i)
-            if j == -1:
-                raise PdfError("unterminated hex string")
-            hx = bytes(ch for ch in stream[i + 1 : j] if ch not in b" \t\r\n\f")
-            if len(hx) % 2:
-                hx += b"0"
-            emit(("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1")))
-            i = j + 1
-            continue
-        m = match(stream, i)
-        if m is None:  # lone '>' '{' '}' etc. — emit as operator run
-            j = i + 1
-            while j < n and stream[j] not in _DELIMS:
-                j += 1
-            emit(("op", stream[i:j]))
-            i = j
-            continue
-        tok = m.group()
-        i = m.end()
-        t0 = tok[0]
-        if t0 in b"\x00\t\r\n\f %":
-            continue
-        if t0 == 47:  # '/'
-            emit(("name", tok[1:]))
-        elif t0 in b"+-.0123456789":
-            try:
-                emit(("num", float(tok)))
-            except ValueError:
-                pass
-        elif tok == b"[":
-            emit(("arr_open", None))
-        elif tok == b"]":
-            emit(("arr_close", None))
-        else:
-            emit(("op", tok))
-    return out
-
-
 class _Chunk:
     __slots__ = ("x", "y", "text", "width", "size")
 
@@ -317,12 +254,10 @@ class _Chunk:
 def _run_text_ops(stream: bytes) -> list[_Chunk]:
     """Tokenize + execute the text-operator state machine in ONE pass —
     the token stream is consumed exactly once, so materializing it
-    (list/generator of per-token tuples) was pure overhead. Token grammar
-    and operator semantics are identical to ``_tokenize`` (kept for tests
-    and the object-scan paths); equivalence-checked over the corpus."""
+    (list/generator of per-token tuples) was pure overhead."""
     chunks: list[_Chunk] = []
     size = 12.0
-    leading = 0.0
+    leading: float | None = None  # None = never set; an explicit 'TL 0' is real
     x = y = 0.0        # current text position
     lx = ly = 0.0      # line-start position (Td base)
     in_text = False
@@ -340,7 +275,7 @@ def _run_text_ops(stream: bytes) -> list[_Chunk]:
 
     def newline() -> None:
         nonlocal x, y, ly
-        ly = ly - (leading if leading else 1.2 * size)
+        ly = ly - (leading if leading is not None else 1.2 * size)
         x, y = lx, ly
 
     i, n = 0, len(stream)

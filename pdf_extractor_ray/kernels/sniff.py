@@ -11,18 +11,20 @@ bad row can't fail a block.
 from __future__ import annotations
 
 PDF_MAGIC = b"%PDF-"
-_HTML_PREFIXES = (b"<!doctype", b"<html", b"<head", b"<body", b"<!--", b"<?xml")
+_BOM = b"\xef\xbb\xbf"
 
 
 def sniff_bytes(payload: bytes | None) -> str:
-    """Classify payload bytes -> 'pdf' | 'html' | 'empty' | 'unknown'."""
+    """Classify payload bytes -> 'pdf' | 'html' | 'empty' | 'unknown'.
+    Rule: %PDF- magic wins; else optional UTF-8 BOM + optional ASCII
+    whitespace + '<' within the first 256 bytes is HTML."""
     if not payload:
         return "empty"
     if payload.startswith(PDF_MAGIC):
         return "pdf"
-    head = payload[:256].lstrip(b" \t\r\n\f")
-    if head[:1] == b"<":
-        low = head[:16].lower()
-        if low.startswith(_HTML_PREFIXES) or low[:1] == b"<":
-            return "html"
+    head = payload[:256]
+    if head.startswith(_BOM):  # BOM-prefixed HTML is common on the web
+        head = head[3:]
+    if head.lstrip(b" \t\r\n\f")[:1] == b"<":
+        return "html"
     return "unknown"

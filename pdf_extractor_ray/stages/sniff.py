@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_HTML_HEAD_RE = b"^[ \t\r\n\x0c]*<"
+_HTML_HEAD_RE = b"^(?:\xef\xbb\xbf)?[ \t\r\n\x0c]*<"
 
 
 def url_partition_ids(urls: pa.ChunkedArray | pa.Array, n_partitions: int) -> pa.Array:

@@ -182,3 +182,47 @@ def test_stale_partition_dirs_ignored(tmp_path):
     os.makedirs(f"{out}/_stale-1-abcd1234")
     json.dump({"partition_id": 1}, open(f"{out}/_stale-1-abcd1234/_MANIFEST.json", "w"))
     assert completed_partitions(out) == frozenset({0})
+
+
+def test_kernel_robustness_fixes():
+    """Regression pins for the kernel review findings."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.kernels.html_extract import extract_html
+    from pdf_extractor_ray.kernels.pdf_extract import _run_text_ops
+    from pdf_extractor_ray.kernels.sniff import sniff_bytes
+    from pdf_extractor_ray.stages.sniff import sniff_table
+
+    body = b"<p>" + b"perfectly good long article paragraph text here " * 3 + b"</p>"
+
+    # degenerate empty comment must not swallow the document
+    res = extract_html(b"<html><body><!-->" + body + b"</body></html>")
+    assert res.status == "ok" and "article" in res.text
+    res = extract_html(b"<html><body><!--->" + body + b"</body></html>")
+    assert res.status == "ok"
+
+    # unclosed <a> must not poison later blocks with link density
+    res = extract_html(b'<p><a href="/h">Home</p>' + body)
+    assert "article" in res.text
+
+    # unquoted attr value ending in '/' is a START tag (link counted)
+    res = extract_html(
+        b"<p><a href=http://x.com/>" + b"x" * 40 + b"</a></p>" + body
+    )
+    assert "x" * 40 not in res.text  # dropped as link-dense
+
+    # BOM-prefixed HTML sniffs as html in BOTH paths
+    bom_doc = b"\xef\xbb\xbf<html><body>" + body + b"</body></html>"
+    assert sniff_bytes(bom_doc) == "html"
+    t = pa.table({"html": pa.array([bom_doc], pa.large_binary())})
+    assert sniff_table(t)[0].as_py() == "html"
+    assert extract_html(bom_doc).status == "ok"
+
+    # CR-only-EOL comment terminates (PDF spec EOL)
+    chunks = _run_text_ops(b"BT /F1 12 Tf 72 700 Td (Hello) Tj % note\r0 -20 Td (World) Tj ET")
+    assert [c.text for c in chunks] == ["Hello", "World"]
+
+    # explicit 'TL 0' means zero leading, not unset
+    chunks = _run_text_ops(b"BT /F1 12 Tf 0 TL 72 700 Td (A) Tj T* (B) Tj ET")
+    ys = {round(c.y, 1) for c in chunks}
+    assert ys == {700.0}
