@@ -137,6 +137,28 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_checkpoint(corpus_path: str) -> dict:
+    """Time the production (resumable) checkpoint pipeline in-session."""
+    import shutil
+
+    from pdf_extractor_ray.pipelines.extract import run_checkpoint
+
+    out = "/tmp/graft_bench_ckpt_out"
+    shutil.rmtree(out, ignore_errors=True)
+    frag_bytes = corpus_bytes(corpus_path)
+    t0 = time.perf_counter()
+    metrics = run_checkpoint(corpus_path, out, n_partitions=256, resume=False)
+    wall = time.perf_counter() - t0
+    rows = sum(metrics["rows_out"].to_pylist())
+    return {
+        "rows": rows,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(rows / wall, 1),
+        "mb_per_s": round(frag_bytes / wall / 1e6, 2),
+        "failures": int(sum(metrics["n_error"].to_pylist())),
+    }
+
+
 def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     import ray
 
@@ -150,16 +172,22 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     sf = sf_of(sf_dir)
     corpus = ensure_corpus(sf)
     extract = bench_extract(corpus, num_cpus)
+    ckpt = bench_checkpoint(corpus)
     queries = {} if skip_queries else run_queries(sf_dir)
-    total = extract["wall_s"] + sum(queries.values())
+    total = extract["wall_s"] + ckpt["wall_s"] + sum(queries.values())
     result = {
         "metric": "extraction+operator wall time",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {"extract_corpus": extract["wall_s"], **queries},
+        "queries": {
+            "extract_corpus_stream": extract["wall_s"],
+            "extract_corpus_checkpoint": ckpt["wall_s"],
+            **queries,
+        },
         "sf": sf,
         "num_cpus": num_cpus,
         "extract": extract,
+        "extract_checkpoint": ckpt,
     }
     ray.shutdown()
     return result
