@@ -76,11 +76,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
+            -- CAST(SUM(..) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT,
+            -- the engine emits int64 — affinity only, values identical.
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_c,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c,
                    COUNT(*) AS count_order,
                    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
                        / COUNT(*) AS avg_qty
@@ -96,7 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_region": """
             SELECT r_name,
                    COUNT(*) AS n_customers,
-                   SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_acctbal_c
+                   CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -105,7 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "market_segment": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_customers,
-                   SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_acctbal_c
+                   CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
             FROM customer
             GROUP BY c_mktsegment
         """,
@@ -113,14 +115,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(*) AS n_events,
                    COUNT(DISTINCT user_id) AS n_users,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
             FROM events
             GROUP BY event_type
         """,
         "user_activity": """
             SELECT user_id,
                    COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_value_c,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
                    MAX(ts) AS last_ts
             FROM events
             GROUP BY user_id
@@ -143,11 +145,11 @@ def oracle_sql() -> dict[str, str]:
         "cost_model": """
             SELECT event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value*100) AS BIGINT) *
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT) *
                        CASE event_type
                          WHEN 'click' THEN 10 WHEN 'view' THEN 5
                          WHEN 'signup' THEN 100 WHEN 'purchase' THEN 200
-                         WHEN 'error' THEN 0 ELSE 10 END) AS cost_u
+                         WHEN 'error' THEN 0 ELSE 10 END) AS BIGINT) AS cost_u
             FROM events
             GROUP BY event_type
         """,
@@ -160,7 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_totalprice_c
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_totalprice_c
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -183,7 +185,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             )
-            SELECT user_id, SUM(new_session) AS n_sessions
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
             FROM gaps GROUP BY user_id
         """,
         "price_quantiles": """
@@ -195,18 +197,19 @@ def oracle_sql() -> dict[str, str]:
             -- rank = ceil(q*n/100) in pure integer math (FLOOR((q*n+99)/100)
             -- is exact for integer operands; CEIL(0.95*n) is not, 0.95 has
             -- no finite binary representation)
-            SELECT 25 AS q_pct, c AS price_c FROM r WHERE rn = CAST(FLOOR((25*n+99)/100) AS BIGINT)
+            SELECT CAST(25 AS BIGINT) AS q_pct, c AS price_c
+            FROM r WHERE rn = CAST(FLOOR((25*n+99)/100) AS BIGINT)
             UNION ALL
-            SELECT 50, c FROM r WHERE rn = CAST(FLOOR((50*n+99)/100) AS BIGINT)
+            SELECT CAST(50 AS BIGINT), c FROM r WHERE rn = CAST(FLOOR((50*n+99)/100) AS BIGINT)
             UNION ALL
-            SELECT 75, c FROM r WHERE rn = CAST(FLOOR((75*n+99)/100) AS BIGINT)
+            SELECT CAST(75 AS BIGINT), c FROM r WHERE rn = CAST(FLOOR((75*n+99)/100) AS BIGINT)
             UNION ALL
-            SELECT 95, c FROM r WHERE rn = CAST(FLOOR((95*n+99)/100) AS BIGINT)
+            SELECT CAST(95 AS BIGINT), c FROM r WHERE rn = CAST(FLOOR((95*n+99)/100) AS BIGINT)
         """,
         "props_stats": """
             SELECT event_type,
                    COUNT(*) AS n_events,
-                   SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS sum_k,
+                   CAST(SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    MAX(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS max_k
             FROM events
             GROUP BY event_type
@@ -223,7 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                   CAST(SUM(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)
                                         || chr(12) || chr(11)) = ''
                             THEN 0
                             ELSE array_length(regexp_split_to_array(
@@ -231,7 +234,7 @@ def oracle_sql() -> dict[str, str]:
                                       || chr(12) || chr(11)),
                                  '[ ' || chr(9) || chr(10) || chr(13)
                                       || chr(12) || chr(11) || ']+'))
-                       END) AS sum_tokens
+                       END) AS BIGINT) AS sum_tokens
             FROM documents
             GROUP BY lang
         """,
