@@ -340,52 +340,121 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
     )
     import ray
 
-    cand_tables = [t for t in ray.get(candidates.to_arrow_refs()) if t.num_rows]
-    if not cand_tables:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard_pct": pa.array([], pa.int64()),
-            }
-        )
-    cand = pa.concat_tables(cand_tables)
-    pairs = sorted(set(zip(cand["doc_a"].to_pylist(), cand["doc_b"].to_pylist())))
-    # verify with true shingle Jaccard: fetch texts of candidate docs only —
-    # the filter runs INSIDE map_batches so only candidates' texts ever
-    # reach the driver (the corpus itself never materializes)
-    need = sorted({d for p in pairs for d in p})
-    need_arr = pa.array(need, pa.int64())
-
-    def _only_candidates(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["doc_id"], value_set=need_arr))
-
-    cand_docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _only_candidates, batch_format="pyarrow"
-    )
-    docs_tables = [t for t in ray.get(cand_docs.to_arrow_refs()) if t.num_rows]
-    docs = pa.concat_tables(docs_tables) if docs_tables else pa.table(
-        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
-    )
-    text_of = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    sh_of = {d: set(_shingles(text_of[d]).tolist()) for d in need}
-    a_out, b_out, j_out = [], [], []
-    for a, b in pairs:
-        sa, sb = sh_of[a], sh_of[b]
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= jaccard_threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(int(round(j * 100)))
-    return pa.table(
+    empty = pa.table(
         {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "jaccard_pct": pa.array(j_out, pa.int64()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_pct": pa.array([], pa.int64()),
         }
     )
+
+    # materialized once: two consumers below (id collection + half-row
+    # explode); candidate-sized (a few % of corpus rows), never the corpus
+    candidates = candidates.materialize()
+
+    # distinct candidate doc ids; only these 8-byte ids are collected, to be
+    # broadcast as the semi-join filter (ids number ~2x candidate pairs —
+    # bounded by the near-dup rate, not the corpus)
+    def _explode_ids(b: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+        )
+        return pa.table({"doc_id": ids})
+
+    need = sorted(
+        candidates.map_batches(_explode_ids, batch_format="pyarrow").unique("doc_id")
+    )
+    if not need:
+        return empty
+    need_ref = ray.put(pa.array(need, pa.int64()))
+
+    # shingle sets for candidate docs only, computed inside the cluster
+    # (broadcast-filter semi-join: the corpus streams, never shuffles)
+    def _shingle_stage(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["doc_id"], value_set=ray.get(need_ref)))
+        # packed uint64 LE bytes, not list<uint64>: Acero hash joins reject
+        # nested payload columns but pass binary through untouched
+        sh = [_shingles(t).tobytes() for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "sh": pa.array(sh, pa.large_binary()),
+            }
+        )
+
+    sh_tbl = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _shingle_stage, batch_format="pyarrow"
+    )
+
+    # ONE distributed hash join attaches each pair side's shingle set: pairs
+    # explode into per-side half-rows keyed by that side's doc_id, join
+    # against the shingle table, then a single groupby(doc_a, doc_b) both
+    # collapses the <=16x band duplication AND verifies true Jaccard — only
+    # VERIFIED pairs ever reach the driver (round-1 pulled all candidate
+    # texts into a driver dict; that is a driver OOM at corpus scale)
+    def _halves(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].combine_chunks()
+        bb = b["doc_b"].combine_chunks()
+        return pa.table(
+            {
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([bb, bb]),
+                "side_id": pa.concat_arrays([a, bb]),
+            }
+        )
+
+    joined = candidates.map_batches(_halves, batch_format="pyarrow").join(
+        sh_tbl,
+        join_type="inner",
+        num_partitions=4,
+        on=("side_id",),
+        right_on=("doc_id",),
+    )
+
+    def _verify(group: pa.Table) -> pa.Table:
+        a = group["doc_a"][0].as_py()
+        b = group["doc_b"][0].as_py()
+        sa = sb = None
+        for sid, sh in zip(group["side_id"].to_pylist(), group["sh"].to_pylist()):
+            if sid == a and sa is None:
+                sa = sh
+            elif sid == b and sb is None:
+                sb = sh
+        if not sa or not sb:  # missing side or empty shingle set
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_pct": pa.array([], pa.int64()),
+                }
+            )
+        set_a = set(np.frombuffer(sa, dtype=np.uint64).tolist())
+        set_b = set(np.frombuffer(sb, dtype=np.uint64).tolist())
+        j = len(set_a & set_b) / len(set_a | set_b)
+        if j < jaccard_threshold:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_pct": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array([a], pa.int64()),
+                "doc_b": pa.array([b], pa.int64()),
+                "jaccard_pct": pa.array([int(round(j * 100))], pa.int64()),
+            }
+        )
+
+    verified = joined.groupby(["doc_a", "doc_b"]).map_groups(
+        _verify, batch_format="pyarrow"
+    )
+    tables = [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return empty
+    out = pa.concat_tables(tables).combine_chunks()
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # -------------------------------------------------------------------------

@@ -46,7 +46,12 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..stages.sniff import sniff_and_partition
-from ..stages.dedup import build_dup_index, dedup_first_wins, drop_dup_losers
+from ..stages.dedup import (
+    build_dup_index,
+    dedup_first_wins,
+    drop_dup_losers,
+    index_has_ties,
+)
 from ..stages.extract import FusedExtractor, extract_batch
 from ..state.manifest import (
     PartitionManifest,
@@ -83,7 +88,9 @@ def extracted_dataset(
         avail = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, avail - 2)
     dup_index = build_dup_index(input_path) if dedup else None
-    ds = read_pages(input_path)
+    # equal-timestamp ties need row provenance so the filter can pick the
+    # ONE global winner (win_file match); otherwise skip the path column
+    ds = read_pages(input_path, include_paths=index_has_ties(dup_index))
     # ONE fused actor stage (sniff + dedup-filter + extract): payload blocks
     # hop the object store exactly once; the staged pipeline measured 2.2x
     # slower at 32 CPUs (see stages/extract.py FusedExtractor).
@@ -162,19 +169,28 @@ def process_partition(
     (the reference's per-job latency/cost instrumentation,
     ``backend/src/tasks.py:265-282``)."""
     t0 = time.perf_counter()
-    group = pa.concat_tables(
-        [pq.read_table(f, columns=READ_COLUMNS) for f in files]
-    )
+    need_paths = index_has_ties(dup_index)
+    tabs = []
+    for f in files:
+        t = pq.read_table(f, columns=READ_COLUMNS)
+        if need_paths:
+            t = t.append_column(
+                "path", pa.array([f] * t.num_rows, pa.string())
+            )
+        tabs.append(t)
+    group = pa.concat_tables(tabs)
     rows_in = group.num_rows
     fp = input_fingerprint(group["url"].to_pylist(), group["warc_ts"].to_pylist())
     if dup_index is not None:
         group = drop_dup_losers(group, dup_index=dup_index)
+        if need_paths:
+            group = group.drop_columns(["path"])
     group = sniff_and_partition(group, n_partitions=n_url_buckets)
     deduped = dedup_first_wins(group)
     parts = [
         extract_batch(
             deduped.slice(off, batch_size),
-            emit_pages=True,
+            emit_pages=emit_pages,
             skew_threshold_bytes=skew_threshold_bytes,
         )
         for off in range(0, deduped.num_rows, batch_size)
@@ -182,7 +198,7 @@ def process_partition(
         # zero-row partition (all rows were dedup losers, or an empty
         # shard): emit an empty table with the full schema so the manifest
         # still lands and resume can skip it
-        extract_batch(deduped.slice(0, 0), emit_pages=True)
+        extract_batch(deduped.slice(0, 0), emit_pages=emit_pages)
     ]
     out = pa.concat_tables(parts)
     out = out.take(pa.compute.sort_indices(out, sort_keys=[("url", "ascending")]))
@@ -193,9 +209,8 @@ def process_partition(
     )
 
     def writer(dir_path: str) -> None:
-        pq.write_table(
-            out.drop_columns(["pages"]), os.path.join(dir_path, "extracted.parquet")
-        )
+        flat = out.drop_columns(["pages"]) if "pages" in out.column_names else out
+        pq.write_table(flat, os.path.join(dir_path, "extracted.parquet"))
         if emit_pages:
             pq.write_table(
                 _explode_pages(out), os.path.join(dir_path, "extracted_pages.parquet")

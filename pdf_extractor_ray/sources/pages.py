@@ -37,9 +37,18 @@ PAGES_SCHEMA = pa.schema(
 EXTRACT_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 
-def read_pages(input_path: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned read; default drops the carried-through WET ``text``."""
-    return rd.read_parquet(input_path, columns=columns or EXTRACT_COLUMNS)
+def read_pages(
+    input_path: str,
+    columns: list[str] | None = None,
+    *,
+    include_paths: bool = False,
+) -> rd.Dataset:
+    """Column-pruned read; default drops the carried-through WET ``text``.
+    ``include_paths`` adds the source shard as a ``path`` column (needed
+    only when the dup index contains equal-timestamp ties)."""
+    return rd.read_parquet(
+        input_path, columns=columns or EXTRACT_COLUMNS, include_paths=include_paths
+    )
 
 
 def read_pages_filtered(

@@ -24,14 +24,23 @@ memory. For corpora where duplicates themselves are at object-store scale,
 fall back to hash-partitioned ``dedup_first_wins`` below (the co-locating
 variant used inside per-partition checkpoint tasks).
 
-Ties: ``warc_ts`` is a capture timestamp; two rows with the same url AND
-same timestamp are treated as the same capture and both kept by the filter
-only if they are byte-identical duplicates anyway — the within-partition
-``dedup_first_wins`` pass downstream collapses them deterministically.
+Ties: ``warc_ts`` is a capture timestamp; rows with the same url AND same
+timestamp are the same capture (byte-identical payload by assumption). The
+dup index records, per duplicated url, how many rows share the winning
+timestamp (``n_at_min``) and — for real ties — which shard file holds the
+global winner (``win_file``, first shard in sorted order containing a
+min-ts row). The filter keeps a tie row only when its provenance ``path``
+matches ``win_file`` (plus a first-occurrence collapse within the batch),
+so ties split across batches/partitions still collapse to exactly one
+output row. Residual (documented): equal-(url, ts) rows inside ONE file
+that land in different stream-mode batches — pathological input (identical
+row stored twice in one shard); checkpoint mode is exact because a shard
+never spans partitions.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -56,8 +65,18 @@ def dedup_first_wins(group: pa.Table) -> pa.Table:
 
 
 def _key_partial(batch: pa.Table) -> pa.Table:
-    return batch.group_by(["url"]).aggregate(
+    """Per-batch (url -> min_ts_us, count) partial. min_ts rides as int64
+    microseconds: Ray's native Min aggregate degrades timestamp[us, UTC]
+    to timestamp[s] (silent sub-second truncation)."""
+    t = batch.group_by(["url"]).aggregate(
         [("warc_ts", "min"), ("warc_ts", "count")]
+    )
+    return pa.table(
+        {
+            "url": t["url"],
+            "ts_min_us": pc.cast(t["warc_ts_min"], pa.int64()),
+            "cnt": pc.cast(t["warc_ts_count"], pa.int64()),
+        }
     )
 
 
@@ -70,15 +89,35 @@ def _total_rows(files: list[str]) -> int:
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 
+def _tie_columns(
+    dups: pa.Table, at_min: pa.Table
+) -> tuple[pa.Array, pa.Array]:
+    """(n_at_min, win_file) aligned to ``dups`` rows. ``at_min`` holds every
+    (url, path) row whose warc_ts equals its url's winning min_ts."""
+    agg = at_min.group_by(["url"]).aggregate([("path", "min"), ("path", "count")])
+    idx = pc.index_in(dups["url"], value_set=agg["url"].combine_chunks())
+    n_at_min = pc.cast(
+        pc.take(agg["path_count"].combine_chunks(), idx), pa.int64()
+    )
+    win_raw = pc.take(agg["path_min"].combine_chunks(), idx)
+    # "" for unique-by-ts winners: skips the provenance check entirely
+    win_file = pc.if_else(pc.greater(n_at_min, 1), win_raw, "")
+    return n_at_min, win_file
+
+
 def build_dup_index(input_path: str) -> pa.Table | None:
-    """Keys-only scan -> table (url, min_ts) of DUPLICATED urls only.
-    Returns None when the corpus has no duplicate urls (common fast path).
+    """Keys-only scan -> table (url, min_ts, n_at_min, win_file) of
+    DUPLICATED urls only. Returns None when the corpus has no duplicate
+    urls (common fast path).
 
     Two physical paths, chosen from parquet metadata: below
     ``_DRIVER_KEY_ROWS`` keys, one multithreaded arrow read + group_by on
     the driver (a Ray Data job here measured 40x slower than the 4 MB of
-    actual work); above it, distributed per-batch partials combined on the
-    driver (partials shrink to distinct-urls-per-batch).
+    actual work). Above it, the combine runs INSIDE the cluster — per-batch
+    partials, a cluster-side ``groupby(url)``, and a count>1 filter BEFORE
+    collection, so the driver only ever receives the duplicated-url set
+    (mostly-unique key sets previously concat'ed every distinct url on the
+    driver, which does not survive 10^12 rows).
     """
     import pyarrow.parquet as pq
 
@@ -88,78 +127,178 @@ def build_dup_index(input_path: str) -> pa.Table | None:
     if _total_rows(files) <= _DRIVER_KEY_ROWS:
         # read the exact counted file set (a directory read could include
         # nested/non-shard files the count did not)
-        keys_t = pa.concat_tables(
-            [pq.read_table(f, columns=["url", "warc_ts"]) for f in files]
-        )
+        tabs = []
+        for fidx, f in enumerate(files):
+            t = pq.read_table(f, columns=["url", "warc_ts"])
+            # 4-byte shard index per row (full path strings materialize only
+            # for the tiny duplicated-at-min subset below)
+            tabs.append(
+                t.append_column(
+                    "fidx", pa.array(np.full(t.num_rows, fidx, np.int32))
+                )
+            )
+        keys_t = pa.concat_tables(tabs).combine_chunks()
         combined = keys_t.group_by(["url"]).aggregate(
             [("warc_ts", "min"), ("warc_ts", "count")]
         )
         dups = combined.filter(pc.greater(combined["warc_ts_count"], 1))
         if dups.num_rows == 0:
             return None
-        return pa.table({"url": dups["url"], "min_ts": dups["warc_ts_min"]})
+        dup_urls = dups["url"].combine_chunks()
+        rows = keys_t.filter(pc.is_in(keys_t["url"], value_set=dup_urls))
+        ridx = pc.index_in(rows["url"], value_set=dup_urls)
+        row_min = pc.take(dups["warc_ts_min"].combine_chunks(), ridx)
+        at_min = rows.filter(pc.equal(rows["warc_ts"], row_min))
+        at_min = at_min.append_column(
+            "path", pc.take(pa.array(files), at_min["fidx"])
+        )
+        n_at_min, win_file = _tie_columns(dups, at_min)
+        return pa.table(
+            {
+                "url": dups["url"],
+                "min_ts": dups["warc_ts_min"],
+                "n_at_min": n_at_min,
+                "win_file": win_file,
+            }
+        )
+
+    import ray
+    from ray.data.aggregate import Min, Sum
 
     keys = rd.read_parquet(input_path, columns=["url", "warc_ts"])
     partials = keys.map_batches(_key_partial, batch_format="pyarrow")
-    import ray
+    combined = partials.groupby("url").aggregate(Min("ts_min_us"), Sum("cnt"))
 
-    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
-    if not tables:
+    def _only_dups(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["sum(cnt)"], 1))
+
+    dup_tables = [
+        t
+        for t in ray.get(
+            combined.map_batches(_only_dups, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not dup_tables:
         return None
-    combined = (
-        pa.concat_tables(tables)
-        .group_by(["url"])
-        .aggregate([("warc_ts_min", "min"), ("warc_ts_count", "sum")])
+    dups = pa.concat_tables(dup_tables).combine_chunks()
+    dups = pa.table(
+        {
+            "url": dups["url"],
+            "warc_ts_min": pc.cast(
+                dups["min(ts_min_us)"], pa.timestamp("us", tz="UTC")
+            ),
+        }
     )
-    dups = combined.filter(pc.greater(combined["warc_ts_count_sum"], 1))
-    if dups.num_rows == 0:
-        return None
+    # tie pass: provenance rows for duplicated urls only (broadcast-filter
+    # semi-join over a keys+path scan; collected set = duplicated rows only)
+    dup_urls = dups["url"].combine_chunks()
+    dup_urls_ref = ray.put(dup_urls)
+
+    def _dup_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["url"], value_set=ray.get(dup_urls_ref)))
+
+    prov = rd.read_parquet(
+        input_path, columns=["url", "warc_ts"], include_paths=True
+    ).map_batches(_dup_rows, batch_format="pyarrow")
+    prov_tables = [t for t in ray.get(prov.to_arrow_refs()) if t.num_rows]
+    rows = pa.concat_tables(prov_tables).combine_chunks()
+    ridx = pc.index_in(rows["url"], value_set=dup_urls)
+    row_min = pc.take(dups["warc_ts_min"].combine_chunks(), ridx)
+    at_min = rows.filter(pc.equal(rows["warc_ts"], row_min))
+    n_at_min, win_file = _tie_columns(dups, at_min)
     return pa.table(
-        {"url": dups["url"], "min_ts": dups["warc_ts_min_min"]}
+        {
+            "url": dups["url"],
+            "min_ts": dups["warc_ts_min"],
+            "n_at_min": n_at_min,
+            "win_file": win_file,
+        }
     )
 
 
 class DupFilter:
-    """Prebuilt broadcast-filter state: the url value-set and the
-    url -> winning warc_ts dict are built ONCE (per actor / per partition
-    task), not per batch — with a large dup index a per-batch rebuild would
-    dominate the filter itself."""
+    """Prebuilt broadcast-filter state: the url value-set and aligned
+    winner arrays are built ONCE (per actor / per partition task), not per
+    batch. The filter itself is fully vectorized (``index_in`` + ``take``
+    + numpy first-occurrence); Python never touches non-duplicate rows.
+
+    Tie semantics: rows whose warc_ts equals the winning min_ts survive
+    only if (a) the index marks the url unique-at-min (``n_at_min`` == 1 or
+    tie columns absent), or (b) their provenance ``path`` column equals the
+    url's ``win_file``; a numpy first-occurrence pass then keeps one row
+    per url within the batch. With provenance present this collapses ties
+    globally (see module docstring for the single residual case)."""
 
     def __init__(self, dup_index: pa.Table):
         self.value_set = dup_index["url"].combine_chunks()
-        self.winner = dict(
-            zip(dup_index["url"].to_pylist(), dup_index["min_ts"].to_pylist())
-        )
+        self.min_ts = dup_index["min_ts"].combine_chunks()
+        if "n_at_min" in dup_index.column_names:
+            self.n_at_min = dup_index["n_at_min"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            self.win_file = np.asarray(
+                dup_index["win_file"].to_pylist(), dtype=object
+            )
+            self.has_ties = bool((self.n_at_min > 1).any())
+        else:  # minimal (url, min_ts) index: batch-local tie collapse only
+            self.n_at_min = None
+            self.win_file = None
+            self.has_ties = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"]
-        hit = pc.is_in(urls, value_set=self.value_set)
+        idx = pc.index_in(urls, value_set=self.value_set)
+        hit = pc.is_valid(idx)
         if not pc.any(hit).as_py():
             return batch
-        winner = self.winner
         hit_np = hit.to_numpy(zero_copy_only=False)
-        url_py = urls.to_pylist()
-        ts_py = batch["warc_ts"].to_pylist()
-        seen_tie: set[str] = set()
-        keep = []
-        for i, h in enumerate(hit_np):
-            if not h:
-                keep.append(True)
-                continue
-            u = url_py[i]
-            ok = ts_py[i] == winner[u]
-            if ok:
-                # tie collapse: equal (url, min_ts) rows are the same capture
-                # (identical payload by assumption); keep the first in this
-                # batch. Ties split across batches are NOT collapsed in
-                # stream mode — see module docstring; checkpoint mode
-                # collapses them per partition via dedup_first_wins.
-                if u in seen_tie:
-                    ok = False
-                else:
-                    seen_tie.add(u)
-            keep.append(ok)
+        winner_ts = pc.take(self.min_ts, idx)
+        is_win = pc.equal(batch["warc_ts"], winner_ts)  # null where no hit
+        keep = (
+            pc.fill_null(is_win, True).to_numpy(zero_copy_only=False).copy()
+        )
+        win_rows = np.flatnonzero(keep & hit_np)
+        if win_rows.size:
+            idx_np = (
+                pc.fill_null(idx, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ids = idx_np[win_rows]
+            if self.has_ties and "path" in batch.column_names:
+                tie_mask = self.n_at_min[ids] > 1
+                if tie_mask.any():
+                    paths = np.asarray(
+                        pc.take(
+                            batch["path"].combine_chunks()
+                            if isinstance(batch["path"], pa.ChunkedArray)
+                            else batch["path"],
+                            pa.array(win_rows),
+                        ).to_pylist(),
+                        dtype=object,
+                    )
+                    drop = tie_mask & (paths != self.win_file[ids])
+                    keep[win_rows[drop]] = False
+                    win_rows = np.flatnonzero(keep & hit_np)
+                    ids = idx_np[win_rows]
+            # first-occurrence collapse within the batch: np.unique returns
+            # the index of each value's FIRST occurrence
+            _, first_pos = np.unique(ids, return_index=True)
+            dup_mask = np.ones(win_rows.size, bool)
+            dup_mask[first_pos] = False
+            keep[win_rows[dup_mask]] = False
         return batch.filter(pa.array(keep))
+
+
+def index_has_ties(dup_index: pa.Table | None) -> bool:
+    """True when any duplicated url has multiple rows at the winning
+    timestamp — the only case where the filter needs row provenance."""
+    return (
+        dup_index is not None
+        and "n_at_min" in dup_index.column_names
+        and pc.any(pc.greater(dup_index["n_at_min"], 1)).as_py() is True
+    )
 
 
 def drop_dup_losers(batch: pa.Table, *, dup_index: pa.Table) -> pa.Table:

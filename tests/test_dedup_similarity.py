@@ -25,6 +25,76 @@ def test_dup_index_distributed_path_parity(ray_session, small_corpus, monkeypatc
         d = dist.sort_by("url")
         assert f["url"].to_pylist() == d["url"].to_pylist()
         assert f["min_ts"].to_pylist() == d["min_ts"].to_pylist()
+        assert f["n_at_min"].to_pylist() == d["n_at_min"].to_pylist()
+        assert f["win_file"].to_pylist() == d["win_file"].to_pylist()
+
+
+def _tied_pages_dir(tmp_path) -> str:
+    """Two shards sharing one url at the SAME warc_ts (identical payload) —
+    the cross-shard tie the synthetic corpus never generates."""
+    import datetime as dt
+
+    d = tmp_path / "tied_pages"
+    d.mkdir()
+    t_tie = dt.datetime(2024, 5, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    t_other = dt.datetime(2024, 5, 2, 12, 0, 0, tzinfo=dt.timezone.utc)
+    html = b"<html><body><p>Shared capture body text for ties.</p></body></html>"
+
+    def tab(urls, tss):
+        n = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                "html": pa.array([html] * n, pa.large_binary()),
+                "text": pa.array([""] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+            }
+        )
+
+    pq.write_table(
+        tab(["http://tie.example/", "http://a.example/"], [t_tie, t_other]),
+        str(d / "part-00000.parquet"),
+    )
+    pq.write_table(
+        tab(["http://tie.example/", "http://b.example/"], [t_tie, t_other]),
+        str(d / "part-00001.parquet"),
+    )
+    return str(d)
+
+
+def test_cross_shard_tie_collapses_globally(ray_session, tmp_path, monkeypatch):
+    """Equal-(url, warc_ts) rows in DIFFERENT shards must yield exactly one
+    output row in both physical modes (win_file provenance check), and both
+    dup-index paths must agree on the tie columns."""
+    from pdf_extractor_ray.pipelines import extract as E
+    from pdf_extractor_ray.stages import dedup
+
+    pages = _tied_pages_dir(tmp_path)
+    idx = dedup.build_dup_index(pages)
+    assert idx.num_rows == 1
+    assert idx["url"][0].as_py() == "http://tie.example/"
+    assert idx["n_at_min"][0].as_py() == 2
+    assert idx["win_file"][0].as_py().endswith("part-00000.parquet")
+
+    monkeypatch.setattr(dedup, "_DRIVER_KEY_ROWS", 0)
+    dist = dedup.build_dup_index(pages)
+    monkeypatch.undo()
+    assert dist.sort_by("url").to_pylist() == idx.sort_by("url").to_pylist()
+
+    # stream mode: batch_size=1 forces the tie rows into separate batches
+    ds = E.extracted_dataset(pages, batch_size=1, concurrency=2)
+    urls = sorted(r["url"] for r in ds.select_columns(["url"]).take_all())
+    assert urls == ["http://a.example/", "http://b.example/", "http://tie.example/"]
+
+    # checkpoint mode: one partition per shard, tie spans partitions
+    out = str(tmp_path / "tied_out")
+    E.run_checkpoint(pages, out, n_partitions=2)
+    got = sorted(
+        r["url"]
+        for r in E.read_extracted(out).select_columns(["url"]).take_all()
+    )
+    assert got == ["http://a.example/", "http://b.example/", "http://tie.example/"]
 
 
 @pytest.fixture(scope="module")
