@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.functions import textops as T
     from pdf_extractor_ray.functions import similarity as S
     from pdf_extractor_ray.pipelines.webpages import extract_from_documents
+    from pdf_extractor_ray.pipelines.fanout import fanout_extract
 
     return {
         # relational operator analogs (SURVEY §2.4-2.7)
@@ -68,8 +69,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "embedding_near_dup": S.embedding_near_dup,
+        # markdown page-split long table (M10; rows-only)
+        "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (rows-only)
         "extract_flagship": extract_from_documents,
+        # multi-extractor fan-out (reference main.py:77-137; rows-only)
+        "fanout_extract": fanout_extract,
     }
 
 
@@ -265,6 +270,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents
             GROUP BY text
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.95
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -72,7 +72,9 @@ _WORDS = (
 
 _LANGS = ["en", "en", "en", "de", "fr", "hi", "zh", ""]
 
-# (class_name, cumulative probability) — FIXTURES.md §2 mixture
+# (class_name, cumulative probability) — FIXTURES.md §2 mixture; the image
+# class is carved out of the former unknown band (0.98-1.00) so every other
+# class keeps its exact round-1 row assignment
 _MIXTURE = [
     ("html_article", 0.55),
     ("html_linkfarm", 0.65),
@@ -82,6 +84,7 @@ _MIXTURE = [
     ("pdf_big", 0.92),
     ("pdf_corrupt", 0.95),
     ("empty", 0.98),
+    ("image", 0.99),
     ("unknown", 1.00),
 ]
 
@@ -277,6 +280,26 @@ def _unknown(rng: random.Random) -> bytes:
     return bytes(rng.randrange(256) for _ in range(rng.randint(10, 200)))
 
 
+_IMAGE_MAGICS = [
+    b"\xff\xd8\xff\xe0\x00\x10JFIF\x00",        # jpeg
+    b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR",     # png
+    b"GIF89a",                                   # gif
+    b"II*\x00\x08\x00\x00\x00",                  # tiff
+    b"BM\x00\x00\x00\x00\x00\x00\x00\x00",       # bmp (reserved zeros)
+]
+
+
+def _image(rng: random.Random) -> bytes:
+    """Magic-valid image blob (the reference accepts these formats at
+    ingest, ``main.py:367-379``; decode itself is a stub locally, so the
+    body past the magic is deterministic junk)."""
+    kind = rng.randrange(len(_IMAGE_MAGICS) + 1)
+    body = bytes(rng.randrange(256) for _ in range(rng.randint(40, 400)))
+    if kind == len(_IMAGE_MAGICS):  # webp: RIFF <size> WEBP
+        return b"RIFF" + len(body).to_bytes(4, "little") + b"WEBP" + body
+    return _IMAGE_MAGICS[kind] + body
+
+
 # --------------------------------------------------------------------------
 # Row assembly
 # --------------------------------------------------------------------------
@@ -306,6 +329,8 @@ def _payload(cls: str, rng: random.Random) -> bytes:
         return _pdf_corrupt(rng)
     if cls == "empty":
         return b""
+    if cls == "image":
+        return _image(rng)
     return _unknown(rng)
 
 

@@ -191,16 +191,58 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
     )
 
 
+_ND_TABLES = 8  # independent LSH tables for near-dup blocking
+
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from ONE row group's first batch — never a
+    full-table read (round-1 loaded every vector just to learn dim)."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0])
+
+
+class NearDupCoder:
+    """Actor-pool stage: L independent hyperplane tables built once per
+    actor; each input row fans out to L (bucket, row) copies. A pair at
+    cosine >= 0.95 (theta/pi ~ 0.102) collides in at least one of L=8
+    tables of b=5 planes w.p. 1-(1-(1-0.102)^5)^8 ~ 99.9% — single-table
+    blocking (round 1) missed ~40% of true pairs at that threshold."""
+
+    def __init__(self, dim: int, n_planes: int, n_tables: int) -> None:
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.planes = _planes(dim, n_planes * n_tables)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        n = m.shape[0]
+        bits = (m @ self.planes) > 0  # (n, L*b)
+        shift = np.arange(self.n_planes, dtype=np.int64)
+        codes = np.empty((n, self.n_tables), np.int64)
+        for t in range(self.n_tables):
+            chunk = bits[:, t * self.n_planes : (t + 1) * self.n_planes]
+            codes[:, t] = (chunk.astype(np.int64) << shift).sum(axis=1) | (
+                t << 32  # table id in high bits: buckets never cross tables
+            )
+        out = batch.take(pa.array(np.repeat(np.arange(n), self.n_tables)))
+        return out.append_column("bucket", pa.array(codes.reshape(-1)))
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
-    """Embedding-cosine near-dup pairs via LSH blocking: pairs are only
-    formed within a bucket (plus the exact-cosine verify), so the all-pairs
-    O(n^2) never materializes."""
-    first = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    dim = len(first["embedding"][0])
-    n_planes = _n_planes_for(first.num_rows, target_bucket=100)
+    """Embedding-cosine near-dup pairs via multi-table LSH blocking: pairs
+    are only formed within a bucket (plus the exact-cosine verify), so the
+    all-pairs O(n^2) never materializes. Oracle: DuckDB self-join with
+    list_cosine_similarity (see __ray_entry__.oracle_sql)."""
+    dim = _emb_dim(sf_dir)
+    n_planes = _n_planes_for(_table_rows(sf_dir), target_bucket=100)
     coded = _read_emb(sf_dir).map_batches(
-        LshCoder,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        NearDupCoder,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "n_planes": n_planes,
+            "n_tables": _ND_TABLES,
+        },
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -260,5 +302,15 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
                 "cosine": pa.array([], pa.float64()),
             }
         )
+    # a pair verified in k tables appears k times with an identical rounded
+    # cosine; only VERIFIED pairs reach the driver, deduped here
     out = pa.concat_tables(parts)
+    out = out.group_by(["vec_a", "vec_b"]).aggregate([("cosine", "min")])
+    out = pa.table(
+        {
+            "vec_a": out["vec_a"],
+            "vec_b": out["vec_b"],
+            "cosine": out["cosine_min"],
+        }
+    )
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

@@ -525,6 +525,33 @@ def split_markdown_pages(text: str) -> dict[int, str]:
     return {1: text.strip()}
 
 
+def markdown_pages(sf_dir: str) -> rd.Dataset:
+    """Per-page long table (doc_id, page_number, page_text) from splitting
+    each document's text with the LlamaParse page rules — the reference's
+    DocumentPageContent shape (``backend/src/models/database.py:61-73``).
+    Rows-only (the regex split has no SQL analog)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        nums: list[int] = []
+        texts: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for n in sorted(pages := split_markdown_pages(t)):
+                ids.append(d)
+                nums.append(n)
+                texts.append(pages[n])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "page_number": pa.array(nums, pa.int32()),
+                "page_text": pa.array(texts, pa.large_string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------------------
 # quality_filter — training-data curation gate: keep documents passing
 # integer-exact quality thresholds (length window, minimum space ratio,

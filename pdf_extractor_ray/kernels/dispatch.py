@@ -17,13 +17,7 @@ from .pdf_extract import extract_pdf
 def extract_document(payload: bytes | None) -> tuple[str, ExtractResult]:
     """Return (content_type, ExtractResult) for one document payload."""
     ctype = sniff_bytes(payload)
-    if ctype == "pdf":
-        return ctype, extract_pdf(payload)
-    if ctype == "html":
-        return ctype, extract_html(payload)
-    if ctype == "empty":
-        return ctype, ExtractResult(text="", pages=[""], status="empty")
-    return ctype, ExtractResult(text="", pages=[""], status="unknown")
+    return ctype, extract_routed(ctype, payload)
 
 
 def extract_routed(ctype: str, payload: bytes | None) -> ExtractResult:
@@ -36,4 +30,9 @@ def extract_routed(ctype: str, payload: bytes | None) -> ExtractResult:
         return extract_html(payload)
     if ctype == "empty":
         return ExtractResult(text="", pages=[""], status="empty")
+    if ctype == "image":
+        # the reference routes images to OCR/vision engines
+        # (``main.py:367-379``); no OCR binary exists locally, so the row
+        # is flagged for the stub stage instead of 'unknown'
+        return ExtractResult(text="", pages=[""], status="stub_unavailable")
     return ExtractResult(text="", pages=[""], status="unknown")

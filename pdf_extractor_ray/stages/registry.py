@@ -88,6 +88,51 @@ class MainContentExtractor(DocumentExtractor):
         }
 
 
+@register("markdown_pages")
+class MarkdownPagesExtractor:
+    """The reference's LlamaParse page-splitter wired as a REAL local
+    engine (``/root/reference/backend/src/extractors/llamaparse.py:137-222``:
+    'PAGE N:' markers win, '\\n---\\n' rules split next, else everything is
+    page 1). The payload decodes as UTF-8 markdown/plain text; pages join
+    with '\\f' like the main kernel."""
+
+    def __init__(self) -> None:
+        from ..functions.textops import split_markdown_pages
+
+        self._split = split_markdown_pages
+
+    @classmethod
+    def info(cls) -> dict:
+        return {
+            "name": "markdown_pages",
+            "kind": "local",
+            "formats": ["markdown", "text", "html"],
+            "cost_per_page": 0.003,  # llamaparse rate, tasks.py:95
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        texts, statuses, n_pages = [], [], []
+        for p in batch["html"].to_pylist():
+            md = (p or b"").decode("utf-8", errors="replace")
+            pages = self._split(md)
+            joined = "\f".join(pages[k] for k in sorted(pages))
+            texts.append(joined)
+            statuses.append("ok" if joined.strip() else "empty")
+            n_pages.append(len(pages))
+        return pa.table(
+            {
+                "url": urls,
+                "extracted_text": pa.array(texts, pa.large_string()),
+                "status": pa.array(statuses, pa.string()),
+                "n_pages": pa.array(n_pages, pa.int32()),
+                "extractor": pa.array(
+                    ["markdown_pages"] * batch.num_rows, pa.string()
+                ),
+            }
+        )
+
+
 class _StubServiceExtractor:
     """Shared shape for external-service extractors: real batching/schema,
     stubbed service call. With ``fake=True`` a deterministic fake result is

@@ -35,6 +35,18 @@ def url_partition_ids(urls: pa.ChunkedArray | pa.Array, n_partitions: int) -> pa
     return pa.array(ids, pa.int32())
 
 
+# prefix magics checked with vectorized starts_with (not RE2: several are
+# invalid UTF-8 and RE2 patterns must be valid UTF-8)
+_IMG_PREFIXES = (
+    b"\xff\xd8\xff",        # jpeg
+    b"\x89PNG\r\n\x1a\n",   # png
+    b"GIF87a",              # gif
+    b"GIF89a",
+    b"II*\x00",             # tiff LE
+    b"MM\x00*",             # tiff BE
+)
+
+
 def sniff_table(batch: pa.Table) -> pa.Array:
     """content_type column for a pages batch, pure pyarrow.compute."""
     payload = batch["html"]
@@ -50,8 +62,28 @@ def sniff_table(batch: pa.Table) -> pa.Array:
     is_html = pc.match_substring_regex(heads, pattern=_HTML_HEAD_RE).to_numpy(
         zero_copy_only=False
     )
+    # image magics (mirrors kernels.sniff._is_image; property-tested equal)
+    is_image = np.zeros(n, dtype=bool)
+    for magic in _IMG_PREFIXES:
+        is_image |= pc.starts_with(safe, pattern=magic).to_numpy(
+            zero_copy_only=False
+        )
+    is_webp = (
+        pc.starts_with(safe, pattern=b"RIFF").to_numpy(zero_copy_only=False)
+        & pc.equal(pc.binary_slice(safe, 8, 12), b"WEBP").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    is_bmp = (
+        pc.starts_with(safe, pattern=b"BM").to_numpy(zero_copy_only=False)
+        & pc.equal(
+            pc.binary_slice(safe, 6, 10), b"\x00\x00\x00\x00"
+        ).to_numpy(zero_copy_only=False)
+    )
+    is_image |= is_webp | is_bmp
     ctypes = np.full(n, "unknown", dtype=object)
     ctypes[is_html] = "html"
+    ctypes[is_image] = "image"  # image wins over html (disjoint magics)
     ctypes[is_empty] = "empty"
     ctypes[is_pdf] = "pdf"  # pdf wins over the html regex, as in sniff_bytes
     return pa.array(ctypes, pa.string())

@@ -156,14 +156,29 @@ def test_minhash_finds_planted_near_dups(ray_session, planted_dir):
 
 
 def test_embedding_near_dup_finds_planted(ray_session, planted_dir):
+    """Multi-table LSH blocking must recover the EXACT brute-force pair set
+    on planted near-dups (8 tables x 5+ planes -> ~99.9% per-pair recall at
+    0.95; the planted pairs sit at ~0.999 where misses are ~1e-10)."""
     from pdf_extractor_ray.functions.similarity import embedding_near_dup
 
     pairs = embedding_near_dup(planted_dir, threshold=0.95)
     found = set(zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist()))
-    # LSH blocking is approximate: a perturbed vector lands in the same or a
-    # 1-bit-adjacent bucket with high probability; require most planted pairs
-    hits = sum((j, 100 + j) in found for j in range(5))
-    assert hits >= 3, (hits, found)
+
+    # brute-force truth
+    emb = pq.read_table(os.path.join(planted_dir, "embeddings.parquet"))
+    ids = emb["vec_id"].to_numpy()
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    sim = (m @ m.T) / np.outer(
+        np.linalg.norm(m, axis=1), np.linalg.norm(m, axis=1)
+    )
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sim[iu, ju] >= 0.95
+    truth = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(iu[keep], ju[keep])
+    }
+    assert truth == found
+    assert {(j, 100 + j) for j in range(5)} <= found
 
 
 def test_ann_recall_on_planted_structure(ray_session, planted_dir):

@@ -50,6 +50,88 @@ def test_stub_extractor_fake_deterministic(ray_session, small_corpus):
     assert all(s == "ok" for s in a["status"].to_pylist())
 
 
+def test_markdown_pages_extractor(ray_session):
+    import ray
+    import ray.data as rd
+
+    from pdf_extractor_ray.stages.registry import build_stage
+
+    md = b"PAGE 1:\nfirst page body\nPAGE 2:\nsecond page body"
+    plain = b"just one page"
+    rules = b"alpha\n---\nbeta\n---\ngamma"
+    t = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"], pa.string()),
+            "html": pa.array([md, plain, rules], pa.large_binary()),
+        }
+    )
+    out = build_stage(rd.from_arrow(t), "markdown_pages", concurrency=2)
+    got = pa.concat_tables(
+        [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    ).sort_by("url")
+    assert got["n_pages"].to_pylist() == [2, 1, 3]
+    assert got["extracted_text"].to_pylist() == [
+        "first page body\fsecond page body",
+        "just one page",
+        "alpha\fbeta\fgamma",
+    ]
+    assert set(got["status"].to_pylist()) == {"ok"}
+
+
+def test_fan_out_long_table(ray_session, small_corpus):
+    """One row per url x extractor with per-extractor status semantics —
+    the reference's per-job result set (main.py:77-137, tasks.py:250-264)."""
+    import collections
+
+    import ray
+
+    from pdf_extractor_ray.pipelines.extract import read_pages
+    from pdf_extractor_ray.pipelines.fanout import fan_out
+
+    names = ["main_content", "markdown_pages", "ocr_tesseract", "vision_api"]
+    pages = read_pages(small_corpus["corpus"]).limit(48)
+    n_urls = pages.count()
+    out = fan_out(pages, names)
+    t = pa.concat_tables(
+        [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    )
+    assert t.column_names == ["url", "extractor", "extracted_text", "status"]
+    assert t.num_rows == n_urls * len(names)
+    # exactly one row per (url, extractor)
+    seen = collections.Counter(
+        zip(t["url"].to_pylist(), t["extractor"].to_pylist())
+    )
+    assert set(seen.values()) == {1}
+    by_ext = collections.defaultdict(set)
+    for e, s in zip(t["extractor"].to_pylist(), t["status"].to_pylist()):
+        by_ext[e].add(s)
+    assert "ok" in by_ext["main_content"]
+    assert by_ext["ocr_tesseract"] == {"stub_unavailable"}
+    assert by_ext["vision_api"] == {"stub_unavailable"}
+
+    with pytest.raises(ValueError, match="unknown extractor"):
+        fan_out(pages, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        fan_out(pages, [])
+
+
+def test_image_rows_route_to_stub_flag(ray_session, small_corpus):
+    """JPEG/PNG/... payloads classify as content_type='image' and come out
+    flagged stub_unavailable (reference accepts images at ingest and routes
+    them to OCR/vision, main.py:367-379) — never 'unknown'."""
+    import ray
+
+    from pdf_extractor_ray.pipelines.extract import extracted_dataset
+
+    ds = extracted_dataset(small_corpus["corpus"], concurrency=2)
+    t = pa.concat_tables(
+        [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows]
+    )
+    imgs = t.filter(pa.compute.equal(t["content_type"], "image"))
+    assert imgs.num_rows > 0  # the corpus mixture plants image rows
+    assert set(imgs["status"].to_pylist()) == {"stub_unavailable"}
+
+
 def test_media_stages(ray_session):
     import ray
     import ray.data as rd
