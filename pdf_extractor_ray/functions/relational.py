@@ -158,11 +158,18 @@ def market_segment(sf_dir: str) -> rd.Dataset:
 
 # -------------------------------------------------------------------------
 # events_by_type — per-key count / distinct-count / sum: the per-job
-# feedback stats shape (main.py:943-951, SURVEY §2.5 A1). Distinct users
-# via in-batch dedup partials then per-group exact distinct.
+# feedback stats shape (main.py:943-951, SURVEY §2.5 A1). TWO-PHASE
+# distinct: phase 1 reduces to one row per (type, user) via a NATIVE
+# groupby aggregate (parallelism = user cardinality, so high-cardinality
+# keys spread across the cluster); phase 2 is a tiny per-type rollup where
+# each surviving row contributes one distinct user. Round-1's single
+# map_groups over the 5-value type key capped parallelism at 5 and pushed
+# every (type, user) partial of a hot type into ONE task.
 # -------------------------------------------------------------------------
 
 def events_by_type(sf_dir: str) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -174,30 +181,40 @@ def events_by_type(sf_dir: str) -> rd.Dataset:
                 "sum_value_c": cents(batch["value"]),
             }
         )
-        # partial: collapse duplicate (type,user) within the batch but keep
-        # exact sums/counts; the per-group combine re-dedups users globally.
+        # collapse duplicate (type,user) within the batch; exact sums/counts
         return partial_group_agg(
             t,
             keys=["event_type", "user_id"],
             aggs=[("n_events", "sum"), ("sum_value_c", "sum")],
         )
 
-    def combine(group: pa.Table) -> pa.Table:
-        return pa.table(
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n_events"), Sum("sum_value_c"))
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        t = pa.table(
             {
-                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
-                "n_events": pa.array([pc.sum(group["n_events"]).as_py()], pa.int64()),
-                "n_users": pa.array(
-                    [pc.count_distinct(group["user_id"]).as_py()], pa.int64()
-                ),
-                "sum_value_c": pa.array(
-                    [pc.sum(group["sum_value_c"]).as_py()], pa.int64()
-                ),
+                "event_type": batch["event_type"],
+                "n_events": pc.cast(batch["sum(n_events)"], pa.int64()),
+                "n_users": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_value_c": pc.cast(batch["sum(sum_value_c)"], pa.int64()),
             }
         )
+        return partial_group_agg(
+            t,
+            keys=["event_type"],
+            aggs=[("n_events", "sum"), ("n_users", "sum"), ("sum_value_c", "sum")],
+        )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("event_type").map_groups(combine, batch_format="pyarrow")
+    return grouped_sum(
+        per_user,
+        keys=["event_type"],
+        partial=rollup,
+        sum_cols=["n_events", "n_users", "sum_value_c"],
+    )
 
 
 # -------------------------------------------------------------------------
@@ -370,12 +387,17 @@ def events_ordered(sf_dir: str, k: int = 50) -> pa.Table:
 # -------------------------------------------------------------------------
 
 def orders_by_segment(sf_dir: str) -> rd.Dataset:
+    import ray
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # join parallelism scales with the cluster (2x CPUs, floor 8) instead of
+    # a hardcoded 8 that would bottleneck a 256-node exchange
+    n_parts = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
     joined = orders.join(
         customer,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=n_parts,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )

@@ -53,15 +53,21 @@ def token_count(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["lang", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = [
-            len(_WS_RE.split(t.strip(_ASCII_WS))) if t.strip(_ASCII_WS) else 0
-            for t in batch["text"].to_pylist()
-        ]
+        # vectorized: tokens = separator-run count + 1 on the trimmed text
+        # (equals len(_WS_RE.split(t.strip(_ASCII_WS))); 0 for blank docs)
+        trimmed = pc.utf8_trim(batch["text"], characters=_ASCII_WS)
+        seps = pc.cast(
+            pc.count_substring_regex(trimmed, pattern=r"[ \t\n\r\f\v]+"),
+            pa.int64(),
+        )
+        toks = pc.if_else(
+            pc.not_equal(trimmed, ""), pc.add(seps, 1), pa.scalar(0, pa.int64())
+        )
         t = pa.table(
             {
                 "lang": batch["lang"],
                 "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
-                "sum_tokens": pa.array(toks, pa.int64()),
+                "sum_tokens": toks,
             }
         )
         return partial_group_agg(
@@ -82,22 +88,35 @@ _DIGIT_RE = re.compile(r"[0-9]")
 _UPPER_RE = re.compile(r"[A-Z]")
 
 
+def _quality_counters(
+    texts: pa.ChunkedArray | pa.Array,
+) -> tuple[pa.Array, pa.Array, pa.Array, pa.Array]:
+    """(n_chars, n_spaces, n_digits, n_upper) as int64 — pure pyarrow.compute
+    (codepoint length + substring counts; ASCII classes match the SQL
+    regexp_replace oracles exactly)."""
+    n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    n_spaces = pc.cast(pc.count_substring(texts, pattern=" "), pa.int64())
+    n_digits = pc.cast(
+        pc.count_substring_regex(texts, pattern="[0-9]"), pa.int64()
+    )
+    n_upper = pc.cast(
+        pc.count_substring_regex(texts, pattern="[A-Z]"), pa.int64()
+    )
+    return n_chars, n_spaces, n_digits, n_upper
+
+
 def quality_stats(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        n_chars, n_spaces, n_digits, n_upper = _quality_counters(batch["text"])
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars2": pa.array([len(t) for t in texts], pa.int64()),
-                "n_spaces": pa.array([t.count(" ") for t in texts], pa.int64()),
-                "n_digits": pa.array(
-                    [len(_DIGIT_RE.findall(t)) for t in texts], pa.int64()
-                ),
-                "n_upper": pa.array(
-                    [len(_UPPER_RE.findall(t)) for t in texts], pa.int64()
-                ),
+                "n_chars2": n_chars,
+                "n_spaces": n_spaces,
+                "n_digits": n_digits,
+                "n_upper": n_upper,
             }
         )
 
@@ -462,26 +481,28 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
 # -------------------------------------------------------------------------
 
 class SimHasher:
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
     def __init__(self) -> None:
         self.word_re = _WORD_RE
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
         words = self.word_re.findall(text.lower())
         if not words:
             return 0
         uniq, counts = np.unique(np.array(words), return_counts=True)
-        for w, c in zip(uniq, counts):
-            h = int.from_bytes(
-                hashlib.md5(w.encode()).digest()[:8], "little"
-            )
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += (2 * bits - 1) * int(c)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                for w in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        # vectorized 64-bit unpack: (n_words, 64) sign matrix x counts
+        bits = ((hashes[:, None] >> self._SHIFTS[None, :]) & 1).astype(np.int64)
+        acc = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+        return int(((acc > 0).astype(np.uint64) << self._SHIFTS).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs = [self.simhash(t) for t in batch["text"].to_pylist()]
@@ -571,17 +592,24 @@ def quality_filter(
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        keep_ids = []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            n = len(t)
-            if not (min_chars <= n <= max_chars):
-                continue
-            if t.count(" ") * 100 < min_space_pct * n:
-                continue
-            if len(_DIGIT_RE.findall(t)) * 100 > max_digit_pct * n:
-                continue
-            keep_ids.append(d)
-        return pa.table({"doc_id": pa.array(keep_ids, pa.int64())})
+        n, spaces, digits, _ = _quality_counters(batch["text"])
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n, min_chars),
+                    pc.less_equal(n, max_chars),
+                ),
+                pc.greater_equal(
+                    pc.multiply(spaces, pa.scalar(100, pa.int64())),
+                    pc.multiply(n, pa.scalar(min_space_pct, pa.int64())),
+                ),
+            ),
+            pc.less_equal(
+                pc.multiply(digits, pa.scalar(100, pa.int64())),
+                pc.multiply(n, pa.scalar(max_digit_pct, pa.int64())),
+            ),
+        )
+        return batch.filter(keep).select(["doc_id"])
 
     return ds.map_batches(f, batch_format="pyarrow")
 
