@@ -95,8 +95,11 @@ _TAG_RE = re.compile(
 )
 
 _RAWTEXT_TAGS = ("script", "style", "textarea", "title")
+# the lookahead anchors the tag-name boundary: without it '</titlefoo>'
+# (or '</title-x>', a distinct custom-element name) would close a <title>
+# element earlier than html.parser does
 _RAWTEXT_CLOSE = {
-    t: re.compile(rf"</{t}[^>]*>", re.I) for t in _RAWTEXT_TAGS
+    t: re.compile(rf"</{t}(?=[\s/>])[^>]*>", re.I) for t in _RAWTEXT_TAGS
 }
 
 

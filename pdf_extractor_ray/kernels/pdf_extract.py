@@ -43,6 +43,7 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 
 Y_LINE_TOL = 2.0
 GAP_SPACE_FACTOR = 0.3
@@ -106,7 +107,10 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objects
 
 
-def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+def _page_order(
+    objects: dict[int, tuple[bytes, bytes | None]],
+    data: bytes | None = None,
+) -> list[int]:
     """Page object numbers in document order via Catalog -> Pages -> Kids
     traversal; falls back to ascending object number of /Type /Page objects
     when the tree is missing or broken."""
@@ -117,13 +121,25 @@ def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
             type_of[num] = tm.group(1)
 
     root_pages: int | None = None
-    for num, (dict_part, _) in objects.items():
-        if type_of.get(num) == b"Catalog":
-            pm = _PAGES_REF_RE.search(dict_part)
+    # authoritative catalog: the /Root of the LAST trailer — incremental
+    # updates append a new trailer whose catalog governs the page tree, and
+    # object-level later-duplicate-wins alone cannot see a catalog that
+    # moved to a different object number
+    if data is not None:
+        roots = _ROOT_RE.findall(data)
+        if roots:
+            cand = int(roots[-1])
+            pm = _PAGES_REF_RE.search(objects.get(cand, (b"",))[0])
             if pm:
                 root_pages = int(pm.group(1))
-                break  # first Catalog WITH /Pages wins; keep scanning past
-                       # truncated/orphaned catalogs (incremental updates)
+    if root_pages is None:
+        for num, (dict_part, _) in objects.items():
+            if type_of.get(num) == b"Catalog":
+                pm = _PAGES_REF_RE.search(dict_part)
+                if pm:
+                    root_pages = int(pm.group(1))
+                    break  # first Catalog WITH /Pages wins; keep scanning
+                           # past truncated/orphaned catalogs
 
     pages: list[int] = []
     if root_pages is not None and root_pages in objects:
@@ -452,7 +468,7 @@ def pdf_page_count(payload: bytes) -> int:
     """Number of pages (0 if unparseable). Cheap relative to extraction:
     object scan + page-tree walk only, no content-stream decode."""
     try:
-        return len(_page_order(_scan_objects(payload)))
+        return len(_page_order(_scan_objects(payload), payload))
     except Exception:
         return 0
 
@@ -462,7 +478,7 @@ def extract_pdf_pages(payload: bytes, lo: int, hi: int) -> list[str]:
     chunk kernel. Raises on malformed input (the chunk orchestrator maps
     that to the whole-document error status, matching ``extract_pdf``)."""
     objects = _scan_objects(payload)
-    page_nums = _page_order(objects)[lo:hi]
+    page_nums = _page_order(objects, payload)[lo:hi]
     return [
         _layout_page(_run_text_ops(_content_streams(pn, objects)))
         for pn in page_nums
@@ -490,7 +506,7 @@ def extract_pdf(payload: bytes) -> ExtractResult:
     """bytes -> per-page text + merged doc text. Never raises."""
     try:
         objects = _scan_objects(payload)
-        page_nums = _page_order(objects)
+        page_nums = _page_order(objects, payload)
         pages: list[str] = []
         for pn in page_nums:
             content = _content_streams(pn, objects)

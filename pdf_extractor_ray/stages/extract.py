@@ -81,7 +81,7 @@ def extract_batch(
 
     for i in range(n):
         t0 = time.perf_counter()
-        if breaker is not None and breaker.open:
+        if breaker is not None and breaker.should_skip():
             ctype, text, sp, pg, status, err = "unknown", "", [], [], "breaker_open", ""
         else:
             payload = payloads[i].as_py()
@@ -148,8 +148,10 @@ class _Breaker:
         self.consecutive = 0
         self.skipped = 0
 
-    @property
-    def open(self) -> bool:
+    def should_skip(self) -> bool:
+        """One call per row — advances the cooldown window as a side effect
+        (a method, not a property: an extra read from logging or a second
+        caller would silently shift when the half-open probe fires)."""
         if self.threshold <= 0 or self.consecutive < self.threshold:
             return False
         if self.skipped >= self.cooldown:

@@ -111,3 +111,31 @@ def test_generator_deterministic():
     b = build_pdf(random.Random(9), 2, flate=False)
     assert a == b
     assert extract_pdf(a).text == extract_pdf(b).text
+
+
+def test_incremental_update_last_trailer_root_wins():
+    """An appended update whose trailer /Root points at a NEW catalog
+    object (different number) must govern the page tree — object-level
+    later-duplicate-wins alone cannot see the moved catalog."""
+    base = _mini_pdf(b"BT /F1 12 Tf 72 720 Td (Old page) Tj ET")
+    new_content = b"BT /F1 12 Tf 72 720 Td (New page) Tj ET"
+    update = (
+        b"5 0 obj\n<< /Length " + str(len(new_content)).encode()
+        + b" >>\nstream\n" + new_content + b"\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Type /Page /Parent 7 0 R /Contents 5 0 R >>\nendobj\n"
+        b"7 0 obj\n<< /Type /Pages /Kids [6 0 R] /Count 1 >>\nendobj\n"
+        b"8 0 obj\n<< /Type /Catalog /Pages 7 0 R >>\nendobj\n"
+        b"trailer\n<< /Size 9 /Root 8 0 R /Prev 0 >>\n%%EOF\n"
+    )
+    res = extract_pdf(base + update)
+    assert res.status == "ok"
+    assert res.text == "New page"
+
+
+def test_dangling_last_root_falls_back_to_catalog_scan():
+    """A trailing /Root pointing at a missing object must not break
+    extraction — fall back to the first-catalog-with-Pages scan."""
+    base = _mini_pdf(b"BT /F1 12 Tf 72 720 Td (Still here) Tj ET")
+    res = extract_pdf(base + b"trailer\n<< /Size 9 /Root 99 0 R >>\n%%EOF\n")
+    assert res.status == "ok"
+    assert res.text == "Still here"

@@ -132,14 +132,14 @@ def test_circuit_breaker_half_open_recovers():
     b = _Breaker(threshold=2, cooldown=3)
     b.record(True)
     b.record(True)
-    assert [b.open for _ in range(3)] == [True, True, True]  # cooldown skips
-    assert b.open is False  # half-open probe row
+    assert [b.should_skip() for _ in range(3)] == [True, True, True]  # cooldown skips
+    assert b.should_skip() is False  # half-open probe row
     b.record(False)  # probe succeeded
-    assert b.open is False and b.consecutive == 0
+    assert b.should_skip() is False and b.consecutive == 0
     # failure during probe re-opens for another cooldown
     b.record(True)
     b.record(True)
-    assert b.open is True
+    assert b.should_skip() is True
 
 
 def test_dup_filter_collapses_same_batch_ties():
