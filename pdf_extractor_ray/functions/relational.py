@@ -388,12 +388,21 @@ def events_ordered(sf_dir: str, k: int = 50) -> pa.Table:
 
 def orders_by_segment(sf_dir: str) -> rd.Dataset:
     import ray
+    import pyarrow.parquet as pq
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    # join parallelism scales with the cluster (2x CPUs, floor 8) instead of
-    # a hardcoded 8 that would bottleneck a 256-node exchange
-    n_parts = max(8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    # join parallelism scales with DATA (one partition per ~2M rows, from
+    # parquet metadata — free), capped at 2x cluster CPUs, floor 8. A
+    # count proportional to CPUs alone regressed 6x at 32 CPUs on small
+    # tables (hash-shuffle aggregator actor spin-up dominates); a hardcoded
+    # 8 would bottleneck a 256-node exchange on the big side.
+    rows = (
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        + pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, min(2 * cpus, rows // 2_000_000 + 1))
     joined = orders.join(
         customer,
         join_type="inner",

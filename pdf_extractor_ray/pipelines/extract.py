@@ -297,7 +297,17 @@ def run_checkpoint(
     skip = completed_partitions(output_dir, groups) if resume else frozenset()
     dup_index = build_dup_index(input_path) if dedup else None
     dup_ref = ray.put(dup_index)  # broadcast once, read zero-copy per task
-    worker = ray.remote(num_cpus=1)(process_partition)
+    # infra-level retry budget from the engine's declared config (reference
+    # per-extractor {max_retries, countdown}, constants.py:72-95 applied at
+    # tasks.py:334-340); kernels never throw, so a task failure is a worker
+    # death and retry_exceptions stays False (infra errors are not
+    # app-retried, tasks.py:112-123 semantics)
+    from ..stages.registry import get_extractor
+
+    budget = int(get_extractor("main_content").info().get("max_retries", 1))
+    worker = ray.remote(
+        num_cpus=1, max_retries=budget, retry_exceptions=False
+    )(process_partition)
     futures = [
         worker.remote(
             pid, files, output_dir, dup_ref, emit_pages=emit_pages,

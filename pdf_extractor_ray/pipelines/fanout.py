@@ -78,7 +78,11 @@ def fan_out(
 
         branches.append(
             pages.map_batches(
-                _stage, batch_format="pyarrow", batch_size=batch_size
+                _stage,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                # per-extractor infra retry budget (constants.py:72-95)
+                max_retries=int(cls.info().get("max_retries", 2)),
             )
         )
     out = branches[0]

@@ -85,6 +85,9 @@ class MainContentExtractor(DocumentExtractor):
             "kind": "local",
             "formats": ["html", "pdf"],
             "cost_per_page": 0.0,  # reference rate table tasks.py:88-101
+            # simple local lib budget (constants.py:74-78: 1 retry / 5 s)
+            "max_retries": 1,
+            "retry_countdown_s": 5,
         }
 
 
@@ -108,6 +111,9 @@ class MarkdownPagesExtractor:
             "kind": "local",
             "formats": ["markdown", "text", "html"],
             "cost_per_page": 0.003,  # llamaparse rate, tasks.py:95
+            # medium budget (constants.py:79-86: 2 retries / 10 s)
+            "max_retries": 2,
+            "retry_countdown_s": 10,
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -179,7 +185,8 @@ class TesseractStub(_StubServiceExtractor):
     @classmethod
     def info(cls) -> dict:
         return {"name": "ocr_tesseract", "kind": "stub", "formats": ["pdf", "image"],
-                "cost_per_page": 0.0}
+                "cost_per_page": 0.0,
+                "max_retries": 2, "retry_countdown_s": 10}  # constants.py:79-86
 
 
 @register("vision_api")
@@ -192,7 +199,8 @@ class VisionApiStub(_StubServiceExtractor):
     @classmethod
     def info(cls) -> dict:
         return {"name": "vision_api", "kind": "stub", "formats": ["pdf", "image"],
-                "cost_per_page": 0.005}  # gpt-4o-mini rate, tasks.py:92
+                "cost_per_page": 0.005,  # gpt-4o-mini rate, tasks.py:92
+                "max_retries": 3, "retry_countdown_s": 30}  # API budget, constants.py:87-95
 
 
 @register("textract")
@@ -205,4 +213,5 @@ class TextractStub(_StubServiceExtractor):
     @classmethod
     def info(cls) -> dict:
         return {"name": "textract", "kind": "stub", "formats": ["pdf", "image"],
-                "cost_per_page": 0.0015}
+                "cost_per_page": 0.0015,
+                "max_retries": 3, "retry_countdown_s": 30}  # API budget, constants.py:87-95
