@@ -68,7 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
+        "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_near_dup": S.embedding_near_dup,
+        "near_dup_groups": S.near_dup_groups,
         # markdown page-split long table (M10; rows-only)
         "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (rows-only)

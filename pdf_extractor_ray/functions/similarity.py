@@ -191,6 +191,118 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
     )
 
 
+# -------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the task brief's second scale path beside LSH:
+# a deterministic spherical k-means coarse quantizer trained on a BOUNDED
+# sample, centroids broadcast, per-batch assign + probe-nearest-lists.
+# At 100 TB the list id becomes the partition layout (write bucketed by
+# list_id); a query touches nprobe/nlist of the corpus.
+# -------------------------------------------------------------------------
+
+_IVF_SEED = 0x1F5EED
+_IVF_ITERS = 10
+_IVF_SAMPLE_CAP = 4096  # quantizer trains on a bounded sample, never the corpus
+
+
+def _ivf_sample(sf_dir: str, max_rows: int) -> np.ndarray:
+    """First ``max_rows`` vectors (row-group order, deterministic) — the
+    standard bounded training sample for an IVF coarse quantizer."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    got: list[np.ndarray] = []
+    n = 0
+    for rb in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        got.append(_to_matrix(pa.Table.from_batches([rb])["embedding"]))
+        n += rb.num_rows
+        if n >= max_rows:
+            break
+    m = np.concatenate(got, axis=0)[:max_rows]
+    return m
+
+
+def _spherical_kmeans(sample: np.ndarray, nlist: int) -> np.ndarray:
+    """Deterministic spherical k-means (fixed seed/iterations): centroids on
+    the unit sphere, assignment by max cosine."""
+    s = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(_IVF_SEED)
+    cent = s[rng.choice(len(s), size=min(nlist, len(s)), replace=False)].copy()
+    for _ in range(_IVF_ITERS):
+        assign = (s @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = s[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+def ann_ivf_topk(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0, nprobe: int | None = None
+) -> pa.Table:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid inside ``map_batches`` (centroids broadcast once in the task
+    closure), score only vectors whose list is among the query's ``nprobe``
+    nearest lists. Columns match ``cosine_topk``."""
+    import math
+
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = np.linalg.norm(q)
+    n = _table_rows(sf_dir)
+    nlist = max(4, min(4096, int(math.isqrt(max(n, 16)))))
+    sample = _ivf_sample(sf_dir, min(n, max(8 * nlist, 2048), _IVF_SAMPLE_CAP))
+    cent = _spherical_kmeans(sample, nlist)
+    if nprobe is None:
+        # random gaussians spread across lists; probing ~1/4 keeps recall
+        # useful while still skipping most of the corpus
+        nprobe = max(1, len(cent) // 4)
+    qdir = q / max(qn, 1e-12)
+    probe_lists = np.argsort(-(cent @ qdir))[:nprobe]
+    probe_arr = pa.array(np.sort(probe_lists).astype(np.int64))
+
+    def assign_probe_score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = _to_matrix(batch["embedding"])
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        lists = ((m / norms[:, None]) @ cent.T).argmax(axis=1).astype(np.int64)
+        hit = pc.is_in(pa.array(lists), value_set=probe_arr)
+        sel = batch.filter(hit)
+        if sel.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "raw": pa.array([], pa.float64())}
+            )
+        ms = _to_matrix(sel["embedding"])
+        raw = (ms @ q) / (np.linalg.norm(ms, axis=1) * qn)
+        order = np.lexsort((sel["vec_id"].to_numpy(), -raw))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(sel["vec_id"].to_numpy()[order], pa.int64()),
+                "raw": pa.array(raw[order], pa.float64()),
+            }
+        )
+
+    pruned = _read_emb(sf_dir).map_batches(
+        assign_probe_score, batch_format="pyarrow"
+    )
+    import ray
+
+    parts = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+    allt = pa.concat_tables(parts)
+    raw = allt["raw"].to_numpy()
+    order = np.lexsort((allt["vec_id"].to_numpy(), -raw))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(allt["vec_id"].to_numpy()[order], pa.int64()),
+            "score": pa.array(np.round(raw[order], 4), pa.float64()),
+        }
+    )
+
+
 _ND_TABLES = 8  # independent LSH tables for near-dup blocking
 
 
@@ -314,3 +426,38 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
         }
     )
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def near_dup_groups(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Near-dup CLUSTERS: connected components over the verified
+    ``embedding_near_dup`` pair set, canonical representative = min vec_id.
+    The union-find runs over VERIFIED pairs only (the small set the pair
+    stage is contractually allowed to return to the driver) — the standard
+    last step that turns pairwise near-dup detection into a keep/drop
+    decision per document. Returns (vec_id, canon_id) for every vector in
+    some cluster; rows with vec_id == canon_id are the keepers."""
+    pairs = embedding_near_dup(sf_dir, threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id keeps the representative canonical
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    ids = sorted(parent)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "canon_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )

@@ -181,6 +181,34 @@ def test_embedding_near_dup_finds_planted(ray_session, planted_dir):
     assert {(j, 100 + j) for j in range(5)} <= found
 
 
+def test_ann_ivf_recall_on_planted_structure(ray_session, planted_dir):
+    """IVF ANN must rank the query's planted near-dup (cos ~0.999) first:
+    the perturbed vector lands in the same coarse list as the query, which
+    is always probed."""
+    from pdf_extractor_ray.functions.similarity import ann_ivf_topk
+
+    approx = ann_ivf_topk(planted_dir, k=3)["vec_id"].to_pylist()
+    assert approx[0] == 0  # the query itself
+    assert 100 in approx[:2]  # its planted near-dup
+
+    # determinism: identical result on a second run (fixed kmeans seed)
+    assert ann_ivf_topk(planted_dir, k=3)["vec_id"].to_pylist() == approx
+
+
+def test_near_dup_groups_clusters_planted(ray_session, planted_dir):
+    """Union-find over verified pairs: each planted near-dup (j, 100+j)
+    forms a cluster whose canonical representative is the min id."""
+    from pdf_extractor_ray.functions.similarity import near_dup_groups
+
+    t = near_dup_groups(planted_dir, threshold=0.95)
+    canon = dict(zip(t["vec_id"].to_pylist(), t["canon_id"].to_pylist()))
+    for j in range(5):
+        assert canon.get(100 + j) == canon.get(j) == j
+    # keepers are exactly the canonical representatives
+    keepers = {v for v, c in canon.items() if v == c}
+    assert keepers <= set(range(40))
+
+
 def test_ann_recall_on_planted_structure(ray_session, planted_dir):
     """LSH ANN must find genuinely-near neighbors: the planted near-dup of
     the query vector (cos ~0.99) must rank at the top. (On pure random
