@@ -350,7 +350,26 @@ def main() -> None:
         "--skew-threshold-mb", type=float, default=8.0,
         help="PDFs above this many MiB are page-range-split across the cluster",
     )
+    ap.add_argument(
+        "--extractors", default=None,
+        help="comma-separated registry engines (reference extractor "
+             "selection, main.py:343-354); >1 name runs the fan-out "
+             "pipeline writing the (url, extractor, text, status) long "
+             "table instead of the flagship",
+    )
+    ap.add_argument(
+        "--fake-services", action="store_true",
+        help="deterministic fakes for stub (external-service) engines",
+    )
     args = ap.parse_args()
+
+    extractors = None
+    if args.extractors:
+        from ..stages.registry import get_extractor
+
+        extractors = [e.strip() for e in args.extractors.split(",") if e.strip()]
+        for e in extractors:
+            get_extractor(e)  # validate against the registry; raises on unknown
 
     if not ray.is_initialized():
         ray.init(
@@ -361,7 +380,20 @@ def main() -> None:
         )
     try:
         skew_bytes = int(args.skew_threshold_mb * 1024 * 1024) or None
-        if args.mode == "stream":
+        if extractors is not None and (
+            len(extractors) > 1 or extractors != ["main_content"]
+        ):
+            from .fanout import fan_out
+
+            out = fan_out(
+                read_pages(args.input), extractors,
+                fake_services=args.fake_services,
+            )
+            out.write_parquet(args.output)
+            print(
+                f"fan-out [{','.join(extractors)}] -> {args.output}"
+            )
+        elif args.mode == "stream":
             run_stream(
                 args.input, args.output, n_partitions=args.partitions,
                 skew_threshold_bytes=skew_bytes,
