@@ -267,10 +267,26 @@ class _Chunk:
         self.x, self.y, self.text, self.width, self.size = x, y, text, width, size
 
 
+class _Name:
+    """Stack marker for PDF name operands (only their presence matters —
+    no operator we execute consumes the name's text)."""
+
+    __slots__ = ()
+
+
+_NAME = _Name()
+
+
 def _run_text_ops(stream: bytes) -> list[_Chunk]:
     """Tokenize + execute the text-operator state machine in ONE pass —
     the token stream is consumed exactly once, so materializing it
-    (list/generator of per-token tuples) was pure overhead."""
+    (list/generator of per-token tuples) was pure overhead.
+
+    Operand representation: native Python types on the stack (float for
+    numbers, str for strings, ``_NAME`` for names, list for arrays) — the
+    earlier ('num', v) tuples allocated two objects per token and every
+    operator paid an extra subscript to unwrap them. Dispatch is ordered
+    by corpus frequency (Td/Tj/TJ per line vs BT/Tf per block)."""
     chunks: list[_Chunk] = []
     size = 12.0
     leading: float | None = None  # None = never set; an explicit 'TL 0' is real
@@ -278,8 +294,8 @@ def _run_text_ops(stream: bytes) -> list[_Chunk]:
     lx = ly = 0.0      # line-start position (Td base)
     in_text = False
     stack: list = []   # operand stack
-    in_array = False
     array: list = []
+    target = stack     # where operands land; flips to ``array`` inside [ ]
 
     def emit(s: str) -> None:
         nonlocal x
@@ -309,7 +325,7 @@ def _run_text_ops(stream: bytes) -> list[_Chunk]:
                 i = j + 1
             else:
                 sval, i = _literal_string(stream, i, n)
-            (array if in_array else stack).append(("str", sval))
+            target.append(sval)
             continue
         if c == 60 and not stream.startswith(b"<<", i):  # "<" hex string
             j = stream.find(b">", i)
@@ -320,7 +336,7 @@ def _run_text_ops(stream: bytes) -> list[_Chunk]:
                 hx += b"0"
             sval = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
             i = j + 1
-            (array if in_array else stack).append(("str", sval))
+            target.append(sval)
             continue
         m = match(stream, i)
         if m is None:  # lone '>' '{' '}' etc. — operator run
@@ -335,81 +351,80 @@ def _run_text_ops(stream: bytes) -> list[_Chunk]:
             t0 = tok[0]
             if t0 in b"\x00\t\r\n\f %":
                 continue
-            if t0 == 47:  # '/' name
-                (array if in_array else stack).append(("name", tok[1:]))
-                continue
             if t0 in b"+-.0123456789":
                 try:
-                    (array if in_array else stack).append(("num", float(tok)))
+                    target.append(float(tok))
                 except ValueError:
                     pass
                 continue
+            if t0 == 47:  # '/' name
+                target.append(_NAME)
+                continue
             if tok == b"[":
-                in_array, array = True, []
+                array = []
+                target = array
                 continue
             if tok == b"]":
-                in_array = False
+                target = stack
                 stack.append(array)
                 array = []
                 continue
             op = tok
-        if op == b"BT":
-            in_text = True
-            x = y = lx = ly = 0.0
-            stack.clear()
-        elif op == b"ET":
-            in_text = False
-            stack.clear()
-        elif not in_text:
-            stack.clear()
-        elif op == b"Tf":
-            if stack and stack[-1][0] == "num":
-                size = float(stack[-1][1])
-            stack.clear()
-        elif op == b"TL":
-            if stack and stack[-1][0] == "num":
-                leading = float(stack[-1][1])
-            stack.clear()
-        elif op in (b"Td", b"TD"):
-            if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
-                tx, ty = float(stack[-2][1]), float(stack[-1][1])
-                lx, ly = lx + tx, ly + ty
-                x, y = lx, ly
-                if op == b"TD":
-                    leading = -ty
-            stack.clear()
-        elif op == b"Tm":
-            if len(stack) >= 6 and all(t == "num" for t, _ in stack[-6:]):
-                e, f = float(stack[-2][1]), float(stack[-1][1])
-                lx, ly = e, f
-                x, y = e, f
-            stack.clear()
-        elif op == b"T*":
-            newline()
-            stack.clear()
-        elif op == b"Tj":
-            if stack and stack[-1][0] == "str":
-                emit(stack[-1][1])
-            stack.clear()
-        elif op == b"'":
-            if stack and stack[-1][0] == "str":
+        if in_text:
+            if op == b"Td" or op == b"TD":
+                if (
+                    len(stack) >= 2
+                    and type(stack[-1]) is float
+                    and type(stack[-2]) is float
+                ):
+                    tx, ty = stack[-2], stack[-1]
+                    lx, ly = lx + tx, ly + ty
+                    x, y = lx, ly
+                    if op == b"TD":
+                        leading = -ty
+            elif op == b"Tj":
+                if stack and type(stack[-1]) is str:
+                    emit(stack[-1])
+            elif op == b"TJ":
+                if stack and type(stack[-1]) is list:
+                    for v in stack[-1]:
+                        tv = type(v)
+                        if tv is str:
+                            emit(v)
+                        elif tv is float:
+                            x -= v / 1000.0 * size
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf":
+                if stack and type(stack[-1]) is float:
+                    size = stack[-1]
+            elif op == b"TL":
+                if stack and type(stack[-1]) is float:
+                    leading = stack[-1]
+            elif op == b"Tm":
+                if len(stack) >= 6 and all(
+                    type(v) is float for v in stack[-6:]
+                ):
+                    e, f = stack[-2], stack[-1]
+                    lx, ly = e, f
+                    x, y = e, f
+            elif op == b"T*":
                 newline()
-                emit(stack[-1][1])
-            stack.clear()
-        elif op == b'"':
-            if stack and stack[-1][0] == "str":
-                newline()
-                emit(stack[-1][1])
-            stack.clear()
-        elif op == b"TJ":
-            if stack and isinstance(stack[-1], list):
-                for t, v in stack[-1]:
-                    if t == "str":
-                        emit(v)
-                    elif t == "num":
-                        x -= v / 1000.0 * size
+            elif op == b"'":
+                if stack and type(stack[-1]) is str:
+                    newline()
+                    emit(stack[-1])
+            elif op == b'"':
+                if stack and type(stack[-1]) is str:
+                    newline()
+                    emit(stack[-1])
+            elif op == b"BT":  # nested BT (malformed): re-enter, reset
+                x = y = lx = ly = 0.0
             stack.clear()
         else:
+            if op == b"BT":
+                in_text = True
+                x = y = lx = ly = 0.0
             stack.clear()
     return chunks
 
