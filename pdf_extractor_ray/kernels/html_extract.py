@@ -67,11 +67,14 @@ def _kind_for(tag: str) -> str:
 
 def normalize_text(raw: str) -> str:
     """Collapse whitespace to single spaces, NFC-normalize, strip.
-    NFC is the identity on pure-ASCII input, so it is skipped there
-    (``str.isascii`` is a cheap C call; most corpus blocks are ASCII)."""
-    collapsed = _WS_RE.sub(" ", raw)
+    ``" ".join(raw.split())`` is collapse+strip in one C pass; its
+    whitespace set is codepoint-identical to regex ``\\s`` (verified
+    exhaustively over U+0000..U+10FFFF). NFC is the identity on pure-ASCII
+    input, so it is skipped there (``str.isascii`` is a cheap C call; most
+    corpus blocks are ASCII)."""
+    collapsed = " ".join(raw.split())
     if collapsed.isascii():
-        return collapsed.strip()
+        return collapsed
     return unicodedata.normalize("NFC", collapsed).strip()
 
 
