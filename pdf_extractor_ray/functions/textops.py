@@ -638,29 +638,48 @@ _B = 257
 _MOD = (1 << 61) - 1
 
 
+_M61 = np.uint64(_MOD)
+_MASK29 = np.uint64((1 << 29) - 1)
+
+
+def _gram_hashes(s: str, k: int) -> np.ndarray:
+    """Exact polynomial k-gram hashes (base _B mod 2^61-1) vectorized in
+    uint64: h(i) = sum_j ord(s[i+j]) * B^(k-1-j) mod M. Each c*P product
+    splits as c*Ph*2^32 + c*Pl with the 2^32 factor folded through the
+    Mersenne identity 2^61 === 1 (mod M), so nothing overflows 64 bits
+    (chars < 2^21, k*M < 2^64 for k <= 5). Values are IDENTICAL to the
+    arbitrary-precision rolling hash this replaces."""
+    c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(c)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        p = pow(_B, k - 1 - j, _MOD)
+        ph, pl = np.uint64(p >> 32), np.uint64(p & 0xFFFFFFFF)
+        cj = c[j : j + m]
+        lo = cj * pl  # < 2^53
+        y = cj * ph   # < 2^50; y*2^32 mod M via Mersenne split
+        hi = (y >> np.uint64(29)) + ((y & _MASK29) << np.uint64(32))
+        t = lo + hi  # < 2^62
+        t = (t >> np.uint64(61)) + (t & _M61)
+        acc += np.where(t >= _M61, t - _M61, t)  # keep addends < M
+    acc = (acc >> np.uint64(61)) + (acc & _M61)
+    return np.where(acc >= _M61, acc - _M61, acc)
+
+
 def winnow(text: str, k: int = _WINNOW_K, w: int = _WINNOW_W) -> list[int]:
-    """Winnowed fingerprint set (sorted, deduped) of character k-grams."""
+    """Winnowed fingerprint set (sorted, deduped) of character k-grams —
+    vectorized (hashes + sliding-window min), value-identical to the
+    original Python rolling-hash loop (equivalence-tested)."""
     s = text.lower()
     n = len(s)
     if n < k:
         return [zlib.crc32(s.encode())] if s else []
-    # rolling polynomial hash of all k-grams
-    h = 0
-    pow_k = pow(_B, k - 1, _MOD)
-    hashes = []
-    for i, ch in enumerate(map(ord, s)):
-        h = (h * _B + ch) % _MOD
-        if i >= k - 1:
-            hashes.append(h)
-            h = (h - ord(s[i - k + 1]) * pow_k) % _MOD
-    # winnow: min of each window of w gram hashes (rightmost min wins)
+    hashes = _gram_hashes(s, k)
     if len(hashes) <= w:
-        return sorted({min(hashes)})
-    out = set()
-    for i in range(len(hashes) - w + 1):
-        window = hashes[i : i + w]
-        out.add(min(window))
-    return sorted(out)
+        return [int(hashes.min())]
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return sorted(int(v) for v in np.unique(mins))
 
 
 class Winnower:
