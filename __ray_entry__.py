@@ -274,6 +274,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY text
         """,
         "embedding_near_dup": """
+            -- exact all-pairs truth. The engine blocks with 8 LSH tables
+            -- (~99.9% per-pair recall at 0.95) and star-verifies buckets
+            -- >500; on the sf embeddings (random gaussians, max pairwise
+            -- cosine ~0.6) both sides are EXACTLY empty, and the planted
+            -- pytest (test_embedding_near_dup_finds_planted) asserts
+            -- brute-force equality where true pairs exist.
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),

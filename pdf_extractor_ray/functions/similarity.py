@@ -273,7 +273,7 @@ def ann_ivf_topk(
                 {"vec_id": pa.array([], pa.int64()), "raw": pa.array([], pa.float64())}
             )
         ms = _to_matrix(sel["embedding"])
-        raw = (ms @ q) / (np.linalg.norm(ms, axis=1) * qn)
+        raw = (ms @ q) / np.maximum(np.linalg.norm(ms, axis=1) * qn, 1e-12)
         order = np.lexsort((sel["vec_id"].to_numpy(), -raw))[:k]
         return pa.table(
             {

@@ -391,11 +391,14 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
         )
         return pa.table({"doc_id": ids})
 
-    need = sorted(
-        candidates.map_batches(_explode_ids, batch_format="pyarrow").unique("doc_id")
+    # Dataset.unique returns None (not []) when the dataset is empty —
+    # i.e. a corpus with no band collisions at all
+    uniq = candidates.map_batches(_explode_ids, batch_format="pyarrow").unique(
+        "doc_id"
     )
-    if not need:
+    if not uniq:
         return empty
+    need = sorted(uniq)
     need_ref = ray.put(pa.array(need, pa.int64()))
 
     # shingle sets for candidate docs only, computed inside the cluster
@@ -433,10 +436,14 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
             }
         )
 
+    # join parallelism scales with the candidate volume, like the band
+    # shuffle above (fixed counts bottleneck big clusters; CPU-scaled
+    # counts pay aggregator spin-up on small ones)
+    join_parts = max(4, min(2 * cpus, 2 * len(need) // 1_000_000 + 1))
     joined = candidates.map_batches(_halves, batch_format="pyarrow").join(
         sh_tbl,
         join_type="inner",
-        num_partitions=4,
+        num_partitions=join_parts,
         on=("side_id",),
         right_on=("doc_id",),
     )
@@ -646,9 +653,10 @@ def _gram_hashes(s: str, k: int) -> np.ndarray:
     """Exact polynomial k-gram hashes (base _B mod 2^61-1) vectorized in
     uint64: h(i) = sum_j ord(s[i+j]) * B^(k-1-j) mod M. Each c*P product
     splits as c*Ph*2^32 + c*Pl with the 2^32 factor folded through the
-    Mersenne identity 2^61 === 1 (mod M), so nothing overflows 64 bits
-    (chars < 2^21, k*M < 2^64 for k <= 5). Values are IDENTICAL to the
-    arbitrary-precision rolling hash this replaces."""
+    Mersenne identity 2^61 === 1 (mod M); the accumulator folds every
+    iteration, so nothing overflows 64 bits for ANY k (chars < 2^21).
+    Values are IDENTICAL to the arbitrary-precision rolling hash this
+    replaces."""
     c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     n = len(c)
     m = n - k + 1
@@ -662,9 +670,12 @@ def _gram_hashes(s: str, k: int) -> np.ndarray:
         hi = (y >> np.uint64(29)) + ((y & _MASK29) << np.uint64(32))
         t = lo + hi  # < 2^62
         t = (t >> np.uint64(61)) + (t & _M61)
-        acc += np.where(t >= _M61, t - _M61, t)  # keep addends < M
-    acc = (acc >> np.uint64(61)) + (acc & _M61)
-    return np.where(acc >= _M61, acc - _M61, acc)
+        t = np.where(t >= _M61, t - _M61, t)
+        # fold EVERY iteration (both operands < M, so one conditional
+        # subtract suffices) — exact for any k, not just the default 5
+        acc += t
+        acc = np.where(acc >= _M61, acc - _M61, acc)
+    return acc
 
 
 def winnow(text: str, k: int = _WINNOW_K, w: int = _WINNOW_W) -> list[int]:

@@ -124,14 +124,20 @@ def _page_order(
     # authoritative catalog: the /Root of the LAST trailer — incremental
     # updates append a new trailer whose catalog governs the page tree, and
     # object-level later-duplicate-wins alone cannot see a catalog that
-    # moved to a different object number
+    # moved to a different object number. Search only from the last
+    # 'trailer' keyword (not the whole file: uncompressed stream bodies can
+    # contain the literal '/Root N 0 R') and accept the candidate only if
+    # it really is a /Type /Catalog object.
     if data is not None:
-        roots = _ROOT_RE.findall(data)
-        if roots:
-            cand = int(roots[-1])
-            pm = _PAGES_REF_RE.search(objects.get(cand, (b"",))[0])
-            if pm:
-                root_pages = int(pm.group(1))
+        tpos = data.rfind(b"trailer")
+        if tpos != -1:
+            rm = _ROOT_RE.search(data, tpos)
+            if rm:
+                cand = int(rm.group(1))
+                if type_of.get(cand) == b"Catalog":
+                    pm = _PAGES_REF_RE.search(objects.get(cand, (b"",))[0])
+                    if pm:
+                        root_pages = int(pm.group(1))
     if root_pages is None:
         for num, (dict_part, _) in objects.items():
             if type_of.get(num) == b"Catalog":

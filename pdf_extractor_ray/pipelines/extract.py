@@ -216,14 +216,19 @@ def process_partition(
                 _explode_pages(out), os.path.join(dir_path, "extracted_pages.parquet")
             )
 
+    n_ok = statuses.count("ok")
+    n_empty = statuses.count("empty")
+    n_error = statuses.count("error")
+    n_unknown = statuses.count("unknown")
     manifest = PartitionManifest(
         partition_id=pid,
         rows_in=rows_in,
         rows_out=out.num_rows,
-        n_ok=statuses.count("ok"),
-        n_empty=statuses.count("empty"),
-        n_error=statuses.count("error"),
-        n_unknown=statuses.count("unknown"),
+        n_ok=n_ok,
+        n_empty=n_empty,
+        n_error=n_error,
+        n_unknown=n_unknown,
+        n_other=out.num_rows - n_ok - n_empty - n_error - n_unknown,
         bytes_in=bytes_in,
         wall_s=round(time.perf_counter() - t0, 4),
         input_fingerprint=fp,
@@ -380,9 +385,7 @@ def main() -> None:
         )
     try:
         skew_bytes = int(args.skew_threshold_mb * 1024 * 1024) or None
-        if extractors is not None and (
-            len(extractors) > 1 or extractors != ["main_content"]
-        ):
+        if extractors and extractors != ["main_content"]:
             from .fanout import fan_out
 
             out = fan_out(

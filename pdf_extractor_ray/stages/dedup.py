@@ -254,9 +254,14 @@ class DupFilter:
             return batch
         hit_np = hit.to_numpy(zero_copy_only=False)
         winner_ts = pc.take(self.min_ts, idx)
-        is_win = pc.equal(batch["warc_ts"], winner_ts)  # null where no hit
+        is_win = pc.equal(batch["warc_ts"], winner_ts)
+        # hit rows keep only on ts equality — a NULL comparison (null
+        # warc_ts on a duplicated url) must drop the row, never win over
+        # the real min-ts capture; non-hit rows always keep
         keep = (
-            pc.fill_null(is_win, True).to_numpy(zero_copy_only=False).copy()
+            pc.if_else(hit, pc.fill_null(is_win, False), True)
+            .to_numpy(zero_copy_only=False)
+            .copy()
         )
         win_rows = np.flatnonzero(keep & hit_np)
         if win_rows.size:

@@ -35,16 +35,11 @@ def url_partition_ids(urls: pa.ChunkedArray | pa.Array, n_partitions: int) -> pa
     return pa.array(ids, pa.int32())
 
 
-# prefix magics checked with vectorized starts_with (not RE2: several are
-# invalid UTF-8 and RE2 patterns must be valid UTF-8)
-_IMG_PREFIXES = (
-    b"\xff\xd8\xff",        # jpeg
-    b"\x89PNG\r\n\x1a\n",   # png
-    b"GIF87a",              # gif
-    b"GIF89a",
-    b"II*\x00",             # tiff LE
-    b"MM\x00*",             # tiff BE
-)
+# the SHARED magic tuple (kernels.sniff) checked with vectorized
+# starts_with, not RE2: several magics are invalid UTF-8 and RE2 patterns
+# must be valid UTF-8. Importing keeps scalar and vectorized sniffers from
+# drifting when a format is added.
+from ..kernels.sniff import _IMAGE_PREFIXES as _IMG_PREFIXES  # noqa: E402
 
 
 def sniff_table(batch: pa.Table) -> pa.Array:

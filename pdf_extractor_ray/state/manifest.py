@@ -36,6 +36,10 @@ class PartitionManifest:
     input_fingerprint: int  # order-independent: sum of crc32(url|ts) mod 2^64
     files: list[str] = None  # input shard paths this partition covered
     file_sizes: list[int] = None  # byte sizes at processing time
+    # statuses outside the four classic classes (stub_unavailable for image
+    # rows, breaker_open) so counters always reconcile to rows_out;
+    # defaulted so pre-field manifests still load on resume
+    n_other: int = 0
 
     @property
     def docs_per_s(self) -> float:

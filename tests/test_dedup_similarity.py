@@ -97,6 +97,52 @@ def test_cross_shard_tie_collapses_globally(ray_session, tmp_path, monkeypatch):
     assert got == ["http://a.example/", "http://b.example/", "http://tie.example/"]
 
 
+def test_minhash_dedup_pairs_empty_on_dupfree_corpus(ray_session, tmp_path):
+    """A corpus with zero band collisions must return the empty pair table
+    (Dataset.unique returns None, not [], on an empty dataset — this
+    crashed with TypeError before the guard)."""
+    from pdf_extractor_ray.functions.textops import minhash_dedup_pairs
+
+    d = tmp_path / "nodup"
+    d.mkdir()
+    texts = [
+        " ".join(f"tok{i}x{j}" for j in range(30)) for i in range(20)
+    ]  # fully distinct shingle sets
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = minhash_dedup_pairs(str(d))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_a", "doc_b", "jaccard_pct"]
+
+
+def test_dup_filter_drops_null_ts_rows():
+    """A NULL warc_ts on a duplicated url must never beat the real min-ts
+    winner (the vectorized rewrite briefly kept null rows via fill_null)."""
+    from pdf_extractor_ray.stages.dedup import DupFilter
+
+    ts_type = pa.timestamp("us", tz="UTC")
+    batch = pa.table(
+        {
+            "url": pa.array(["u", "u", "u", "v"]),
+            "warc_ts": pa.array([None, 100, 200, 300], ts_type),
+            "html": pa.array([b"a", b"b", b"c", b"d"], pa.large_binary()),
+        }
+    )
+    idx = pa.table(
+        {"url": pa.array(["u"]), "min_ts": pa.array([100], ts_type)}
+    )
+    out = DupFilter(idx)(batch)
+    assert out["url"].to_pylist() == ["u", "v"]
+    assert out["warc_ts"].to_pylist()[0].timestamp() == 100e-6
+
+
 @pytest.fixture(scope="module")
 def planted_dir(tmp_path_factory):
     """Tiny tables with PLANTED near-duplicates (documents + embeddings)."""
