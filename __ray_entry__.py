@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": R.lang_histogram,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
+        "token_count_bpe": T.token_count_bpe,
         "quality_stats": T.quality_stats,
         "doc_fingerprint": T.doc_fingerprint,
         "dedup_exact": T.dedup_exact,
@@ -242,6 +243,18 @@ def oracle_sql() -> dict[str, str]:
                                  '[ ' || chr(9) || chr(10) || chr(13)
                                       || chr(12) || chr(11) || ']+'))
                        END) AS BIGINT) AS sum_tokens
+            FROM documents
+            GROUP BY lang
+        """,
+        "token_count_bpe": """
+            -- same RE2 pattern as the engine (pyarrow count_substring_regex
+            -- and DuckDB regexp_extract_all are both RE2): GPT-2-style
+            -- pre-tokenizer restricted to the lookahead-free subset
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(array_length(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \tA-Za-z0-9]+|[ \t]+'
+                   ))) AS BIGINT) AS sum_bpe_tokens
             FROM documents
             GROUP BY lang
         """,

@@ -80,6 +80,48 @@ def token_count(sf_dir: str) -> rd.Dataset:
 
 
 # -------------------------------------------------------------------------
+# token_count_bpe — GPT-2-style pre-tokenizer regex count (contractions,
+# letter runs, digit runs, punctuation runs, space runs), restricted to the
+# RE2-compatible subset (no lookaheads) so the EXACT same pattern runs in
+# DuckDB regexp_extract_all for the bit-exact oracle.
+# -------------------------------------------------------------------------
+
+# one alternation, leftmost-first in both Python re and RE2
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^ \tA-Za-z0-9]+"
+    r"|[ \t]+"
+)
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+
+
+def token_count_bpe(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(
+            pc.count_substring_regex(batch["text"], pattern=BPE_TOKEN_PATTERN),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_bpe_tokens": toks,
+            }
+        )
+        return partial_group_agg(
+            t, keys=["lang"], aggs=[("n_docs", "sum"), ("sum_bpe_tokens", "sum")]
+        )
+
+    return grouped_sum(
+        ds, keys=["lang"], partial=partial, sum_cols=["n_docs", "sum_bpe_tokens"]
+    )
+
+
+# -------------------------------------------------------------------------
 # quality_stats — per-doc integer quality counters (length / space / digit /
 # upper counts). Integer-only so the SQL oracle hash-matches exactly.
 # -------------------------------------------------------------------------
