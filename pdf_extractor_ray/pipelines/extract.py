@@ -78,35 +78,36 @@ def extracted_dataset(
     skew_threshold_bytes: int | None = None,
 ) -> rd.Dataset:
     """Lazy streaming Dataset of extracted rows (mode=stream core)."""
-    if concurrency is None:
-        import ray
-
-        # fixed-size pool sized to leave read/sniff headroom: an autoscaling
-        # (1,N) pool measured 2-4x noisier wall time on identical runs (its
-        # scale-up decisions are load-dependent); a full-width pool starves
-        # the upstream read tasks outright.
-        avail = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, avail - 2)
     dup_index = build_dup_index(input_path) if dedup else None
     # equal-timestamp ties need row provenance so the filter can pick the
     # ONE global winner (win_file match); otherwise skip the path column
     ds = read_pages(input_path, include_paths=index_has_ties(dup_index))
-    # ONE fused actor stage (sniff + dedup-filter + extract): payload blocks
+    # ONE fused TASK stage (sniff + dedup-filter + extract): payload blocks
     # hop the object store exactly once; the staged pipeline measured 2.2x
-    # slower at 32 CPUs (see stages/extract.py FusedExtractor).
+    # slower at 32 CPUs (see stages/extract.py FusedExtractor). Tasks, not
+    # an actor pool: Ray Data ships the fused instance once per operator
+    # and caches it per worker process, so kernel/filter state amortizes
+    # identically — and the pool's spin-up + queueing measured ~2x slower
+    # wall time at 32 CPUs on identical interleaved runs (18-46s pool vs
+    # 12-18s tasks), with far higher variance.
+    inst = FusedExtractor(
+        dup_index=dup_index,
+        n_partitions=n_partitions,
+        skip_partitions=skip_partitions,
+        emit_pages=emit_pages,
+        skew_threshold_bytes=skew_threshold_bytes,
+    )
+
+    def fused_stage(batch: pa.Table, _inst=inst) -> pa.Table:
+        return _inst(batch)
+
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
-        FusedExtractor,
-        fn_constructor_kwargs={
-            "dup_index": dup_index,
-            "n_partitions": n_partitions,
-            "skip_partitions": skip_partitions,
-            "emit_pages": emit_pages,
-            "skew_threshold_bytes": skew_threshold_bytes,
-        },
+        fused_stage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
+        **kwargs,
     )
 
 
