@@ -145,11 +145,10 @@ def ann_lsh_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
             probe.add(qcode ^ (1 << i) ^ (1 << j))
     qn = np.linalg.norm(q)
 
-    coded = _read_emb(sf_dir).map_batches(
-        LshCoder,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    from .agg import instance_stage
+
+    coded = instance_stage(
+        _read_emb(sf_dir), LshCoder, dim=dim, n_planes=n_planes
     )
 
     probe_arr = pa.array(sorted(probe), pa.int64())
@@ -346,17 +345,16 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     are only formed within a bucket (plus the exact-cosine verify), so the
     all-pairs O(n^2) never materializes. Oracle: DuckDB self-join with
     list_cosine_similarity (see __ray_entry__.oracle_sql)."""
+    from .agg import instance_stage
+
     dim = _emb_dim(sf_dir)
     n_planes = _n_planes_for(_table_rows(sf_dir), target_bucket=100)
-    coded = _read_emb(sf_dir).map_batches(
+    coded = instance_stage(
+        _read_emb(sf_dir),
         NearDupCoder,
-        fn_constructor_kwargs={
-            "dim": dim,
-            "n_planes": n_planes,
-            "n_tables": _ND_TABLES,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=_ND_TABLES,
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:

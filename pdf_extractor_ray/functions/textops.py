@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from .agg import partial_group_agg, grouped_sum
+from .agg import instance_stage, partial_group_agg, grouped_sum
 
 _ASCII_WS = " \t\n\r\f\v"
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
@@ -266,7 +266,7 @@ class LangId:
 
 def lang_id(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return instance_stage(ds, LangId)
 
 
 # -------------------------------------------------------------------------
@@ -349,7 +349,7 @@ class MinHasher:
 def minhash_signatures(sf_dir: str) -> rd.Dataset:
     """Per-doc MinHash signature digest (the scalable LSH input)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    sigs = instance_stage(ds, MinHasher)
     return sigs.select_columns(["doc_id", "sig16"])
 
 
@@ -357,7 +357,7 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
     """Near-duplicate pairs: LSH banding -> groupby(band) -> verified pairs,
     deduped across bands. Returns (doc_a, doc_b, jaccard_pct)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    sigs = instance_stage(ds, MinHasher)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         doc_ids, keys = [], []
@@ -576,7 +576,7 @@ class SimHasher:
 
 def simhash_fingerprint(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+    return instance_stage(ds, SimHasher)
 
 
 # -------------------------------------------------------------------------
@@ -751,7 +751,7 @@ class Winnower:
 
 def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(Winnower, batch_format="pyarrow", concurrency=(1, 4))
+    return instance_stage(ds, Winnower)
 
 
 # -------------------------------------------------------------------------
