@@ -55,11 +55,13 @@ def docs_to_pages(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_from_documents(
-    sf_dir: str, *, n_partitions: int = 16, concurrency=(1, 8)
-) -> rd.Dataset:
-    """documents.parquet -> pages synthesis -> sniff -> actor-pool extract.
-    Returns the extracted Dataset (url, content_type, extracted_text, ...)."""
+def extract_from_documents(sf_dir: str, *, n_partitions: int = 16) -> rd.Dataset:
+    """documents.parquet -> pages synthesis -> sniff -> extract (cached
+    task transform; see functions.agg.instance_stage for the task-vs-pool
+    rationale). Returns the extracted Dataset (url, content_type,
+    extracted_text, ...)."""
+    from ..functions.agg import instance_stage
+
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
@@ -68,11 +70,6 @@ def extract_from_documents(
         functools.partial(sniff_and_partition, n_partitions=n_partitions),
         batch_format="pyarrow",
     )
-    return pages.map_batches(
-        DocumentExtractor,
-        fn_constructor_kwargs={"emit_pages": False},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=concurrency,
-        num_cpus=1,
+    return instance_stage(
+        pages, DocumentExtractor, batch_size=64, emit_pages=False
     )
