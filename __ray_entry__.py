@@ -303,6 +303,32 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.95
         """,
+        "near_dup_groups": """
+            -- connected components of the near-dup graph via transitive
+            -- closure (recursive CTE); canon = min id in the component.
+            -- Same exact-vs-approximate caveat as embedding_near_dup: on
+            -- the sf embeddings both sides are exactly empty, and
+            -- test_near_dup_groups_matches_duckdb_oracle checks this SQL
+            -- against the engine on PLANTED near-dups.
+            WITH RECURSIVE sim AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.95
+            ), edges AS (
+                SELECT va AS u, vb AS v FROM sim
+                UNION
+                SELECT vb, va FROM sim
+            ), reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS canon_id
+            FROM reach GROUP BY u
+        """,
         "embedding_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(

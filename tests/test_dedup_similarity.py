@@ -255,6 +255,28 @@ def test_near_dup_groups_clusters_planted(ray_session, planted_dir):
     assert keepers <= set(range(40))
 
 
+def test_near_dup_groups_matches_duckdb_oracle(ray_session, planted_dir):
+    """The union-find engine and the recursive-CTE SQL oracle must agree
+    on PLANTED near-dups (the sf tables have none, so the driver's check
+    is empty==empty; this is the non-degenerate case)."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from pdf_extractor_ray.functions.similarity import near_dup_groups
+
+    got = near_dup_groups(planted_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(planted_dir, 'embeddings.parquet')}')"
+    )
+    gold = con.execute(E.oracle_sql()["near_dup_groups"]).fetchdf()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    gold = gold.sort_values("vec_id").reset_index(drop=True)
+    assert got.equals(gold), (got, gold)
+    assert len(got) == 10  # 5 planted pairs -> 10 clustered vectors
+
+
 def test_ann_recall_on_planted_structure(ray_session, planted_dir):
     """LSH ANN must find genuinely-near neighbors: the planted near-dup of
     the query vector (cos ~0.99) must rank at the top. (On pure random
