@@ -43,15 +43,22 @@ def fan_out(
     *,
     batch_size: int = 64,
     fake_services: bool = False,
+    materialize_input: bool = False,
 ) -> rd.Dataset:
     """Run ``pages`` through every named registry extractor; returns the
     (url, extractor, extracted_text, status) long table — one row per
     url x extractor, the reference's per-job result set
     (``tasks.py:250-264``). ``fake_services`` enables the deterministic
     fake for stub (external-service) engines so the full dataflow runs in
-    sandboxes without network/binaries."""
+    sandboxes without network/binaries. ``materialize_input`` pins the
+    input blocks in the object store so the k branches share one read —
+    right when the corpus (or the filtered slice being compared) fits in
+    cluster memory; leave False at full-corpus scale and let each branch
+    stream its own read."""
     if not extractors:
         raise ValueError("fan_out needs at least one extractor name")
+    if materialize_input:
+        pages = pages.materialize()
     branches = []
     for name in extractors:
         cls = get_extractor(name)  # raises on unknown, like get_reader
