@@ -182,8 +182,13 @@ class _BlockCollector:
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
-        if self._parts:
-            raw = "".join(self._parts)
+        parts = self._parts
+        if not parts:  # nothing buffered -> counters are already zero
+            return
+        raw = "".join(parts)
+        # whitespace-only buffers (the inter-tag newlines between blocks)
+        # normalize to "" anyway; isspace() is one C call vs join+split
+        if not raw.isspace():
             text = normalize_text(raw)
             if text:
                 density = self._link_chars / self._chars if self._chars else 0.0
