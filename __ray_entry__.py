@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": T.minhash_signatures,
         "minhash_dedup_pairs": T.minhash_dedup_pairs,
         "simhash_fingerprint": T.simhash_fingerprint,
+        "simhash_dedup_pairs": T.simhash_dedup_pairs,
         "quality_filter": T.quality_filter,
         "winnow_fingerprints": T.winnow_fingerprints,
         "sample_docs": T.sample_docs,

@@ -579,6 +579,105 @@ def simhash_fingerprint(sf_dir: str) -> rd.Dataset:
     return instance_stage(ds, SimHasher)
 
 
+def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """SimHash near-dup pairs via 4x16-bit band blocking: by pigeonhole,
+    any pair within Hamming distance 3 of each other shares at least one
+    EXACT 16-bit band — the blocking is complete, not probabilistic, at
+    the default threshold. Verification (full 64-bit popcount) runs inside
+    the band groups where the 8-byte signatures are already co-located;
+    only verified pairs reach the driver. Returns (doc_a, doc_b, hamming)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    sigs = instance_stage(ds, SimHasher)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = [int(h, 16) for h in batch["simhash"].to_pylist()]
+        keys: list[int] = []
+        out_ids: list[int] = []
+        out_hs: list[int] = []
+        for d, h in zip(ids, hs):
+            for b in range(4):
+                keys.append((b << 16) | ((h >> (16 * b)) & 0xFFFF))
+                out_ids.append(d)
+                out_hs.append(h)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "simhash": pa.array(out_hs, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        a_out, b_out, h_out = [], [], []
+        if 1 < n <= 500:
+            ids = group["doc_id"].to_pylist()
+            hs = group["simhash"].to_pylist()
+            order = sorted(range(n), key=lambda i: ids[i])
+            for x in range(n):
+                i = order[x]
+                for y in range(x + 1, n):
+                    j = order[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    ham = (hs[i] ^ hs[j]).bit_count()
+                    if ham <= max_hamming:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        h_out.append(ham)
+        elif n > 500:
+            # heavy bucket: star-verify against the min-id representative
+            # (linear) instead of silently dropping the densest cluster
+            ids = group["doc_id"].to_pylist()
+            hs = group["simhash"].to_pylist()
+            rep = min(range(n), key=lambda i: ids[i])
+            for j in range(n):
+                if ids[j] == ids[rep]:
+                    continue
+                ham = (hs[rep] ^ hs[j]).bit_count()
+                if ham <= max_hamming:
+                    a, b = sorted((ids[rep], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    h_out.append(ham)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(h_out, pa.int64()),
+            }
+        )
+
+    verified = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    import ray
+
+    parts = [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    # a pair within <=3 bits can share up to 4 bands; dedup the small
+    # verified set (identical hamming per duplicate)
+    out = pa.concat_tables(parts).combine_chunks()
+    out = out.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
+    return pa.table(
+        {
+            "doc_a": out["doc_a"],
+            "doc_b": out["doc_b"],
+            "hamming": out["hamming_min"],
+        }
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 # -------------------------------------------------------------------------
 # markdown page splitting — the reference's LlamaParse result parser
 # (``llamaparse.py:137-222``): split "PAGE N:" sections; fall back to

@@ -201,6 +201,32 @@ def test_minhash_finds_planted_near_dups(ray_session, planted_dir):
         assert (j, 100 + j) in found, f"planted pair ({j},{100+j}) missed: {found}"
 
 
+def test_simhash_dedup_pairs_matches_bruteforce(ray_session, planted_dir):
+    """4x16-band blocking is COMPLETE at hamming <= 3 (pigeonhole): the
+    pair set must equal the brute-force all-pairs truth."""
+    from pdf_extractor_ray.functions.textops import SimHasher, simhash_dedup_pairs
+
+    got = simhash_dedup_pairs(planted_dir)
+    found = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+
+    docs = pq.read_table(os.path.join(planted_dir, "documents.parquet"))
+    sh = SimHasher()
+    sigs = {
+        d: sh.simhash(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    ids = sorted(sigs)
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if (sigs[ids[i]] ^ sigs[ids[j]]).bit_count() <= 3
+    }
+    assert found == truth
+    # the planted one-word-changed copies sit within 3 bits of their source
+    assert any(a == j and b == 100 + j for a, b in found for j in range(5))
+
+
 def test_embedding_near_dup_finds_planted(ray_session, planted_dir):
     """Multi-table LSH blocking must recover the EXACT brute-force pair set
     on planted near-dups (8 tables x 5+ planes -> ~99.9% per-pair recall at
