@@ -94,9 +94,6 @@ BPE_TOKEN_PATTERN = (
     r"| ?[^ \tA-Za-z0-9]+"
     r"|[ \t]+"
 )
-_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
-
-
 def token_count_bpe(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["lang", "text"])
 
@@ -582,10 +579,20 @@ def simhash_fingerprint(sf_dir: str) -> rd.Dataset:
 def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup pairs via 4x16-bit band blocking: by pigeonhole,
     any pair within Hamming distance 3 of each other shares at least one
-    EXACT 16-bit band — the blocking is complete, not probabilistic, at
-    the default threshold. Verification (full 64-bit popcount) runs inside
+    EXACT 16-bit band — the blocking is complete, not probabilistic, for
+    buckets up to 500 distinct signatures. Heavier buckets collapse
+    identical signatures to one representative (members attach to their
+    representative with hamming-0 pairs, preserving cluster connectivity)
+    and the representatives verify pairwise; only if even the DISTINCT
+    signature count exceeds 500 does the bucket degrade to a documented
+    star approximation. Verification (full 64-bit popcount) runs inside
     the band groups where the 8-byte signatures are already co-located;
     only verified pairs reach the driver. Returns (doc_a, doc_b, hamming)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding is only complete for max_hamming <= 3 "
+            "(pigeonhole needs max_hamming+1 bands)"
+        )
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = instance_stage(ds, SimHasher)
 
@@ -611,9 +618,16 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         a_out, b_out, h_out = [], [], []
+        ids = group["doc_id"].to_pylist()
+        hs = group["simhash"].to_pylist()
+
+        def emit(i: int, j: int, ham: int) -> None:
+            a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            a_out.append(a)
+            b_out.append(b)
+            h_out.append(ham)
+
         if 1 < n <= 500:
-            ids = group["doc_id"].to_pylist()
-            hs = group["simhash"].to_pylist()
             order = sorted(range(n), key=lambda i: ids[i])
             for x in range(n):
                 i = order[x]
@@ -623,24 +637,35 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                         continue
                     ham = (hs[i] ^ hs[j]).bit_count()
                     if ham <= max_hamming:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
-                        h_out.append(ham)
+                        emit(i, j, ham)
         elif n > 500:
-            # heavy bucket: star-verify against the min-id representative
-            # (linear) instead of silently dropping the densest cluster
-            ids = group["doc_id"].to_pylist()
-            hs = group["simhash"].to_pylist()
-            rep = min(range(n), key=lambda i: ids[i])
-            for j in range(n):
-                if ids[j] == ids[rep]:
-                    continue
-                ham = (hs[rep] ^ hs[j]).bit_count()
-                if ham <= max_hamming:
-                    a, b = sorted((ids[rep], ids[j]))
-                    a_out.append(a)
-                    b_out.append(b)
-                    h_out.append(ham)
+            # heavy bucket: identical signatures collapse to their min-id
+            # representative — members attach via hamming-0 pairs (cluster
+            # connectivity preserved) — and representatives verify pairwise
+            # (complete unless even the distinct-signature count is huge,
+            # where a rep star is the documented approximation)
+            rep_of: dict[int, int] = {}  # signature -> row of min doc_id
+            for i in range(n):
+                r = rep_of.get(hs[i])
+                if r is None or ids[i] < ids[r]:
+                    rep_of[hs[i]] = i
+            for i in range(n):
+                r = rep_of[hs[i]]
+                if ids[i] != ids[r]:
+                    emit(r, i, 0)
+            reps = sorted(rep_of.values(), key=lambda i: ids[i])
+            if len(reps) <= 500:
+                for x in range(len(reps)):
+                    for y in range(x + 1, len(reps)):
+                        ham = (hs[reps[x]] ^ hs[reps[y]]).bit_count()
+                        if ham <= max_hamming:
+                            emit(reps[x], reps[y], ham)
+            else:
+                star = reps[0]
+                for j in reps[1:]:
+                    ham = (hs[star] ^ hs[j]).bit_count()
+                    if ham <= max_hamming:
+                        emit(star, j, ham)
         return pa.table(
             {
                 "doc_a": pa.array(a_out, pa.int64()),

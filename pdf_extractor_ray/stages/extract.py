@@ -185,9 +185,12 @@ class FusedExtractor:
         breaker_threshold: int = 0,
         skew_threshold_bytes: int | None = None,
     ):
-        from .sniff import sniff_and_partition  # compile at actor start
+        from .sniff import sniff_and_partition
         from .dedup import DupFilter
 
+        # warm the kernel tables wherever __init__ runs: per actor in pool
+        # mode, on the driver when the instance ships as a task transform
+        # (workers then compile lazily on their first batch)
         extract_document(b"")
         self._sniff = sniff_and_partition
         # winner dict built once per actor, not per batch
@@ -225,8 +228,8 @@ class DocumentExtractor:
         breaker_threshold: int = 0,
         skew_threshold_bytes: int | None = None,
     ):
-        # touching the kernels here forces regex/table compilation at actor
-        # start rather than first batch
+        # warm the kernel tables wherever __init__ runs (actor start, or
+        # driver-side when shipped as a cached task transform)
         extract_document(b"")
         self.emit_pages = emit_pages
         self.breaker = _Breaker(breaker_threshold) if breaker_threshold else None

@@ -227,6 +227,45 @@ def test_simhash_dedup_pairs_matches_bruteforce(ray_session, planted_dir):
     assert any(a == j and b == 100 + j for a, b in found for j in range(5))
 
 
+def test_simhash_heavy_bucket_preserves_connectivity(ray_session, tmp_path):
+    """>500 docs sharing a signature band trigger the heavy-bucket branch:
+    identical-signature members must all connect to their representative
+    (hamming-0 pairs) and distinct signatures still verify pairwise."""
+    import pytest as _pytest
+
+    from pdf_extractor_ray.functions.textops import simhash_dedup_pairs
+
+    d = tmp_path / "heavy"
+    d.mkdir()
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    texts = [base] * 520  # 520 identical docs -> one giant signature group
+    ids = list(range(520))
+    texts.append(base + " extraword")  # near-dup with a distinct signature
+    ids.append(900)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = simhash_dedup_pairs(str(d))
+    pairs = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    # every identical member links to representative 0
+    assert {(0, j) for j in range(1, 520)} <= pairs
+    # the distinct-signature near-dup links into the cluster via the rep
+    from pdf_extractor_ray.functions.textops import SimHasher
+
+    sh = SimHasher()
+    if (sh.simhash(base) ^ sh.simhash(base + " extraword")).bit_count() <= 3:
+        assert (0, 900) in pairs
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_dedup_pairs(str(d), max_hamming=4)
+
+
 def test_embedding_near_dup_finds_planted(ray_session, planted_dir):
     """Multi-table LSH blocking must recover the EXACT brute-force pair set
     on planted near-dups (8 tables x 5+ planes -> ~99.9% per-pair recall at
