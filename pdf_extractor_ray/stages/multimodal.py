@@ -120,6 +120,59 @@ class ImageEmbed:
         )
 
 
+class AudioFeatures:
+    """audio payload -> framewise MFCC-style features, mean-pooled to one
+    vector per clip + a duration estimate. STUB: real decode needs
+    ffmpeg/soundfile (absent); the fake derives a deterministic per-frame
+    feature matrix from byte-range hashes so frame count scales with
+    payload size like a real codec's output would."""
+
+    def __init__(
+        self,
+        dim: int = 13,
+        bytes_per_frame: int = 4096,
+        decode_real: bool = False,
+    ):
+        self.dim = dim
+        self.bytes_per_frame = bytes_per_frame
+        self.decode_real = decode_real
+        # codec/feature-extractor init would happen here, once per worker
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode_real:
+            raise NotImplementedError(
+                "audio decode requires ffmpeg/soundfile, not present in "
+                "this environment; run with decode_real=False for the "
+                "deterministic fake"
+            )
+        ids, n_frames, feats = [], [], []
+        for mid, p in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            k = max(1, len(p) // self.bytes_per_frame)
+            frame_feats = np.stack(
+                [
+                    _det_floats(
+                        p[i * self.bytes_per_frame : (i + 1) * self.bytes_per_frame],
+                        self.dim,
+                    )
+                    for i in range(k)
+                ]
+            )
+            ids.append(mid)
+            n_frames.append(k)
+            feats.append(frame_feats.mean(axis=0))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "n_frames": pa.array(n_frames, pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
 class FrameSample:
     """video payload -> k evenly-spaced frame rows (flat-map shape: output
     rows > input rows). STUB: frames are deterministic byte slices standing

@@ -163,6 +163,19 @@ def test_media_stages(ray_session):
     t3 = pa.concat_tables([x for x in ray.get(fs.to_arrow_refs()) if x.num_rows])
     assert t3.num_rows == 10 * 3  # flat-map shape: 3 frames per video
 
+    from pdf_extractor_ray.stages.multimodal import AudioFeatures
+
+    auds = rd.from_arrow(media.filter(
+        pa.compute.equal(media["media_type"], "audio")
+    ))
+    af = media_pipeline(auds, AudioFeatures, concurrency=2, dim=13)
+    t4 = pa.concat_tables([x for x in ray.get(af.to_arrow_refs()) if x.num_rows])
+    assert t4.num_rows == 10
+    assert len(t4["features"][0].as_py()) == 13
+    assert all(n >= 1 for n in t4["n_frames"].to_pylist())
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(decode_real=True)(media.slice(0, 2))
+
 
 def test_media_real_decode_raises():
     from pdf_extractor_ray.stages.multimodal import ImageDecode, synthetic_media_table
