@@ -8,8 +8,9 @@ migration, ``backend/src/migration.py:309-365``) — the rest are the
 operators a 100 TB web-text corpus needs in front of training.
 
 All per-batch functions are pure and deterministic (seeded constants only);
-stateful ones (compiled regexes, permutation tables) are actor-pool classes
-with state built in ``__init__``. The exchanges:
+stateful ones (compiled regexes, permutation tables) are callable classes
+with state built in ``__init__``, run as cached task transforms
+(``agg.instance_stage``). The exchanges:
 
 * exact dedup: one groupby on a 64-bit text hash (not the text itself — the
   key that moves is 8 bytes/row);

@@ -6,7 +6,7 @@ persist lifecycle (``/root/reference/backend/src/main.py:324-489`` +
 
     read_parquet(pages shards, columns pruned)
       -> [keys-only dup-index scan, broadcast]        # stages/dedup.py
-      -> map_batches(FusedExtractor, actor pool)      # sniff + dedup-filter
+      -> map_batches(fused task stage)                # sniff + dedup-filter
       -> write parquet | iterate                      #   + extract, one hop
 
 The payload-bearing dataflow is **shuffle-free**: dedup is decided from a
@@ -16,8 +16,8 @@ see stages/dedup.py for the scale argument and its documented limits).
 
 Two physical modes:
 
-* ``stream`` — fully pipelined streaming Dataset; extraction is an
-  autoscaling actor pool; output is sharded parquet. Fastest; crash = rerun.
+* ``stream`` — fully pipelined streaming Dataset; extraction is a cached
+  task transform; output is sharded parquet. Fastest; crash = rerun.
 * ``checkpoint`` — resumable. Partition = deterministic contiguous group of
   input shards (the Common-Crawl pattern: a WARC shard range is the unit of
   re-run). Each partition is ONE raw Ray task: column-pruned read ->
