@@ -9,7 +9,7 @@ over the sf tables. Prints ONE JSON line:
    "extract": {docs_per_s, mb_per_s, rows}}
 
 --scaling: runs the resumable checkpoint pipeline in TWO fresh
-subprocesses at N and 4N CPUs (default 4 and 16 — see SCALING_LEVELS for
+subprocesses at N and 4N CPUs (default 2 and 8 — see SCALING_LEVELS for
 why not 8/32 on this VM) on the same corpus and reports throughput at both
 plus scaling efficiency = throughput_4N / (4 * throughput_N)  (the sandbox stand-in for the
 north rule's N vs 4N node clusters); also appended to BENCH/SCALING.md.
