@@ -226,3 +226,14 @@ def test_kernel_robustness_fixes():
     chunks = _run_text_ops(b"BT /F1 12 Tf 0 TL 72 700 Td (A) Tj T* (B) Tj ET")
     ys = {round(c.y, 1) for c in chunks}
     assert ys == {700.0}
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_split_markdown_pages_never_throws(s):
+    from pdf_extractor_ray.functions.textops import split_markdown_pages
+
+    pages = split_markdown_pages(s)
+    assert pages  # always at least one page
+    assert all(isinstance(k, int) and k >= 0 for k in pages)
+    assert all(isinstance(v, str) for v in pages.values())
