@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": T.minhash_dedup_pairs,
         "simhash_fingerprint": T.simhash_fingerprint,
         "simhash_dedup_pairs": T.simhash_dedup_pairs,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "quality_filter": T.quality_filter,
         "winnow_fingerprints": T.winnow_fingerprints,
         "sample_docs": T.sample_docs,
@@ -286,6 +287,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
             FROM documents
             GROUP BY text
+        """,
+        "ngram_jaccard_pairs": """
+            -- exact all-pairs truth over the actual string shingle sets;
+            -- the engine computes the SAME counts from an inverted shingle
+            -- index (intersection = shared-posting count), never touching
+            -- pairs that share no shingle. Threshold 1/2 in integer math.
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-1),
+                                 i -> w[i]||' '||w[i+1]||' '||w[i+2])
+                       END AS g
+                FROM w
+            ), s AS (
+                SELECT doc_id, list_distinct(g) AS ss FROM sh WHERE len(g) > 0
+            )
+            SELECT doc_a, doc_b, inter, uni FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+                       CAST(len(a.ss) + len(b.ss)
+                            - len(list_intersect(a.ss, b.ss)) AS BIGINT) AS uni
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            ) WHERE inter * 2 >= uni
         """,
         "embedding_near_dup": """
             -- exact all-pairs truth. The engine blocks with 8 LSH tables

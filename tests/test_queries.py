@@ -112,3 +112,46 @@ def test_split_markdown_pages_unit():
     assert split_markdown_pages("a\n---\nb") == {1: "a", 2: "b"}
     assert split_markdown_pages("just text") == {1: "just text"}
     assert split_markdown_pages("") == {1: ""}
+
+
+def test_ngram_jaccard_pairs_planted(ray_session, tmp_path):
+    """Inverted-index co-occurrence counting == brute-force set Jaccard on a
+    tiny corpus with planted near-dups, exact ties at the 0.5 threshold, and
+    shingle-free rows."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.functions.textops import (
+        _shingle_hashes63,
+        ngram_jaccard_pairs,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog yesterday",  # near-dup of 0
+        "a completely different document about ray data pipelines",
+        "a completely different document about ray data engines",  # near-dup of 2
+        "",  # shingle-free
+        "one two",  # <3 words -> single joined gram
+        "one two",  # exact dup of 5 (jaccard 1)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = _canon(_to_pandas(ngram_jaccard_pairs(str(tmp_path))))
+
+    # brute force truth over the same shingle sets
+    sets = [set(_shingle_hashes63(t).tolist()) for t in texts]
+    rows = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if uni and inter * 2 >= uni:
+            rows.append({"doc_a": a, "doc_b": b, "inter": inter, "uni": uni})
+    want = _canon(pd.DataFrame(rows))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert {(0, 1), (2, 3), (5, 6)} <= {
+        (r.doc_a, r.doc_b) for r in got.itertuples()
+    }
