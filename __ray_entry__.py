@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": R.props_stats,
         "orders_page": R.orders_page,
         "lang_histogram": R.lang_histogram,
+        "orders_asof": R.orders_asof,
+        "user_rolling_window": R.user_rolling_window,
+        "top_orders_per_segment": R.top_orders_per_segment,
+        "value_bands": R.value_bands,
+        "users_no_big_spend": R.users_no_big_spend,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
@@ -232,6 +237,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_histogram": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "orders_asof": """
+            -- AS-OF join: latest order at-or-before each event, keyed
+            -- user_id = o_custkey; same-date ties pre-reduced to the max
+            -- orderkey (deterministic), matching the engine's in-group
+            -- reduction.
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate,
+                       MAX(o_orderkey) AS o_orderkey,
+                       max_by(o_totalprice, o_orderkey) AS o_totalprice
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey AS last_orderkey,
+                   o.o_totalprice AS last_totalprice
+            FROM events e ASOF LEFT JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "user_rolling_window": """
+            SELECT event_id, user_id, ts,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_count,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w
+                        AS BIGINT) AS w_sum_c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, CAST(rn AS BIGINT) AS rnk,
+                   o_orderkey, o_totalprice
+            FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+            WHERE rn <= 3
+        """,
+        "value_bands": """
+            -- true range join against the same half-open interval table
+            SELECT b.band,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_c
+            FROM events e
+            JOIN (VALUES
+                ('b0_lt1',    CAST('-infinity' AS DOUBLE), 1.0),
+                ('b1_1_10',   1.0,   10.0),
+                ('b2_10_50',  10.0,  50.0),
+                ('b3_50_200', 50.0,  200.0),
+                ('b4_ge200',  200.0, CAST('infinity' AS DOUBLE))
+            ) b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band
+        """,
+        "users_no_big_spend": """
+            SELECT DISTINCT user_id FROM events
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE value >= 200
         """,
         "token_count": """
             SELECT lang,

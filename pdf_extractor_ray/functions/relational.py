@@ -629,3 +629,293 @@ def orders_page(sf_dir: str, page: int = 3, page_size: int = 20) -> pa.Table:
         sort_keys=[("o_orderdate", "descending"), ("o_orderkey", "ascending")],
     )
     return upto.slice(page * page_size, page_size)
+
+
+# -------------------------------------------------------------------------
+# orders_asof — AS-OF JOIN (events ⟕ latest order at-or-before event ts,
+# keyed user_id = o_custkey). The reference has no temporal joins (SURVEY
+# §2.4: "no range/as-of joins") — this is the custom-operator composition
+# the task brief calls for: tag-union both tables into ONE dataset keyed by
+# the join key, groupby(key), and a vectorized searchsorted merge inside
+# map_groups. ONE shuffle total; the per-(cust,date) tie reduction
+# (max-orderkey wins, deterministic) happens inside the same group, so
+# orders never shuffle twice. Partitioning assumption: one key's rows fit
+# in a worker (same as any keyed window op; salt hot keys at 100 TB).
+# -------------------------------------------------------------------------
+
+def orders_asof(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(batch["user_id"], pa.int64()),
+                "t": batch["ts"],
+                "kind": pa.array([1] * n, pa.int8()),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(batch["o_custkey"], pa.int64()),
+                "t": batch["o_orderdate"],
+                "kind": pa.array([0] * n, pa.int8()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_totalprice": pc.cast(batch["o_totalprice"], pa.float64()),
+            }
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def combine(group: pa.Table) -> pa.Table:
+        kind = group["kind"]
+        ev = group.filter(pc.equal(kind, 1)).sort_by(
+            [("t", "ascending"), ("event_id", "ascending")]
+        )
+        if ev.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "last_orderkey": pa.array([], pa.int64()),
+                    "last_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        od = group.filter(pc.equal(kind, 0)).sort_by(
+            [("t", "ascending"), ("o_orderkey", "descending")]
+        )
+        e_ts = pc.cast(ev["t"], pa.int64()).to_numpy(zero_copy_only=False)
+        if od.num_rows:
+            o_ts = pc.cast(od["t"], pa.int64()).to_numpy(zero_copy_only=False)
+            # per-date reduction: after (date asc, orderkey desc) sort the
+            # FIRST row of each date run is the max-orderkey winner
+            keep = np.empty(len(o_ts), dtype=bool)
+            keep[0] = True
+            np.not_equal(o_ts[1:], o_ts[:-1], out=keep[1:])
+            o_ts = o_ts[keep]
+            o_key = od["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+            o_price = od["o_totalprice"].to_numpy(zero_copy_only=False)[keep]
+            idx = np.searchsorted(o_ts, e_ts, side="right") - 1
+            miss = idx < 0
+            idx = np.where(miss, 0, idx)
+            lk = o_key[idx]
+            lp = o_price[idx]
+        else:
+            miss = np.ones(len(e_ts), dtype=bool)
+            lk = np.zeros(len(e_ts), dtype=np.int64)
+            lp = np.zeros(len(e_ts), dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": ev["event_id"],
+                "user_id": ev["key"],
+                "ts": ev["t"],
+                "last_orderkey": pa.array(lk, mask=miss),
+                "last_totalprice": pa.array(lp, mask=miss),
+            }
+        )
+
+    return tagged.groupby("key").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# user_rolling_window — SLIDING-WINDOW aggregate: per event, the count and
+# exact-cents sum of the same user's events in the preceding hour
+# (inclusive; equal-timestamp rows are peers, RANGE-frame semantics).
+# Groupby(user) co-locates each window key; inside a group everything is
+# vectorized numpy: window bounds via two searchsorted calls (monotone),
+# windowed sums via prefix-sum differences — int64 cents, so order-exact
+# against the DuckDB RANGE window oracle. No per-row Python, no
+# all-to-all beyond the one keyed exchange.
+# -------------------------------------------------------------------------
+
+_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def user_rolling_window(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v_c = cents(t["value"]).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ts, ts - _WINDOW_US, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v_c)])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "w_count": pa.array(hi - lo, pa.int64()),
+                "w_sum_c": pa.array(cum[hi] - cum[lo], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# top_orders_per_segment — per-group top-k (window-rank shape: the dynamic
+# sort of main.py:617-655 O1 applied WITHIN each group). Distributed join
+# for the segment column, then per-batch per-segment top-k prefilter so the
+# final per-group combine sees at most k rows per segment per batch.
+# -------------------------------------------------------------------------
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> rd.Dataset:
+    import numpy as np
+    import ray
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    rows = (
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        + pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, min(2 * cpus, rows // 2_000_000 + 1))
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                }
+            )
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("c_mktsegment", "ascending"),
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        t = batch.take(idx)
+        seg = t["c_mktsegment"].to_pandas().to_numpy()
+        new_grp = np.empty(len(seg), dtype=bool)
+        new_grp[0] = True
+        np.not_equal(seg[1:], seg[:-1], out=new_grp[1:])
+        starts = np.flatnonzero(new_grp)
+        rank = np.arange(len(seg)) - np.repeat(starts, np.diff(np.append(starts, len(seg))))
+        return t.select(["c_mktsegment", "o_orderkey", "o_totalprice"]).filter(
+            pa.array(rank < k)
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        )
+        t = group.take(idx.slice(0, k))
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "rnk": pa.array(range(1, t.num_rows + 1), pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+            }
+        )
+
+    pruned = joined.map_batches(partial, batch_format="pyarrow")
+    return pruned.groupby("c_mktsegment").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# value_bands — broadcast RANGE JOIN: each event's value lands in a band of
+# a tiny interval table ([lo, hi) half-open). The band table is broadcast
+# into map_batches (pure searchsorted, no shuffle); the aggregate is the
+# usual partial-then-combine. The SQL oracle joins the SAME interval table
+# as an inline VALUES relation ON v >= lo AND v < hi — a true range join.
+# -------------------------------------------------------------------------
+
+_BAND_EDGES = (1.0, 10.0, 50.0, 200.0)  # -> 5 half-open bands
+_BAND_NAMES = ("b0_lt1", "b1_1_10", "b2_10_50", "b3_50_200", "b4_ge200")
+
+
+def value_bands(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["value"])
+    edges = np.asarray(_BAND_EDGES, dtype=np.float64)
+    names = np.asarray(_BAND_NAMES, dtype=object)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch["value"], pa.float64()).to_numpy(zero_copy_only=False)
+        band = names[np.searchsorted(edges, v, side="right")]
+        t = pa.table(
+            {
+                "band": pa.array(band, pa.string()),
+                "n_events": pa.array(np.ones(len(v), dtype=np.int64)),
+                "sum_value_c": cents(batch["value"]),
+            }
+        )
+        return partial_group_agg(
+            t, keys=["band"], aggs=[("n_events", "sum"), ("sum_value_c", "sum")]
+        )
+
+    return grouped_sum(
+        ds, keys=["band"], partial=partial, sum_cols=["n_events", "sum_value_c"]
+    )
+
+
+# -------------------------------------------------------------------------
+# users_no_big_spend — distinct + anti-join SET OP (EXCEPT): users that
+# appear in events but never with a value >= 200. Tag rows with the
+# predicate flag, per-batch partial max per user (tiny distinct rows on
+# the wire), one keyed exchange, keep max==0. The broadcast-set alternative
+# breaks when the subtracted side is huge; this shape is the 100 TB-safe
+# EXCEPT.
+# -------------------------------------------------------------------------
+
+_BIG_SPEND = 200.0
+
+
+def users_no_big_spend(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "is_p": pc.cast(
+                    pc.greater_equal(batch["value"], _BIG_SPEND), pa.int64()
+                ),
+            }
+        )
+        return partial_group_agg(t, keys=["user_id"], aggs=[("is_p", "max")])
+
+    def combine(group: pa.Table) -> pa.Table:
+        if pc.max(group["is_p"]).as_py():
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        return pa.table(
+            {"user_id": pa.array([group["user_id"][0].as_py()], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("user_id").map_groups(combine, batch_format="pyarrow")
