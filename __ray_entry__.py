@@ -8,8 +8,10 @@ SURVEY.md §2 (+ the training-data operators: dedup, similarity search,
 text analysis); ``oracle_sql()`` holds the DuckDB-equivalent SQL for every
 SQL-expressible one, with identical column names and exact-integer value
 conventions (money as ROUND(x*100) cents) so value hashes match
-bit-for-bit. Non-SQL-expressible ops (MinHash/SimHash/LSH/lang-id/flagship
-extraction) are present in ``queries()`` only → rows-only check.
+bit-for-bit. Genuinely non-SQL-expressible ops (MinHash/SimHash/winnowing —
+their shingle hashing is crc32, which DuckDB lacks; approximate ANN; the
+flagship extraction kernels) are present in ``queries()`` only → rows-only
+check.
 """
 
 from __future__ import annotations
@@ -88,8 +90,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """DuckDB oracle for the stopword-scoring language-ID heuristic, built
+    from the SAME stopword table the engine uses (one source of truth).
+
+    Equivalences relied on (asserted by the pytest oracle run at sf0.001
+    and a driver simulation at sf0.01): Python ``[^\\W\\d_]+`` (unicode
+    word chars minus digits/underscore) == RE2 ``\\p{L}+`` for Latin/CJK
+    text (they differ only on exotic alphanumerics like '²', absent from
+    the corpus); tie-break CASE order de→en→es→fr == Python's
+    ``max(sorted(scores), ...)`` alphabetical-first-max."""
+    from pdf_extractor_ray.functions.textops import _STOPWORDS
+
+    inlist = {
+        lang: "(" + ",".join(f"'{w}'" for w in sorted(words)) + ")"
+        for lang, words in _STOPWORDS.items()
+    }
+    g = "greatest(s_de,s_en,s_es,s_fr)"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(lower(text), '\\p{{L}}+') AS words,
+                   LENGTH(regexp_replace(text,
+                          '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS cjk,
+                   LENGTH(text) AS n
+            FROM documents
+        ), sc AS (
+            SELECT doc_id, lang, cjk, n, len(words) AS nw,
+                   len(list_filter(words, x -> x IN {inlist['de']})) AS s_de,
+                   len(list_filter(words, x -> x IN {inlist['en']})) AS s_en,
+                   len(list_filter(words, x -> x IN {inlist['es']})) AS s_es,
+                   len(list_filter(words, x -> x IN {inlist['fr']})) AS s_fr
+            FROM base
+        )
+        SELECT doc_id, lang,
+               CASE WHEN cjk >= 5 OR (n > 0
+                         AND CAST(cjk AS DOUBLE)/greatest(n,1) > 0.05)
+                    THEN 'zh'
+                    WHEN nw = 0 THEN 'unknown'
+                    WHEN {g} = 0 THEN 'unknown'
+                    WHEN s_de = {g} THEN 'de'
+                    WHEN s_en = {g} THEN 'en'
+                    WHEN s_es = {g} THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM sc
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id": _lang_id_sql(),
         "pricing_summary": """
             -- CAST(SUM(..) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT,
             -- the engine emits int64 — affinity only, values identical.
