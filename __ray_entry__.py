@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.top_orders_per_segment,
         "value_bands": R.value_bands,
         "users_no_big_spend": R.users_no_big_spend,
+        "shipping_priority": R.shipping_priority,
+        "value_p95_by_type": R.value_p95_by_type,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
@@ -75,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": T.quality_filter,
         "winnow_fingerprints": T.winnow_fingerprints,
         "sample_docs": T.sample_docs,
+        "sample_stratified": T.sample_stratified,
+        "doc_top_terms": T.doc_top_terms,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -347,6 +351,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE value >= 200
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                       AS BIGINT) AS revenue_c,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_c DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "value_p95_by_type": """
+            WITH s AS (SELECT event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS c
+                       FROM events),
+                 r AS (SELECT event_type, c,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                                 ORDER BY c) AS rn,
+                              COUNT(*) OVER (PARTITION BY event_type) AS n
+                       FROM s)
+            SELECT event_type, c AS p95_c
+            FROM r WHERE rn = CAST(FLOOR((95*n+99)/100) AS BIGINT)
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER)
+                  < CASE lang WHEN 'en' THEN 64 WHEN 'de' THEN 128
+                              ELSE 25 END
+        """,
+        "doc_top_terms": """
+            -- integer-exact characteristic-term ranking (tf desc, global
+            -- df asc, term asc) — the TF-IDF shape without float scores
+            WITH t AS (
+                SELECT doc_id, unnest(
+                    regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM t GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM t GROUP BY term
+            )
+            SELECT doc_id, CAST(rn AS BIGINT) AS rnk, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+            FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+                FROM tf JOIN df USING (term))
+            WHERE rn <= 3
         """,
         "token_count": """
             SELECT lang,

@@ -919,3 +919,147 @@ def users_no_big_spend(sf_dir: str) -> rd.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# shipping_priority — MULTI-WAY distributed join pipeline (TPC-H Q3 shape):
+# customer(filtered segment) ⋈ orders(filtered date) ⋈ lineitem(filtered
+# date) → per-order exact-cents revenue → top-10. Both joins are native
+# hash joins with data-scaled partition counts; every scan is
+# column-pruned and filtered BEFORE the exchange, so only surviving keys
+# shuffle. The reference never joins more than two tables (SURVEY §2.4) —
+# this is the canonical analytics chain a warehouse-scale engine must run.
+# -------------------------------------------------------------------------
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING") -> pa.Table:
+    import datetime
+
+    import ray
+    import pyarrow.parquet as pq
+
+    from .agg import topk
+
+    cutoff = pa.scalar(datetime.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_mktsegment"], segment)).select(
+            ["c_custkey"]
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"], cutoff))
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        ext_c = cents(t["l_extendedprice"])
+        disc_pct = cents(t["l_discount"])
+        rev = pc.multiply(ext_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        p = pa.table({"l_orderkey": t["l_orderkey"], "revenue_c": rev})
+        return partial_group_agg(p, keys=["l_orderkey"], aggs=[("revenue_c", "sum")])
+
+    rows = (
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        + pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, min(2 * cpus, rows // 2_000_000 + 1))
+
+    ordc = orders.map_batches(ord_filter, batch_format="pyarrow").join(
+        cust.map_batches(cust_filter, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    j = li.map_batches(li_partial, batch_format="pyarrow").join(
+        ordc,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    def post_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "o_orderdate", "revenue_c"])
+        return partial_group_agg(
+            t, keys=["l_orderkey", "o_orderdate"], aggs=[("revenue_c", "sum")]
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "revenue_c": pc.cast(batch["sum(revenue_c)"], pa.int64()),
+            }
+        )
+
+    # native hash aggregate: one row per order, no per-group Python calls
+    summed = (
+        j.map_batches(post_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_c"))
+        .map_batches(rename, batch_format="pyarrow")
+    )
+    out = topk(
+        summed,
+        k=10,
+        sort_keys=[("revenue_c", "descending"), ("l_orderkey", "ascending")],
+    )
+    return out.select(["l_orderkey", "revenue_c", "o_orderdate"])
+
+
+# -------------------------------------------------------------------------
+# value_p95_by_type — exact PER-GROUP quantile via the same integer
+# value-count histogram as price_quantiles, but grouped: per-batch
+# (type, cents) partial histograms -> one keyed exchange of tiny count
+# rows -> per-type cumulative walk at rank ceil(0.95 n). No sort of the
+# data, ever.
+# -------------------------------------------------------------------------
+
+def value_p95_by_type(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "c": cents(batch["value"]),
+                "cnt": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["event_type", "c"], aggs=[("cnt", "sum")])
+
+    def walk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("c", "ascending")])
+        counts = g["cnt"].to_pylist()
+        n = sum(counts)
+        rank = -(-95 * n // 100)  # ceil(95n/100), exact integer math
+        cum = 0
+        for v, cnt in zip(g["c"].to_pylist(), counts):
+            cum += cnt
+            if cum >= rank:
+                return pa.table(
+                    {
+                        "event_type": pa.array(
+                            [group["event_type"][0].as_py()], pa.string()
+                        ),
+                        "p95_c": pa.array([v], pa.int64()),
+                    }
+                )
+        return pa.table(
+            {"event_type": pa.array([], pa.string()), "p95_c": pa.array([], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("event_type").map_groups(walk, batch_format="pyarrow")

@@ -1063,3 +1063,116 @@ def ngram_jaccard_pairs(
         .aggregate(Sum("cnt"), Max("n_a"), Max("n_b"))
     )
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# doc_top_terms — per-doc top-k characteristic terms: the TF-IDF shape a
+# training-data pipeline uses for topic/keyword tagging, with an
+# integer-exact ranking (tf desc, global df asc, term asc) instead of a
+# float score so the DuckDB oracle hash-matches bit-for-bit. Two passes:
+#
+#   pass 1: distinct terms per doc -> partial df counts -> native
+#           groupby(term) sum -> the (small) vocabulary df table, collected
+#           once and broadcast via the cached-task-instance pattern
+#           (instance ships once per operator, cached per worker process);
+#   pass 2: tokenize again, rank each doc's terms against the broadcast df.
+#
+# Scale note: a web-corpus vocabulary (~10^8 terms) still broadcasts in a
+# few GB of dict; beyond that, replace the broadcast with a distributed
+# join postings ⋈ df on term, then groupby(doc_id) top-k — same semantics,
+# one more exchange. Per-doc shuffles: zero either way.
+# -------------------------------------------------------------------------
+
+class TopTerms:
+    def __init__(self, df: dict[str, int], k: int = 3) -> None:
+        self.df = df
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        doc_ids: list[int] = []
+        rnks: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        dfs: list[int] = []
+        for d, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            counts = Counter(_WORD_RE.findall(text.lower()))
+            best = sorted(
+                counts.items(), key=lambda kv: (-kv[1], self.df[kv[0]], kv[0])
+            )[: self.k]
+            for rnk, (term, tf) in enumerate(best, 1):
+                doc_ids.append(d)
+                rnks.append(rnk)
+                terms.append(term)
+                tfs.append(tf)
+                dfs.append(self.df[term])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "rnk": pa.array(rnks, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
+
+def doc_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
+    from .agg import collect
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for text in batch["text"].to_pylist():
+            terms.extend(set(_WORD_RE.findall(text.lower())))
+        t = pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "d": pa.array([1] * len(terms), pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["term"], aggs=[("d", "sum")])
+
+    df_tbl = collect(
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("d"))
+    )
+    df_map = (
+        dict(zip(df_tbl["term"].to_pylist(), df_tbl["sum(d)"].to_pylist()))
+        if df_tbl is not None
+        else {}
+    )
+    return instance_stage(ds, TopTerms, df=df_map, k=k)
+
+
+# -------------------------------------------------------------------------
+# sample_stratified — deterministic per-stratum sampling rates (the
+# train-mix shape: keep 25% of en, 50% of de, 10% of everything else),
+# same content-hash key as sample_docs so the split is reproducible
+# across runs/engines and SQL-checkable bit-for-bit.
+# -------------------------------------------------------------------------
+
+_STRATA_PCT = {"en": 25, "de": 50}
+_STRATA_DEFAULT_PCT = 10
+
+
+def sample_stratified(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+    cuts = {lang: (256 * p) // 100 for lang, p in _STRATA_PCT.items()}
+    default_cut = (256 * _STRATA_DEFAULT_PCT) // 100
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(t.encode("utf-8")).digest()[0] < cuts.get(lang, default_cut)
+            for t, lang in zip(
+                batch["text"].to_pylist(), batch["lang"].to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
