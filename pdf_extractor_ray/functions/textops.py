@@ -908,28 +908,32 @@ def sample_docs(sf_dir: str, pct: int = 10) -> rd.Dataset:
 # distributed inverted shingle index (no all-pairs pass, no text re-join):
 #
 #   1. per doc: distinct 3-word shingle set -> 63-bit hashes + set size,
-#      exploded to (sh, doc_id, n_sh) postings (map_batches, streaming);
-#   2. groupby(sh): each shingle bucket emits its co-occurring doc pairs —
-#      buckets of size 1 emit nothing, and |bucket| is bounded by the
-#      shingle's document frequency (measured max df 25 at sf0.1);
-#   3. groupby(doc_a, doc_b): the number of postings a pair shares IS the
-#      intersection size, and |A∪B| = n_a + n_b − |A∩B|, so Jaccard is
-#      exact from counts alone — the texts never travel again.
+#      exploded to (bucket, sh, doc_id, n_sh) postings (map_batches,
+#      streaming), bucket = sh mod n_buckets;
+#   2. groupby(bucket): one task per COARSE bucket (not per shingle — a
+#      per-shingle map_groups paid ~27k Python group calls, 2/3 of the
+#      query's wall time) processes every shingle run inside it with
+#      vectorized run-boundary detection; each run of df docs emits its
+#      triu co-occurrence pairs (df=1 runs emit nothing; measured max df
+#      25 at sf0.1);
+#   3. groupby(doc_a, doc_b) NATIVE aggregate: the number of postings a
+#      pair shares IS the intersection size, and |A∪B| = n_a + n_b − |A∩B|,
+#      so Jaccard is exact from counts alone — texts never travel again.
 #
 # The threshold test is pure integer math (inter*den >= uni*num), so the
 # DuckDB oracle (list_intersect over the actual string shingle sets)
 # hash-matches bit-for-bit; 63-bit shingle hashing makes a cross-doc
 # collision (which would inflate `inter`) vanishingly unlikely at any df.
 #
-# Scale guard: a boilerplate shingle shared by millions of docs would make
-# step 2 quadratic in its df. Buckets larger than `max_df` are dropped with
-# the standard justification (PPJoin/prefix-filter literature): a shingle
-# that common carries ~zero Jaccard evidence. Exactness holds whenever df
-# <= max_df for every shingle two near-dup docs share (always true at the
-# test scales); the dropped-bucket count is surfaced in the `capped` column
-# of no row — i.e. the operator stays silent only when nothing was dropped.
-# (MinHash-LSH above is the approximate path when even df-capped exact
-# counting is too heavy.)
+# Scale guards: `n_buckets` (default 2048) caps the exchange's group
+# cardinality while staying ≈8x the core count of a 256-node cluster; a
+# boilerplate shingle shared by millions of docs would make step 2
+# quadratic in its df, so runs longer than `max_df` are dropped with the
+# standard justification (PPJoin/prefix-filter literature): a shingle that
+# common carries ~zero Jaccard evidence. Exactness holds whenever df <=
+# max_df for every shingle two near-dup docs share (always true at the
+# test scales). (MinHash-LSH above is the approximate path when even
+# df-capped exact counting is too heavy.)
 # -------------------------------------------------------------------------
 
 def _shingle_hashes63(text: str) -> np.ndarray:
@@ -960,6 +964,7 @@ def ngram_jaccard_pairs(
     threshold_num: int = 1,
     threshold_den: int = 2,
     max_df: int = 10_000,
+    n_buckets: int = 2048,
 ) -> rd.Dataset:
     """Pairs with shingle-set Jaccard >= threshold_num/threshold_den.
     Returns (doc_a, doc_b, inter, uni) — all exact int64 counts."""
@@ -976,39 +981,46 @@ def ngram_jaccard_pairs(
             sh_all.append(hs)
             doc_ids.extend([d] * hs.size)
             n_shs.extend([hs.size] * hs.size)
-        if not sh_all:
-            return pa.table(
-                {
-                    "sh": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "n_sh": pa.array([], pa.int64()),
-                }
-            )
+        sh = (
+            np.concatenate(sh_all) if sh_all else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
-                "sh": pa.array(np.concatenate(sh_all)),
+                "bucket": pa.array(sh % n_buckets),
+                "sh": pa.array(sh),
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "n_sh": pa.array(n_shs, pa.int64()),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "n_a": pa.array([], pa.int64()),
-                "n_b": pa.array([], pa.int64()),
-            }
-        )
-        k = group.num_rows
-        if k < 2 or k > max_df:  # df-1 buckets pair nothing; df-cap guard
-            return empty
-        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        g = group.take(order)
-        ids = np.asarray(g["doc_id"].to_numpy(zero_copy_only=False))
-        ns = np.asarray(g["n_sh"].to_numpy(zero_copy_only=False))
-        ia, ib = np.triu_indices(k, k=1)
+        # all shingle runs of one coarse bucket, vectorized: sort postings
+        # by (sh, doc_id), find run boundaries, emit triu pairs per run
+        sh = np.asarray(group["sh"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False))
+        ns = np.asarray(group["n_sh"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, sh))
+        sh, ids, ns = sh[order], ids[order], ns[order]
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        lens = np.diff(np.append(starts, len(sh)))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, k in zip(starts[(lens >= 2) & (lens <= max_df)].tolist(),
+                        lens[(lens >= 2) & (lens <= max_df)].tolist()):
+            ia, ib = np.triu_indices(k, k=1)
+            out_a.append(s + ia)
+            out_b.append(s + ib)
+        if not out_a:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
         return pa.table(
             {
                 "doc_a": pa.array(ids[ia]),
@@ -1019,24 +1031,38 @@ def ngram_jaccard_pairs(
         )
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        # collapse duplicate pairs within the batch so the exchange moves
-        # per-batch partial counts, not one row per shared posting
+        # collapse duplicate pairs within the batch, then tag each pair
+        # with a coarse hash partition: the pair-count combine runs as ONE
+        # pyarrow group_by per partition instead of Ray's per-group
+        # machinery — candidate pairs are mostly distinct, and a native
+        # groupby over millions of distinct keys measured >200x slower
+        # than 256 coarse groups each combined vectorized.
         t = batch.append_column(
             "cnt", pa.array(np.ones(batch.num_rows, dtype=np.int64))
         )
-        return partial_group_agg(
+        t = partial_group_agg(
             t,
             keys=["doc_a", "doc_b"],
             aggs=[("cnt", "sum"), ("n_a", "max"), ("n_b", "max")],
         )
+        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        pp = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(256)).astype(
+            np.int64
+        )
+        return t.append_column("pp", pa.array(pp))
 
-    def finish(batch: pa.Table) -> pa.Table:
-        # one native-aggregate row per pair: shared-posting count = |A∩B|
-        inter = pc.cast(batch["sum(cnt)"], pa.int64())
+    def combine_partition(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["doc_a", "doc_b", "cnt", "n_a", "n_b"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([("cnt", "sum"), ("n_a", "max"), ("n_b", "max")])
+        )
+        inter = pc.cast(g["cnt_sum"], pa.int64())
         uni = pc.subtract(
             pc.add(
-                pc.cast(batch["max(n_a)"], pa.int64()),
-                pc.cast(batch["max(n_b)"], pa.int64()),
+                pc.cast(g["n_a_max"], pa.int64()),
+                pc.cast(g["n_b_max"], pa.int64()),
             ),
             inter,
         )
@@ -1046,23 +1072,22 @@ def ngram_jaccard_pairs(
         )
         return pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
+                "doc_a": g["doc_a"],
+                "doc_b": g["doc_b"],
                 "inter": inter,
                 "uni": uni,
             }
         ).filter(keep)
 
-    from ray.data.aggregate import Max, Sum
-
     postings = ds.map_batches(explode, batch_format="pyarrow")
-    pairs = postings.groupby("sh").map_groups(bucket_pairs, batch_format="pyarrow")
-    counted = (
-        pairs.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("cnt"), Max("n_a"), Max("n_b"))
+    pairs = postings.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
-    return counted.map_batches(finish, batch_format="pyarrow")
+    return (
+        pairs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(combine_partition, batch_format="pyarrow")
+    )
 
 
 # -------------------------------------------------------------------------
