@@ -364,32 +364,56 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
         ):
             doc_ids.extend([d] * len(ks))
             keys.extend(ks)
+        karr = np.asarray(keys, dtype=np.int64)
         return pa.table(
             {
-                "band_key": pa.array(keys, pa.int64()),
+                # coarse bucket caps the groupby's group cardinality: a
+                # per-band-key map_groups paid one Python group call per
+                # distinct band key (16x docs keys — the dominant cost of
+                # this query at sf0.1)
+                "bucket": pa.array(karr % 2048),
+                "band_key": pa.array(karr),
                 "doc_id": pa.array(doc_ids, pa.int64()),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a_out, b_out = [], []
-        if 1 < len(ids) <= 200:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        elif len(ids) > 200:
-            # giant bucket (heavy duplicate cluster): quadratic pairing is
-            # degenerate, but silently dropping it would miss exactly the
-            # densest duplicates — emit a star against the representative
-            # (linear), which still links every member into the cluster
-            rep = ids[0]
-            for other in ids[1:]:
-                a_out.append(rep)
-                b_out.append(other)
+        # all band-key runs of one coarse bucket: sort by (band_key,
+        # doc_id), vectorized run boundaries, per-run pair emission
+        keys = np.asarray(group["band_key"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        lens = np.diff(np.append(starts, len(keys)))
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        for s, k in zip(starts[lens >= 2].tolist(), lens[lens >= 2].tolist()):
+            run = ids[s : s + k]
+            if k <= 200:
+                ia, ib = np.triu_indices(k, k=1)
+                a_parts.append(run[ia])
+                b_parts.append(run[ib])
+            else:
+                # giant bucket (heavy duplicate cluster): quadratic pairing
+                # is degenerate, but silently dropping it would miss exactly
+                # the densest duplicates — emit a star against the
+                # representative (linear), which still links every member
+                # into the cluster
+                a_parts.append(np.full(k - 1, run[0], dtype=np.int64))
+                b_parts.append(run[1:])
+        if not a_parts:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+            {
+                "doc_a": pa.array(np.concatenate(a_parts)),
+                "doc_b": pa.array(np.concatenate(b_parts)),
+            }
         )
 
     import ray
@@ -406,7 +430,7 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
     candidates = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
         .repartition(n_parts)
-        .groupby("band_key")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
@@ -608,19 +632,22 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                 keys.append((b << 16) | ((h >> (16 * b)) & 0xFFFF))
                 out_ids.append(d)
                 out_hs.append(h)
+        karr = np.asarray(keys, dtype=np.int64)
         return pa.table(
             {
-                "band_key": pa.array(keys, pa.int64()),
+                # coarse bucket caps group cardinality (a per-band-key
+                # map_groups paid one Python call per distinct key, 4x docs)
+                "bucket": pa.array(karr % 2048),
+                "band_key": pa.array(karr),
                 "doc_id": pa.array(out_ids, pa.int64()),
                 "simhash": pa.array(out_hs, pa.uint64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
+    def run_pairs(ids: list[int], hs: list[int]) -> tuple[list, list, list]:
+        """Verified pairs of ONE band-key run (original per-group logic)."""
+        n = len(ids)
         a_out, b_out, h_out = [], [], []
-        ids = group["doc_id"].to_pylist()
-        hs = group["simhash"].to_pylist()
 
         def emit(i: int, j: int, ham: int) -> None:
             a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
@@ -667,6 +694,29 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                     ham = (hs[star] ^ hs[j]).bit_count()
                     if ham <= max_hamming:
                         emit(star, j, ham)
+        return a_out, b_out, h_out
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # all band-key runs of one coarse bucket: vectorized run-boundary
+        # detection; only runs with >= 2 postings (actual collisions) pay
+        # the Python verification loop
+        keys = np.asarray(group["band_key"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False))
+        hs = np.asarray(group["simhash"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, keys))
+        keys, ids, hs = keys[order], ids[order], hs[order]
+        starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        lens = np.diff(np.append(starts, len(keys)))
+        a_out: list[int] = []
+        b_out: list[int] = []
+        h_out: list[int] = []
+        for s, k in zip(starts[lens >= 2].tolist(), lens[lens >= 2].tolist()):
+            a, b, h = run_pairs(
+                ids[s : s + k].tolist(), hs[s : s + k].tolist()
+            )
+            a_out.extend(a)
+            b_out.extend(b)
+            h_out.extend(h)
         return pa.table(
             {
                 "doc_a": pa.array(a_out, pa.int64()),
@@ -677,7 +727,7 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
     verified = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     import ray

@@ -155,3 +155,14 @@ def test_ngram_jaccard_pairs_planted(ray_session, tmp_path):
     assert {(0, 1), (2, 3), (5, 6)} <= {
         (r.doc_a, r.doc_b) for r in got.itertuples()
     }
+
+
+def test_shipping_priority_native_join_path(ray_session, con):
+    """The >broadcast-threshold fallback (two native hash joins) must
+    produce the same table as the broadcast path and the SQL oracle."""
+    import __ray_entry__ as E
+    from pdf_extractor_ray.functions.relational import shipping_priority
+
+    res = _canon(_to_pandas(shipping_priority(SF, broadcast_rows=0)))
+    gold = _canon(con.execute(E.oracle_sql()["shipping_priority"]).fetchdf())
+    pd.testing.assert_frame_equal(res, gold, check_dtype=False)
