@@ -82,6 +82,21 @@ def partial_group_agg(
     return gb.rename_columns([renames.get(n, n) for n in gb.column_names])
 
 
+_N_AGG_PARTITIONS = 256  # coarse combine partitions (≈ cores of a big cluster)
+
+
+def _hash_partition_column(t: pa.Table, keys: list[str]) -> pa.Array:
+    """Deterministic per-row partition id from the key columns (vectorized
+    pandas row hashing — stable across workers/processes), mod
+    ``_N_AGG_PARTITIONS``."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(
+        t.select(keys).to_pandas(), index=False
+    ).to_numpy()
+    return pa.array((h % _N_AGG_PARTITIONS).astype("int64"))
+
+
 def combine_partials(
     group: pa.Table,
     *,
@@ -91,18 +106,24 @@ def combine_partials(
     max_cols: list[str] | None = None,
     post: Callable[[dict], dict] | None = None,
 ) -> pa.Table:
-    """Final combine of one key-group of partial rows -> exactly one row.
-    ``post`` derives extra columns (averages etc.) from the combined dict."""
-    row = {k: group[k][0].as_py() for k in keys}
-    for c in sum_cols:
-        row[c] = pc.sum(group[c]).as_py()
-    for c in min_cols or []:
-        row[c] = pc.min(group[c]).as_py()
-    for c in max_cols or []:
-        row[c] = pc.max(group[c]).as_py()
-    if post:
-        row = post(row)
-    return pa.table({k: [v] for k, v in row.items()})
+    """Final combine of ONE hash partition of partial rows: a single
+    vectorized arrow ``group_by`` collapses every key-group in the
+    partition (Ray's per-group machinery pays a Python call per group —
+    catastrophic at web-scale key cardinality). ``post`` derives extra
+    columns (averages etc.) per combined group row."""
+    aggs = (
+        [(c, "sum") for c in sum_cols]
+        + [(c, "min") for c in min_cols or []]
+        + [(c, "max") for c in max_cols or []]
+    )
+    cols = [c for c, _ in aggs]
+    g = group.select(keys + cols).group_by(keys).aggregate(aggs)
+    renames = {f"{c}_{fn}": c for c, fn in aggs}
+    g = g.rename_columns([renames.get(n, n) for n in g.column_names])
+    g = g.select(keys + cols)  # keys first, spec order after
+    if post is None:
+        return g
+    return pa.Table.from_pylist([post(r) for r in g.to_pylist()])
 
 
 def grouped_sum(
@@ -115,10 +136,16 @@ def grouped_sum(
     max_cols: list[str] | None = None,
     post: Callable[[dict], dict] | None = None,
 ) -> rd.Dataset:
-    """The two-phase aggregate: map_batches(partial) -> groupby(keys) over
-    the (tiny) partials -> one row per group."""
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(keys).map_groups(
+    """The two-phase aggregate: map_batches(partial) -> ONE keyed exchange
+    of the (tiny) partials, hash-bucketed into at most
+    ``_N_AGG_PARTITIONS`` coarse groups -> one vectorized combine per
+    bucket -> one row per key group."""
+    def tag(batch: pa.Table) -> pa.Table:
+        p = partial(batch)
+        return p.append_column("__pp", _hash_partition_column(p, keys))
+
+    partials = ds.map_batches(tag, batch_format="pyarrow")
+    return partials.groupby("__pp").map_groups(
         functools.partial(
             combine_partials,
             keys=keys,
