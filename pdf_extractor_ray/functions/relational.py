@@ -440,6 +440,8 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
 # -------------------------------------------------------------------------
 
 def latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    from .agg import _hash_partition_column
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -462,8 +464,15 @@ def latest_event_per_user(sf_dir: str) -> rd.Dataset:
         first = pa.concat_arrays([pa.array([True]), changed])
         return t.filter(first)
 
+    def tag(batch: pa.Table) -> pa.Table:
+        p = partial(batch)
+        return p.append_column("__pp", _hash_partition_column(p, ["user_id"]))
+
     def combine(group: pa.Table) -> pa.Table:
-        best = partial(group)
+        # one vectorized pass collapses EVERY user in the hash bucket (the
+        # per-batch partial is idempotent — re-applying it to the bucket is
+        # the final argmax); per-user map_groups paid a Python call per key
+        best = partial(group.drop_columns(["__pp"]))
         return pa.table(
             {
                 "user_id": best["user_id"],
@@ -472,8 +481,8 @@ def latest_event_per_user(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+    partials = ds.map_batches(tag, batch_format="pyarrow")
+    return partials.groupby("__pp").map_groups(combine, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------------
@@ -489,27 +498,44 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def sessionize(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import _hash_partition_column
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__pp", _hash_partition_column(batch, ["user_id"])
+        )
+
     def combine(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("ts", "ascending")])
-        ts = pc.cast(t["ts"], pa.int64()).combine_chunks()
-        if len(ts) <= 1:
-            n_sessions = len(ts)
-        else:
-            gaps = pc.subtract(ts.slice(1), ts.slice(0, len(ts) - 1))
-            n_new = pc.sum(
-                pc.cast(pc.greater(gaps, SESSION_GAP_US), pa.int64())
-            ).as_py()
-            n_sessions = 1 + (n_new or 0)
+        # every user in the hash bucket in ONE vectorized pass: sort by
+        # (user, ts); a session starts at each user boundary or >gap jump;
+        # per-user session counts via reduceat over the user runs
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                }
+            )
+        new = np.ones(len(u), dtype=np.int64)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > SESSION_GAP_US)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
         return pa.table(
             {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "user_id": pa.array(u[starts]),
+                "n_sessions": pa.array(np.add.reduceat(new, starts)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
 
 
 # -------------------------------------------------------------------------
@@ -677,48 +703,90 @@ def orders_asof(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
-        orders.map_batches(tag_orders, batch_format="pyarrow")
+    from .agg import _hash_partition_column
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__pp", _hash_partition_column(batch, ["key"]))
+
+    tagged = (
+        events.map_batches(tag_events, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .map_batches(add_pp, batch_format="pyarrow")
     )
 
     def combine(group: pa.Table) -> pa.Table:
+        # every key in the hash bucket in ONE vectorized merge: both sides
+        # sorted by (key, t); the key folds into the searchsorted probe as
+        # key_rank * OFFSET + relative_t (OFFSET > t span, so an event can
+        # never match the previous key's orders); per-(key,date) order ties
+        # pre-reduced to the max-orderkey row by a boundary mask
         kind = group["kind"]
         ev = group.filter(pc.equal(kind, 1)).sort_by(
-            [("t", "ascending"), ("event_id", "ascending")]
+            [("key", "ascending"), ("t", "ascending"), ("event_id", "ascending")]
+        )
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "last_orderkey": pa.array([], pa.int64()),
+                "last_totalprice": pa.array([], pa.float64()),
+            }
         )
         if ev.num_rows == 0:
-            return pa.table(
-                {
-                    "event_id": pa.array([], pa.int64()),
-                    "user_id": pa.array([], pa.int64()),
-                    "ts": pa.array([], pa.timestamp("us")),
-                    "last_orderkey": pa.array([], pa.int64()),
-                    "last_totalprice": pa.array([], pa.float64()),
-                }
-            )
+            return empty
         od = group.filter(pc.equal(kind, 0)).sort_by(
-            [("t", "ascending"), ("o_orderkey", "descending")]
+            [("key", "ascending"), ("t", "ascending"), ("o_orderkey", "descending")]
         )
+        e_key = ev["key"].to_numpy(zero_copy_only=False)
         e_ts = pc.cast(ev["t"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_e = len(e_ts)
         if od.num_rows:
+            o_key = od["key"].to_numpy(zero_copy_only=False)
             o_ts = pc.cast(od["t"], pa.int64()).to_numpy(zero_copy_only=False)
-            # per-date reduction: after (date asc, orderkey desc) sort the
-            # FIRST row of each date run is the max-orderkey winner
+            # first row of each (key, date) run wins (max orderkey)
             keep = np.empty(len(o_ts), dtype=bool)
             keep[0] = True
-            np.not_equal(o_ts[1:], o_ts[:-1], out=keep[1:])
-            o_ts = o_ts[keep]
-            o_key = od["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+            keep[1:] = (o_key[1:] != o_key[:-1]) | (o_ts[1:] != o_ts[:-1])
+            o_key, o_ts = o_key[keep], o_ts[keep]
+            o_ord = od["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
             o_price = od["o_totalprice"].to_numpy(zero_copy_only=False)[keep]
-            idx = np.searchsorted(o_ts, e_ts, side="right") - 1
+            # shared key ranks + composite probe keys
+            uniq = np.unique(np.concatenate([e_key, o_key]))
+            e_r = np.searchsorted(uniq, e_key)
+            o_r = np.searchsorted(uniq, o_key)
+            t_min = min(int(e_ts.min()), int(o_ts.min()))
+            t_max = max(int(e_ts.max()), int(o_ts.max()))
+            offset = t_max - t_min + 2
+            if len(uniq) * offset < 1 << 62:
+                o_comp = o_r * np.int64(offset) + (o_ts - t_min)
+                e_comp = e_r * np.int64(offset) + (e_ts - t_min)
+                idx = np.searchsorted(o_comp, e_comp, side="right") - 1
+            else:  # composite would overflow: per-key-run fallback
+                idx = np.full(n_e, -1, dtype=np.int64)
+                e_starts = np.searchsorted(e_r, np.arange(len(uniq)), side="left")
+                e_ends = np.searchsorted(e_r, np.arange(len(uniq)), side="right")
+                o_starts = np.searchsorted(o_r, np.arange(len(uniq)), side="left")
+                o_ends = np.searchsorted(o_r, np.arange(len(uniq)), side="right")
+                for k in range(len(uniq)):
+                    es, ee, os_, oe = e_starts[k], e_ends[k], o_starts[k], o_ends[k]
+                    if ee > es and oe > os_:
+                        idx[es:ee] = os_ + np.searchsorted(
+                            o_ts[os_:oe], e_ts[es:ee], side="right"
+                        ) - 1
+                        idx[es:ee][idx[es:ee] < os_] = -1
             miss = idx < 0
-            idx = np.where(miss, 0, idx)
-            lk = o_key[idx]
-            lp = o_price[idx]
+            safe = np.where(miss, 0, idx)
+            # composite match can only land in the same key's run (OFFSET
+            # bound), but a probe below the key's first order falls into
+            # the previous key — reject any match whose key differs
+            miss |= o_key[safe] != e_key
+            lk = o_ord[safe]
+            lp = o_price[safe]
         else:
-            miss = np.ones(len(e_ts), dtype=bool)
-            lk = np.zeros(len(e_ts), dtype=np.int64)
-            lp = np.zeros(len(e_ts), dtype=np.float64)
+            miss = np.ones(n_e, dtype=bool)
+            lk = np.zeros(n_e, dtype=np.int64)
+            lp = np.zeros(n_e, dtype=np.float64)
         return pa.table(
             {
                 "event_id": ev["event_id"],
@@ -729,7 +797,7 @@ def orders_asof(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return tagged.groupby("key").map_groups(combine, batch_format="pyarrow")
+    return tagged.groupby("__pp").map_groups(combine, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------------
@@ -749,14 +817,57 @@ _WINDOW_US = 3_600_000_000  # 1 hour
 def user_rolling_window(sf_dir: str) -> rd.Dataset:
     import numpy as np
 
+    from .agg import _hash_partition_column
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__pp", _hash_partition_column(batch, ["user_id"])
+        )
+
     def combine(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        # every user in the hash bucket in ONE vectorized pass: sort by
+        # (user, ts); fold the user into the searchsorted key as
+        # user_rank * OFFSET + relative_ts (OFFSET > ts span + window, so a
+        # window can never straddle two users); windowed sums via prefix-sum
+        # differences on exact int64 cents
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
         ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "w_count": pa.array([], pa.int64()),
+                    "w_sum_c": pa.array([], pa.int64()),
+                }
+            )
         v_c = cents(t["value"]).to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(ts, ts - _WINDOW_US, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
+        uidx = np.concatenate([[0], np.cumsum(u[1:] != u[:-1])])
+        ts_rel = ts - ts.min()
+        offset = int(ts_rel.max()) + _WINDOW_US + 2
+        if (int(uidx[-1]) + 1) * offset >= 1 << 62:  # composite would overflow
+            key = None
+        else:
+            key = uidx * np.int64(offset) + ts_rel
+        if key is not None:
+            lo = np.searchsorted(key, key - _WINDOW_US, side="left")
+            hi = np.searchsorted(key, key, side="right")
+        else:  # per-user-run fallback, vectorized within each run
+            starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+            ends = np.append(starts[1:], n)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - _WINDOW_US, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v_c)])
         return pa.table(
             {
@@ -768,7 +879,9 @@ def user_rolling_window(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return ds.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
 
 
 # -------------------------------------------------------------------------
@@ -910,15 +1023,13 @@ def users_no_big_spend(sf_dir: str) -> rd.Dataset:
         )
         return partial_group_agg(t, keys=["user_id"], aggs=[("is_p", "max")])
 
-    def combine(group: pa.Table) -> pa.Table:
-        if pc.max(group["is_p"]).as_py():
-            return pa.table({"user_id": pa.array([], pa.int64())})
-        return pa.table(
-            {"user_id": pa.array([group["user_id"][0].as_py()], pa.int64())}
-        )
+    def keep_never(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["is_p"], 0)).select(["user_id"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+    agg = grouped_sum(
+        ds, keys=["user_id"], partial=partial, sum_cols=[], max_cols=["is_p"]
+    )
+    return agg.map_batches(keep_never, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------------
