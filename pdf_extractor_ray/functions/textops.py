@@ -195,11 +195,22 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
             hashlib.md5(t.encode("utf-8")).digest()
             for t in batch["text"].to_pylist()
         ]
-        h64 = pa.array(
-            [struct.unpack("<q", fp[:8])[0] for fp in fps], pa.int64()
+        h64 = np.asarray(
+            [struct.unpack("<q", fp[:8])[0] for fp in fps], dtype=np.int64
         )
         full = pa.array([fp.hex() for fp in fps], pa.string())
-        return pa.table({"doc_id": batch["doc_id"], "h64": h64, "full": full})
+        # coarse 256-way bucket of the text hash: the exchange must not
+        # group per distinct text (one Python group call per unique doc —
+        # catastrophic at corpus scale); the in-bucket arrow group_by on
+        # the full md5 collapses every text group vectorized, which also
+        # resolves 64-bit prefix collisions exactly
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "__pp": pa.array(h64 % 256),
+                "full": full,
+            }
+        )
 
     def combine(group: pa.Table) -> pa.Table:
         t = group.group_by(["full"]).aggregate(
@@ -213,7 +224,7 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
         )
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow")
-    return hashed.groupby("h64").map_groups(combine, batch_format="pyarrow")
+    return hashed.groupby("__pp").map_groups(combine, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------------
