@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_no_big_spend": R.users_no_big_spend,
         "shipping_priority": R.shipping_priority,
         "value_p95_by_type": R.value_p95_by_type,
+        "events_pivot": R.events_pivot,
+        "source_langs": R.source_langs,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
@@ -379,6 +381,23 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT event_type, c AS p95_c
             FROM r WHERE rn = CAST(FLOOR((95*n+99)/100) AS BIGINT)
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+            FROM events
+            GROUP BY user_id
+        """,
+        "source_langs": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM documents
+            GROUP BY source
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

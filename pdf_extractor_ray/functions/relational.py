@@ -1225,3 +1225,82 @@ def value_p95_by_type(sf_dir: str) -> rd.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("event_type").map_groups(walk, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# events_pivot — PIVOT / conditional aggregation: one row per user with a
+# count column per event type (the wide-table shape BI layers ask of an
+# engine). Per-batch partials emit the five indicator counts vectorized
+# (pc.equal casts, no row loop); the combine is the standard hash-bucketed
+# grouped_sum. The SQL oracle uses COUNT(*) FILTER (WHERE ...).
+# -------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+def events_pivot(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch["user_id"]}
+        for ty in _PIVOT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(
+                pc.equal(batch["event_type"], ty), pa.int64()
+            )
+        return partial_group_agg(
+            pa.table(cols),
+            keys=["user_id"],
+            aggs=[(f"n_{ty}", "sum") for ty in _PIVOT_TYPES],
+        )
+
+    return grouped_sum(
+        ds,
+        keys=["user_id"],
+        partial=partial,
+        sum_cols=[f"n_{ty}" for ty in _PIVOT_TYPES],
+    )
+
+
+# -------------------------------------------------------------------------
+# source_langs — STRING AGGREGATION: per source, the sorted distinct langs
+# joined with ','. Distinct (source, lang) pairs reduce per batch, one
+# keyed exchange of tiny pairs, then a vectorized arrow group_by collects
+# each source's lang list; the sort+join runs once per OUTPUT row (group),
+# not per input row. Oracle: string_agg(DISTINCT ... ORDER BY ...).
+# -------------------------------------------------------------------------
+
+def source_langs(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # distinct pairs within the batch
+        return batch.group_by(["source", "lang"]).aggregate([])
+
+    def combine(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["source", "lang"])
+            .group_by(["source", "lang"])
+            .aggregate([])  # distinct pairs across batches
+            .group_by(["source"])
+            .aggregate([("lang", "list")])
+        )
+        joined = [",".join(sorted(ls)) for ls in g["lang_list"].to_pylist()]
+        return pa.table(
+            {
+                "source": g["source"],
+                "langs": pa.array(joined, pa.string()),
+                "n_langs": pa.array(
+                    [len(ls) for ls in g["lang_list"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    from .agg import _hash_partition_column
+
+    def tag(batch: pa.Table) -> pa.Table:
+        p = partial(batch)
+        return p.append_column("__pp", _hash_partition_column(p, ["source"]))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
