@@ -85,16 +85,35 @@ def partial_group_agg(
 _N_AGG_PARTITIONS = 256  # coarse combine partitions (≈ cores of a big cluster)
 
 
-def _hash_partition_column(t: pa.Table, keys: list[str]) -> pa.Array:
+def _hash_partition_column(
+    t: pa.Table, keys: list[str], n_parts: int = _N_AGG_PARTITIONS
+) -> pa.Array:
     """Deterministic per-row partition id from the key columns (vectorized
-    pandas row hashing — stable across workers/processes), mod
-    ``_N_AGG_PARTITIONS``."""
+    pandas row hashing — stable across workers/processes), mod ``n_parts``."""
     import pandas as pd
 
     h = pd.util.hash_pandas_object(
         t.select(keys).to_pandas(), index=False
     ).to_numpy()
-    return pa.array((h % _N_AGG_PARTITIONS).astype("int64"))
+    return pa.array((h % n_parts).astype("int64"))
+
+
+def tag_partition(
+    batch: pa.Table, keys: list[str], n_parts: int = _N_AGG_PARTITIONS
+) -> pa.Table:
+    """Append the ``__pp`` coarse-partition column. The invariant a caller
+    buys: one PARTITION (≈ total keyed rows / n_parts), not one key, must
+    fit in a worker — so ops that shuffle RAW rows (not reduced partials)
+    must scale n_parts with the table (see ``scaled_partitions``)."""
+    return batch.append_column("__pp", _hash_partition_column(batch, keys, n_parts))
+
+
+def scaled_partitions(n_rows: int, rows_per_bucket: int = 500_000) -> int:
+    """Partition count for a raw-row keyed exchange: enough buckets that one
+    bucket's slice of the table fits a worker, never fewer than the
+    fixed floor (which alone would cap parallelism at 256 tasks and force
+    ~1/256 of the table into each combine at corpus scale)."""
+    return max(_N_AGG_PARTITIONS, n_rows // rows_per_bucket + 1)
 
 
 def combine_partials(
@@ -141,8 +160,7 @@ def grouped_sum(
     ``_N_AGG_PARTITIONS`` coarse groups -> one vectorized combine per
     bucket -> one row per key group."""
     def tag(batch: pa.Table) -> pa.Table:
-        p = partial(batch)
-        return p.append_column("__pp", _hash_partition_column(p, keys))
+        return tag_partition(partial(batch), keys)
 
     partials = ds.map_batches(tag, batch_format="pyarrow")
     return partials.groupby("__pp").map_groups(

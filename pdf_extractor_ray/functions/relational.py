@@ -28,6 +28,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _raw_parts(sf_dir: str, *tables: str) -> int:
+    """Partition count for keyed exchanges of RAW rows: one bucket's slice
+    of the table(s) must fit a worker, so the count scales with row count
+    (metadata-only read) instead of a fixed 256 that would cap both
+    parallelism and per-task memory at corpus scale."""
+    from .agg import scaled_partitions
+
+    return scaled_partitions(
+        sum(pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows for t in tables)
+    )
+
+
 # -------------------------------------------------------------------------
 # pricing_summary — TPC-H-Q1-shaped wide aggregate over lineitem.
 # Reference analog: per-job latency/cost rollup (backend/src/tasks.py:85-104,
@@ -440,9 +452,10 @@ def orders_by_segment(sf_dir: str) -> rd.Dataset:
 # -------------------------------------------------------------------------
 
 def latest_event_per_user(sf_dir: str) -> rd.Dataset:
-    from .agg import _hash_partition_column
+    from .agg import tag_partition
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    n_parts = _raw_parts(sf_dir, "events")
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -465,8 +478,7 @@ def latest_event_per_user(sf_dir: str) -> rd.Dataset:
         return t.filter(first)
 
     def tag(batch: pa.Table) -> pa.Table:
-        p = partial(batch)
-        return p.append_column("__pp", _hash_partition_column(p, ["user_id"]))
+        return tag_partition(partial(batch), ["user_id"], n_parts)
 
     def combine(group: pa.Table) -> pa.Table:
         # one vectorized pass collapses EVERY user in the hash bucket (the
@@ -500,14 +512,13 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 def sessionize(sf_dir: str) -> rd.Dataset:
     import numpy as np
 
-    from .agg import _hash_partition_column
+    from .agg import tag_partition
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = _raw_parts(sf_dir, "events")
 
     def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__pp", _hash_partition_column(batch, ["user_id"])
-        )
+        return tag_partition(batch, ["user_id"], n_parts)
 
     def combine(group: pa.Table) -> pa.Table:
         # every user in the hash bucket in ONE vectorized pass: sort by
@@ -665,8 +676,9 @@ def orders_page(sf_dir: str, page: int = 3, page_size: int = 20) -> pa.Table:
 # the join key, groupby(key), and a vectorized searchsorted merge inside
 # map_groups. ONE shuffle total; the per-(cust,date) tie reduction
 # (max-orderkey wins, deterministic) happens inside the same group, so
-# orders never shuffle twice. Partitioning assumption: one key's rows fit
-# in a worker (same as any keyed window op; salt hot keys at 100 TB).
+# orders never shuffle twice. Partitioning assumption: one hash BUCKET of
+# rows (≈ total rows / n_parts, with n_parts scaled to the table via
+# _raw_parts) fits in a worker — keys themselves never bound the task.
 # -------------------------------------------------------------------------
 
 def orders_asof(sf_dir: str) -> rd.Dataset:
@@ -703,10 +715,12 @@ def orders_asof(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    from .agg import _hash_partition_column
+    from .agg import tag_partition
+
+    n_parts = _raw_parts(sf_dir, "events", "orders")
 
     def add_pp(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__pp", _hash_partition_column(batch, ["key"]))
+        return tag_partition(batch, ["key"], n_parts)
 
     tagged = (
         events.map_batches(tag_events, batch_format="pyarrow")
@@ -817,14 +831,13 @@ _WINDOW_US = 3_600_000_000  # 1 hour
 def user_rolling_window(sf_dir: str) -> rd.Dataset:
     import numpy as np
 
-    from .agg import _hash_partition_column
+    from .agg import tag_partition
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_parts = _raw_parts(sf_dir, "events")
 
     def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__pp", _hash_partition_column(batch, ["user_id"])
-        )
+        return tag_partition(batch, ["user_id"], n_parts)
 
     def combine(group: pa.Table) -> pa.Table:
         # every user in the hash bucket in ONE vectorized pass: sort by
@@ -930,7 +943,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> rd.Dataset:
             ],
         )
         t = batch.take(idx)
-        seg = t["c_mktsegment"].to_pandas().to_numpy()
+        seg = t["c_mktsegment"].combine_chunks().to_numpy(zero_copy_only=False)
         new_grp = np.empty(len(seg), dtype=bool)
         new_grp[0] = True
         np.not_equal(seg[1:], seg[:-1], out=new_grp[1:])
@@ -1219,9 +1232,7 @@ def value_p95_by_type(sf_dir: str) -> rd.Dataset:
                         "p95_c": pa.array([v], pa.int64()),
                     }
                 )
-        return pa.table(
-            {"event_type": pa.array([], pa.string()), "p95_c": pa.array([], pa.int64())}
-        )
+        raise AssertionError("rank <= n: the cumulative walk always returns")
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("event_type").map_groups(walk, batch_format="pyarrow")
@@ -1270,7 +1281,7 @@ def events_pivot(sf_dir: str) -> rd.Dataset:
 # -------------------------------------------------------------------------
 
 def source_langs(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    ds = _read(sf_dir, "documents", ["source", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
         # distinct pairs within the batch
@@ -1284,22 +1295,19 @@ def source_langs(sf_dir: str) -> rd.Dataset:
             .group_by(["source"])
             .aggregate([("lang", "list")])
         )
-        joined = [",".join(sorted(ls)) for ls in g["lang_list"].to_pylist()]
+        lists = g["lang_list"].to_pylist()
         return pa.table(
             {
                 "source": g["source"],
-                "langs": pa.array(joined, pa.string()),
-                "n_langs": pa.array(
-                    [len(ls) for ls in g["lang_list"].to_pylist()], pa.int64()
-                ),
+                "langs": pa.array([",".join(sorted(ls)) for ls in lists], pa.string()),
+                "n_langs": pa.array([len(ls) for ls in lists], pa.int64()),
             }
         )
 
-    from .agg import _hash_partition_column
+    from .agg import tag_partition
 
     def tag(batch: pa.Table) -> pa.Table:
-        p = partial(batch)
-        return p.append_column("__pp", _hash_partition_column(p, ["source"]))
+        return tag_partition(partial(batch), ["source"])
 
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
         combine, batch_format="pyarrow"

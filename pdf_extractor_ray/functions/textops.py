@@ -188,7 +188,14 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
 # -------------------------------------------------------------------------
 
 def dedup_exact(sf_dir: str) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    from .agg import scaled_partitions
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_parts = scaled_partitions(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
 
     def hash_stage(batch: pa.Table) -> pa.Table:
         fps = [
@@ -199,15 +206,16 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
             [struct.unpack("<q", fp[:8])[0] for fp in fps], dtype=np.int64
         )
         full = pa.array([fp.hex() for fp in fps], pa.string())
-        # coarse 256-way bucket of the text hash: the exchange must not
-        # group per distinct text (one Python group call per unique doc —
-        # catastrophic at corpus scale); the in-bucket arrow group_by on
-        # the full md5 collapses every text group vectorized, which also
-        # resolves 64-bit prefix collisions exactly
+        # coarse bucket of the text hash (count scaled to the corpus so a
+        # bucket fits a worker): the exchange must not group per distinct
+        # text (one Python group call per unique doc — catastrophic at
+        # corpus scale); the in-bucket arrow group_by on the full md5
+        # collapses every text group vectorized, which also resolves
+        # 64-bit prefix collisions exactly
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "__pp": pa.array(h64 % 256),
+                "__pp": pa.array(h64 % n_parts),
                 "full": full,
             }
         )
@@ -365,6 +373,12 @@ def minhash_signatures(sf_dir: str) -> rd.Dataset:
 def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table:
     """Near-duplicate pairs: LSH banding -> groupby(band) -> verified pairs,
     deduped across bands. Returns (doc_a, doc_b, jaccard_pct)."""
+    import pyarrow.parquet as _pq
+
+    from .agg import scaled_partitions
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    band_buckets = max(2048, scaled_partitions(n_docs * _N_BANDS))
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = instance_stage(ds, MinHasher)
 
@@ -378,11 +392,12 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
         karr = np.asarray(keys, dtype=np.int64)
         return pa.table(
             {
-                # coarse bucket caps the groupby's group cardinality: a
+                # coarse bucket caps the groupby's group cardinality (a
                 # per-band-key map_groups paid one Python group call per
-                # distinct band key (16x docs keys — the dominant cost of
-                # this query at sf0.1)
-                "bucket": pa.array(karr % 2048),
+                # distinct band key — the dominant cost of this query at
+                # sf0.1); count scales with posting volume so one bucket
+                # fits a worker
+                "bucket": pa.array(karr % band_buckets),
                 "band_key": pa.array(karr),
                 "doc_id": pa.array(doc_ids, pa.int64()),
             }
@@ -433,9 +448,6 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
     # rows per doc), capped at 4x CPUs: Ray's sort shuffle otherwise scales
     # partitions with upstream block count and its fixed overhead dominates
     # small corpora (measured 2.3s -> 0.9s at 32 CPUs, sf0.1)
-    import pyarrow.parquet as _pq
-
-    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     cpus = int(ray.cluster_resources().get("CPU", 4))
     n_parts = max(16, min(4 * cpus, (n_docs * _N_BANDS) // 1_000_000 + 1))
     candidates = (
@@ -629,6 +641,16 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             "4x16-bit banding is only complete for max_hamming <= 3 "
             "(pigeonhole needs max_hamming+1 bands)"
         )
+    import pyarrow.parquet as _pq
+
+    from .agg import scaled_partitions
+
+    band_buckets = max(
+        2048,
+        scaled_partitions(
+            _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 4
+        ),
+    )
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = instance_stage(ds, SimHasher)
 
@@ -647,8 +669,9 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         return pa.table(
             {
                 # coarse bucket caps group cardinality (a per-band-key
-                # map_groups paid one Python call per distinct key, 4x docs)
-                "bucket": pa.array(karr % 2048),
+                # map_groups paid one Python call per distinct key, 4x
+                # docs); count scales with posting volume
+                "bucket": pa.array(karr % band_buckets),
                 "band_key": pa.array(karr),
                 "doc_id": pa.array(out_ids, pa.int64()),
                 "simhash": pa.array(out_hs, pa.uint64()),
@@ -986,8 +1009,8 @@ def sample_docs(sf_dir: str, pct: int = 10) -> rd.Dataset:
 # hash-matches bit-for-bit; 63-bit shingle hashing makes a cross-doc
 # collision (which would inflate `inter`) vanishingly unlikely at any df.
 #
-# Scale guards: `n_buckets` (default 2048) caps the exchange's group
-# cardinality while staying ≈8x the core count of a 256-node cluster; a
+# Scale guards: `n_buckets` (floor 2048, scaled with posting volume so a
+# bucket fits a worker) caps the exchange's group cardinality; a
 # boilerplate shingle shared by millions of docs would make step 2
 # quadratic in its df, so runs longer than `max_df` are dropped with the
 # standard justification (PPJoin/prefix-filter literature): a shingle that
@@ -1024,12 +1047,27 @@ def ngram_jaccard_pairs(
     sf_dir: str,
     threshold_num: int = 1,
     threshold_den: int = 2,
-    max_df: int = 10_000,
-    n_buckets: int = 2048,
+    max_df: int = 1_000,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Pairs with shingle-set Jaccard >= threshold_num/threshold_den.
-    Returns (doc_a, doc_b, inter, uni) — all exact int64 counts."""
+    Returns (doc_a, doc_b, inter, uni) — all exact int64 counts.
+    ``max_df`` bounds the worst single-run pair emission at
+    ~max_df²/2 (500k at the default — triu(10k) would allocate 50M pairs
+    from ONE boilerplate shingle)."""
+    import pyarrow.parquet as pq
+
+    from .agg import scaled_partitions
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    if n_buckets is None:
+        # postings ≈ docs x ~150 distinct shingles; one bucket per ~500k
+        n_buckets = max(
+            2048,
+            scaled_partitions(
+                pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 150
+            ),
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         sh_all: list[np.ndarray] = []
