@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_near_dup": S.embedding_near_dup,
         "near_dup_groups": S.near_dup_groups,
+        # mergeable sketches — the O(1)-state 100 TB paths beside the exact
+        # aggregates (approximate by design -> rows-only; error bounds are
+        # pytest-asserted against the exact results)
+        "distinct_users_hll": R.distinct_users_hll,
+        "price_quantiles_sketch": R.price_quantiles_sketch,
         # markdown page-split long table (M10; rows-only)
         "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (rows-only)

@@ -1312,3 +1312,129 @@ def source_langs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
         combine, batch_format="pyarrow"
     )
+
+
+# -------------------------------------------------------------------------
+# distinct_users_hll — HyperLogLog distinct count (MERGEABLE SKETCH): the
+# 100 TB path beside the exact COUNT(DISTINCT) of events_by_type. Exact
+# distinct needs a keyed exchange of every distinct key; the sketch needs
+# one streaming pass emitting a fixed 16 KiB register array per batch and
+# a driver-side max-merge (registers are tiny partials — the same
+# partial-then-combine shape as every aggregate here, with O(1) state).
+# p=14 -> 16384 registers, standard error ~0.81%. Deterministic: the hash
+# is splitmix64, not a seeded RNG. Rows-only (approximate by design); the
+# pytest asserts <2.5% error vs the exact count at two scales.
+# -------------------------------------------------------------------------
+
+_HLL_P = 14
+_HLL_M = 1 << _HLL_P
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def distinct_users_hll(sf_dir: str) -> pa.Table:
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = _splitmix64(
+            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = h << np.uint64(_HLL_P)
+        # rank = leading zeros of the remaining 64-p bits, +1 (cap 64-p+1)
+        nbits = 64 - _HLL_P
+        rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+        for b in range(1, nbits + 1):
+            mask = (rest >> np.uint64(64 - b)) & np.uint64(1)
+            hit = (mask == 1) & (rank == nbits + 1)
+            rank[hit] = b
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        np.maximum.at(regs, idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
+
+    parts = collect(ds.map_batches(sketch, batch_size=65536, batch_format="pyarrow"))
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    if parts is not None:
+        for b in parts["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+    # standard HLL estimator with linear-counting small-range correction
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return pa.table({"distinct_users_est": pa.array([int(round(est))], pa.int64())})
+
+
+# -------------------------------------------------------------------------
+# price_quantiles_sketch — mergeable WEIGHTED-SAMPLE quantile sketch: the
+# 100 TB path beside the exact histogram walk of price_quantiles (whose
+# driver merge holds one entry per distinct cent value — unbounded for
+# continuous data). Each batch forwards at most K evenly-spaced order
+# statistics of its sorted values, each carrying weight batch_n/K; the
+# driver merges the weighted samples and reads quantiles off the
+# cumulative weights. Rank error is bounded by ~n/K per batch (collapses
+# to exact when batch_n <= K). Deterministic; rows-only (approximate);
+# pytest asserts the p50/p95 estimates land within 1% rank error of
+# exact.
+# -------------------------------------------------------------------------
+
+_SKETCH_K = 4096
+
+
+def price_quantiles_sketch(sf_dir: str, quantiles=(25, 50, 75, 95)) -> pa.Table:
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = np.sort(cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False))
+        n = len(v)
+        if n == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "w": pa.array([], pa.float64())}
+            )
+        if n <= _SKETCH_K:
+            return pa.table({"c": pa.array(v), "w": pa.array(np.ones(n))})
+        # evenly-spaced order statistics at ranks (i+0.5)/K
+        pos = ((np.arange(_SKETCH_K) + 0.5) * n / _SKETCH_K).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array(v[pos]),
+                "w": pa.array(np.full(_SKETCH_K, n / _SKETCH_K)),
+            }
+        )
+
+    parts = collect(ds.map_batches(sample, batch_format="pyarrow"))
+    if parts is None:
+        return pa.table(
+            {"q_pct": pa.array([], pa.int64()), "price_c_est": pa.array([], pa.int64())}
+        )
+    c = parts["c"].to_numpy(zero_copy_only=False)
+    w = parts["w"].to_numpy(zero_copy_only=False)
+    order = np.argsort(c, kind="stable")
+    c, w = c[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out_q, out_v = [], []
+    for q in quantiles:
+        target = q / 100.0 * total
+        i = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(q)
+        out_v.append(int(c[min(i, len(c) - 1)]))
+    return pa.table(
+        {
+            "q_pct": pa.array(out_q, pa.int64()),
+            "price_c_est": pa.array(out_v, pa.int64()),
+        }
+    )

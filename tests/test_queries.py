@@ -166,3 +166,40 @@ def test_shipping_priority_native_join_path(ray_session, con):
     res = _canon(_to_pandas(shipping_priority(SF, broadcast_rows=0)))
     gold = _canon(con.execute(E.oracle_sql()["shipping_priority"]).fetchdf())
     pd.testing.assert_frame_equal(res, gold, check_dtype=False)
+
+
+def test_distinct_users_hll_error_bound(ray_session, con):
+    """HLL(p=14) estimate within 2.5% of the exact distinct count (std
+    error ~0.81%, so 2.5% is ~3 sigma) at two scales."""
+    from pdf_extractor_ray.functions.relational import distinct_users_hll
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        est = distinct_users_hll(sf)["distinct_users_est"][0].as_py()
+        assert abs(est - exact) <= max(2, 0.025 * exact), (sf, est, exact)
+
+
+def test_price_quantiles_sketch_rank_error(ray_session):
+    """Each sketched quantile lands within 1% rank error of the exact
+    order statistics (per-batch sample of K=4096 -> rank error n/K per
+    batch; tiny at test scale)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.functions.relational import price_quantiles_sketch
+    from pdf_extractor_ray.functions.agg import cents
+
+    sf = "/root/testdata/sf0.01"
+    got = price_quantiles_sketch(sf).to_pandas().set_index("q_pct")["price_c_est"]
+    v = np.sort(
+        cents(pq.read_table(f"{sf}/orders.parquet", columns=["o_totalprice"])[
+            "o_totalprice"
+        ].combine_chunks()).to_numpy(zero_copy_only=False)
+    )
+    n = len(v)
+    for q in (25, 50, 75, 95):
+        # rank of the estimate within the exact sorted values
+        lo = np.searchsorted(v, got[q], side="left") / n
+        hi = np.searchsorted(v, got[q], side="right") / n
+        assert lo - 0.01 <= q / 100.0 <= hi + 0.01, (q, got[q], lo, hi)
