@@ -64,6 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_p95_by_type": R.value_p95_by_type,
         "events_pivot": R.events_pivot,
         "source_langs": R.source_langs,
+        "cum_spend": R.cum_spend,
+        "order_rank_per_cust": R.order_rank_per_cust,
+        "order_gap_p50": R.order_gap_p50,
+        "user_modal_event": R.user_modal_event,
+        "buyers_intersect": R.buyers_intersect,
+        "region_rollup": R.region_rollup,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
@@ -396,6 +402,67 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
             FROM events
             GROUP BY user_id
+        """,
+        "cum_spend": """
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                       AS cum_spend_c
+            FROM orders
+        """,
+        "order_rank_per_cust": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+                       AS rnk
+            FROM orders
+        """,
+        "order_gap_p50": """
+            -- LAG-diff gaps, then the exact lower-median (rank ceil(n/2))
+            -- per customer — same exact-rank convention as value_p95_by_type
+            WITH g AS (
+                SELECT o_custkey,
+                       epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS gap_us
+                FROM orders),
+            r AS (
+                SELECT o_custkey, gap_us,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY gap_us) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                FROM g WHERE gap_us IS NOT NULL)
+            SELECT o_custkey, CAST(gap_us AS BIGINT) AS p50_gap_us
+            FROM r WHERE rn = (n + 1) // 2
+        """,
+        "user_modal_event": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY user_id, event_type),
+            r AS (
+                SELECT user_id, event_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type ASC) AS rn
+                FROM c)
+            SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+            FROM r WHERE rn = 1
+        """,
+        "buyers_intersect": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "region_rollup": """
+            SELECT r_name, n_name,
+                   COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                       AS sum_acctbal_c
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
         """,
         "source_langs": """
             SELECT source,

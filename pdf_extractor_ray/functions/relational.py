@@ -1438,3 +1438,373 @@ def price_quantiles_sketch(sf_dir: str, quantiles=(25, 50, 75, 95)) -> pa.Table:
             "price_c_est": pa.array(out_v, pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# cum_spend — RUNNING-SUM window (SUM OVER PARTITION BY ... ORDER BY ...):
+# per customer, the cumulative exact-cents spend over their orders in
+# (o_orderdate, o_orderkey) order. One keyed raw-row exchange on a
+# data-scaled bucket count; inside a bucket the grouped cumsum is one
+# vectorized pass (global cumsum minus its value at each run start) — no
+# per-group Python, no per-row loop.
+# -------------------------------------------------------------------------
+
+def cum_spend(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_parts = _raw_parts(sf_dir, "orders")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["o_custkey"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("o_orderdate", "ascending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        u = t["o_custkey"].to_numpy(zero_copy_only=False)
+        v = cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "cum_spend_c": pa.array([], pa.int64()),
+                }
+            )
+        total = np.cumsum(v)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        runs = np.diff(np.append(starts, n))
+        base = np.repeat(total[starts] - v[starts], runs)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cum_spend_c": pa.array(total - base, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------------------
+# order_rank_per_cust — ROW_NUMBER window over the FULL table (unlike
+# top_orders_per_segment there is no k-prune: every row gets its rank).
+# Same keyed-exchange shape as cum_spend; ranks are arange minus the run
+# start, vectorized.
+# -------------------------------------------------------------------------
+
+def order_rank_per_cust(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    n_parts = _raw_parts(sf_dir, "orders")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["o_custkey"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        u = t["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        runs = np.diff(np.append(starts, n))
+        rnk = np.arange(n, dtype=np.int64) - np.repeat(starts, runs) + 1
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_totalprice": t["o_totalprice"],
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------------------
+# order_gap_p50 — LAG-diff window + per-group exact median: per customer
+# with >=2 orders, the median microsecond gap between consecutive orders
+# in (o_orderdate, o_orderkey) order (lower median, rank ceil(n/2) — the
+# same exact-rank convention as value_p95_by_type). Gaps are derived
+# inside the keyed bucket (all of a customer's rows co-locate), then one
+# lexsort picks each run's median order statistic — no per-group Python.
+# -------------------------------------------------------------------------
+
+def order_gap_p50(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_parts = _raw_parts(sf_dir, "orders")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["o_custkey"], n_parts)
+
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "p50_gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("o_custkey", "ascending"),
+                ("o_orderdate", "ascending"),
+                ("o_orderkey", "ascending"),
+            ]
+        )
+        u = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(u) < 2:
+            return empty
+        same = u[1:] == u[:-1]
+        gu = u[1:][same]
+        gv = (ts[1:] - ts[:-1])[same]
+        if len(gu) == 0:
+            return empty
+        order = np.lexsort((gv, gu))
+        gu, gv = gu[order], gv[order]
+        starts = np.flatnonzero(np.concatenate([[True], gu[1:] != gu[:-1]]))
+        runs = np.diff(np.append(starts, len(gu)))
+        med = starts + (runs - 1) // 2  # 0-indexed (n-1)//2 == 1-indexed ceil(n/2)
+        return pa.table(
+            {
+                "o_custkey": pa.array(gu[starts], pa.int64()),
+                "p50_gap_us": pa.array(gv[med], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------------------
+# user_modal_event — grouped MODE with deterministic tie-break (max count,
+# then lexicographically smallest type). Partials are per-batch
+# (user, type) counts — bounded by users x 5 types — combined per hash
+# bucket with one arrow group_by + one sort + first-per-run mask.
+# -------------------------------------------------------------------------
+
+def user_modal_event(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return tag_partition(
+            partial_group_agg(
+                t, keys=["user_id", "event_type"], aggs=[("n", "sum")]
+            ),
+            ["user_id"],
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        g = partial_group_agg(
+            group.select(["user_id", "event_type", "n"]),
+            keys=["user_id", "event_type"],
+            aggs=[("n", "sum")],
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("n", "descending"),
+                ("event_type", "ascending"),
+            ],
+        )
+        t = g.take(idx)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "modal_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        t = t.filter(pa.array(first))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "modal_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------------------
+# buyers_intersect — set INTERSECT (complement of users_no_big_spend's
+# EXCEPT): distinct users with BOTH a 'click' and a 'purchase' event.
+# Per-batch boolean partials (has_click/has_purchase as 0/1 maxes) keep
+# the exchange at one row per (user, batch); the combine is a max + filter.
+# -------------------------------------------------------------------------
+
+def buyers_intersect(sf_dir: str) -> rd.Dataset:
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"], value_set=pa.array(["click", "purchase"]))
+        b = batch.filter(m)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "has_click": pc.cast(pc.equal(b["event_type"], "click"), pa.int64()),
+                "has_purchase": pc.cast(
+                    pc.equal(b["event_type"], "purchase"), pa.int64()
+                ),
+            }
+        )
+        return tag_partition(
+            partial_group_agg(
+                t,
+                keys=["user_id"],
+                aggs=[("has_click", "max"), ("has_purchase", "max")],
+            ),
+            ["user_id"],
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        g = partial_group_agg(
+            group.select(["user_id", "has_click", "has_purchase"]),
+            keys=["user_id"],
+            aggs=[("has_click", "max"), ("has_purchase", "max")],
+        )
+        both = pc.and_(
+            pc.equal(g["has_click"], 1), pc.equal(g["has_purchase"], 1)
+        )
+        return g.filter(both).select(["user_id"])
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------------------
+# region_rollup — GROUPING SETS / ROLLUP(region, nation): counts and
+# exact-cents balances at (region, nation), (region) and () levels. The
+# finest level runs distributed (broadcast nation->region names into the
+# partials, grouped_sum exchange); the two subtotal levels re-aggregate
+# the resulting <=25-row table locally — the only honest place for them.
+# NULL name = subtotal row, exactly like SQL ROLLUP.
+# -------------------------------------------------------------------------
+
+def region_rollup(sf_dir: str) -> pa.Table:
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nmaps = {
+        nk: (rmap[rk], nname)
+        for nk, rk, nname in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+        )
+    }
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = [nmaps[nk] for nk in batch["c_nationkey"].to_pylist()]
+        t = pa.table(
+            {
+                "r_name": pa.array([p[0] for p in pairs], pa.string()),
+                "n_name": pa.array([p[1] for p in pairs], pa.string()),
+                "n_cust": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_acctbal_c": cents(batch["c_acctbal"]),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["r_name", "n_name"],
+            aggs=[("n_cust", "sum"), ("sum_acctbal_c", "sum")],
+        )
+
+    fine = collect(
+        grouped_sum(
+            ds,
+            keys=["r_name", "n_name"],
+            partial=partial,
+            sum_cols=["n_cust", "sum_acctbal_c"],
+        )
+    )
+    if fine is None:
+        return pa.table(
+            {
+                "r_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "n_cust": pa.array([], pa.int64()),
+                "sum_acctbal_c": pa.array([], pa.int64()),
+            }
+        )
+    fine = fine.select(["r_name", "n_name", "n_cust", "sum_acctbal_c"])
+    by_region = (
+        fine.group_by(["r_name"])
+        .aggregate([("n_cust", "sum"), ("sum_acctbal_c", "sum")])
+        .rename_columns(["r_name", "n_cust", "sum_acctbal_c"])
+    )
+    by_region = by_region.add_column(
+        1, "n_name", pa.array([None] * by_region.num_rows, pa.string())
+    )
+    total = pa.table(
+        {
+            "r_name": pa.array([None], pa.string()),
+            "n_name": pa.array([None], pa.string()),
+            "n_cust": pa.array([pc.sum(fine["n_cust"]).as_py()], pa.int64()),
+            "sum_acctbal_c": pa.array(
+                [pc.sum(fine["sum_acctbal_c"]).as_py()], pa.int64()
+            ),
+        }
+    )
+    return pa.concat_tables(
+        [fine, by_region.select(fine.column_names), total], promote_options="none"
+    )
