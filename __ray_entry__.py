@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event": R.user_modal_event,
         "buyers_intersect": R.buyers_intersect,
         "region_rollup": R.region_rollup,
+        "orders_above_cust_avg": R.orders_above_cust_avg,
+        "order_priority_returned": R.order_priority_returned,
+        "parts_never_returned_heavy": R.parts_never_returned_heavy,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
@@ -463,6 +466,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "orders_above_cust_avg": """
+            WITH s AS (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_c,
+                       COUNT(*) AS n
+                FROM orders GROUP BY o_custkey)
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o JOIN s USING (o_custkey)
+            WHERE CAST(ROUND(o.o_totalprice*100) AS BIGINT) * s.n > s.sum_c
+        """,
+        "order_priority_returned": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "parts_never_returned_heavy": """
+            SELECT p_partkey, p_name
+            FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey
+                                AND l.l_returnflag = 'R'
+                                AND l.l_quantity > 45)
         """,
         "source_langs": """
             SELECT source,

@@ -1808,3 +1808,174 @@ def region_rollup(sf_dir: str) -> pa.Table:
     return pa.concat_tables(
         [fine, by_region.select(fine.column_names), total], promote_options="none"
     )
+
+
+# -------------------------------------------------------------------------
+# orders_above_cust_avg — correlated-subquery filter (each order vs its own
+# customer's average order value), decorrelated the distributed way: one
+# keyed raw-row exchange on o_custkey; inside a bucket the per-customer
+# sum/count comes from one arrow group_by and is mapped back onto rows with
+# index_in — no join operator, no second pass over the table. The
+# comparison is exact integer math (price_c * n > sum_c), never a float
+# average. Reference analog: per-user spend-vs-average feedback views
+# (backend/src/main.py:1291-1318) done driver-side there.
+# -------------------------------------------------------------------------
+
+def orders_above_cust_avg(sf_dir: str) -> rd.Dataset:
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    n_parts = _raw_parts(sf_dir, "orders")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["o_custkey"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        price_c = cents(group["o_totalprice"])
+        t = pa.table(
+            {
+                "o_custkey": group["o_custkey"],
+                "sum_c": price_c,
+                "n": pa.array([1] * group.num_rows, pa.int64()),
+            }
+        )
+        g = partial_group_agg(
+            t, keys=["o_custkey"], aggs=[("sum_c", "sum"), ("n", "sum")]
+        )
+        pos = pc.index_in(group["o_custkey"], value_set=g["o_custkey"].combine_chunks())
+        sum_c = pc.take(g["sum_c"], pos)
+        n = pc.take(g["n"], pos)
+        keep = pc.greater(pc.multiply(price_c, n), sum_c)
+        return group.select(["o_orderkey", "o_custkey", "o_totalprice"]).filter(keep)
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__pp").map_groups(
+        combine, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------------------
+# order_priority_returned — EXISTS semi-join (TPC-H-Q4 shape): count orders
+# per priority that have at least one returned ('R') lineitem. Both sides
+# are hash-bucketed on the join key and unioned into ONE exchange; inside a
+# bucket the semi-join is a vectorized is_in mask. The probe side ships
+# only per-batch-distinct keys, the build side only (key, priority) — no
+# full-row join, and the per-bucket outputs are 5-row count partials.
+# -------------------------------------------------------------------------
+
+def order_priority_returned(sf_dir: str) -> pa.Table:
+    from .agg import tag_partition
+
+    n_parts = _raw_parts(sf_dir, "orders", "lineitem")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "__k": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "__side": pa.array([0] * batch.num_rows, pa.int8()),
+            }
+        )
+        return tag_partition(t, ["__k"], n_parts)
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            batch.filter(pc.equal(batch["l_returnflag"], "R"))["l_orderkey"]
+        )
+        t = pa.table(
+            {
+                "__k": pc.cast(keys, pa.int64()),
+                "o_orderpriority": pa.nulls(len(keys), pa.string()),
+                "__side": pa.array([1] * len(keys), pa.int8()),
+            }
+        )
+        return tag_partition(t, ["__k"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        probe = group.filter(pc.equal(group["__side"], 1))["__k"]
+        left = group.filter(pc.equal(group["__side"], 0))
+        hit = left.filter(pc.is_in(left["__k"], value_set=probe.combine_chunks()))
+        t = pa.table(
+            {
+                "o_orderpriority": hit["o_orderpriority"],
+                "n_orders": pa.array([1] * hit.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(
+            t, keys=["o_orderpriority"], aggs=[("n_orders", "sum")]
+        )
+
+    partials = collect(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    if partials is None:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    return partial_group_agg(
+        partials.select(["o_orderpriority", "n_orders"]),
+        keys=["o_orderpriority"],
+        aggs=[("n_orders", "sum")],
+    )
+
+
+# -------------------------------------------------------------------------
+# parts_never_returned_heavy — NOT EXISTS anti-join: parts with no returned
+# ('R') lineitem of quantity > 45. Same bucketed union exchange as the
+# semi-join above with the mask inverted; every part row rides the
+# exchange exactly once, the probe side only as per-batch-distinct keys.
+# -------------------------------------------------------------------------
+
+def parts_never_returned_heavy(sf_dir: str) -> rd.Dataset:
+    from .agg import tag_partition
+
+    n_parts = _raw_parts(sf_dir, "part", "lineitem")
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag", "l_quantity"])
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "__k": pc.cast(batch["p_partkey"], pa.int64()),
+                "p_name": batch["p_name"],
+                "__side": pa.array([0] * batch.num_rows, pa.int8()),
+            }
+        )
+        return tag_partition(t, ["__k"], n_parts)
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch["l_returnflag"], "R"),
+            pc.greater(batch["l_quantity"], pa.scalar(45.0)),
+        )
+        keys = pc.unique(batch.filter(m)["l_partkey"])
+        t = pa.table(
+            {
+                "__k": pc.cast(keys, pa.int64()),
+                "p_name": pa.nulls(len(keys), pa.string()),
+                "__side": pa.array([1] * len(keys), pa.int8()),
+            }
+        )
+        return tag_partition(t, ["__k"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        probe = group.filter(pc.equal(group["__side"], 1))["__k"]
+        left = group.filter(pc.equal(group["__side"], 0))
+        miss = left.filter(
+            pc.invert(pc.is_in(left["__k"], value_set=probe.combine_chunks()))
+        )
+        return pa.table({"p_partkey": miss["__k"], "p_name": miss["p_name"]})
+
+    return (
+        part.map_batches(tag_part, batch_format="pyarrow")
+        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
