@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": T.sample_docs,
         "sample_stratified": T.sample_stratified,
         "doc_top_terms": T.doc_top_terms,
+        "remove_boilerplate": T.remove_boilerplate_lines,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -655,6 +656,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS canon_id
             FROM reach GROUP BY u
+        """,
+        "remove_boilerplate": """
+            -- CCNet-style corpus-frequency line scrub: a line occurring in
+            -- >= 2 DISTINCT documents is boilerplate and dropped everywhere.
+            WITH ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS la
+                FROM documents
+            ), l AS (
+                SELECT doc_id, unnest(la) AS line,
+                       generate_subscripts(la, 1) AS ord
+                FROM ls
+            ), freq AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS nd
+                FROM l GROUP BY line
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY ord)
+                            FILTER (WHERE nd < 2), '') AS clean_text,
+                   CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT)
+                       AS n_removed
+            FROM (SELECT l.doc_id, l.line, l.ord, f.nd
+                  FROM l JOIN freq f ON l.line = f.line)
+            GROUP BY doc_id
         """,
         "embedding_topk": """
             SELECT vec_id,

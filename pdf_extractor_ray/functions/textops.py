@@ -1300,3 +1300,108 @@ def sample_stratified(sf_dir: str) -> rd.Dataset:
         return batch.filter(pa.array(keep)).select(["doc_id", "lang"])
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# remove_boilerplate_lines — CCNet-style corpus-frequency line scrubbing:
+# a line that appears in >= min_docs DISTINCT documents is boilerplate
+# (cookie banners, nav bars, footers) and is dropped from every document.
+# Two passes, both vectorized end-to-end with arrow list kernels:
+#   1. split_pattern -> per-batch (line, distinct-doc) partial counts ->
+#      one hash-bucketed exchange of (line, nd) partials -> the (small)
+#      boilerplate line set is collected and broadcast;
+#   2. split_pattern -> is_in mask on the flat line values -> rebuild the
+#      list offsets -> binary_join. No per-row Python in either pass.
+# Scale note: the pass-1 exchange moves per-batch-DISTINCT lines; the
+# broadcast set is only lines crossing the min_docs threshold (boilerplate
+# is rare by definition). The reference has no analog — this is the
+# web-corpus cleaning step in front of training (CCNet, Wenzek et al. '20).
+# -------------------------------------------------------------------------
+
+class _BoilerplateFilter:
+    def __init__(self, lines: pa.Array):
+        self._lines = lines
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        la = pc.split_pattern(batch["text"], pattern="\n").combine_chunks()
+        flat = la.flatten()
+        lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+        n = batch.num_rows
+        if len(self._lines) == 0:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "clean_text": batch["text"],
+                    "n_removed": pa.array(np.zeros(n, dtype=np.int64)),
+                }
+            )
+        keep = pc.invert(pc.is_in(flat, value_set=self._lines)).to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(n), lens)
+        kept_per_doc = np.bincount(doc_idx[keep], minlength=n)
+        new_offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept_per_doc, out=new_offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offsets), flat.filter(pa.array(keep))
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": pc.binary_join(kept_list, "\n"),
+                "n_removed": pa.array(lens - kept_per_doc, pa.int64()),
+            }
+        )
+
+
+def remove_boilerplate_lines(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
+    from .agg import collect, scaled_partitions, tag_partition
+    import pyarrow.parquet as pq
+
+    n_parts = scaled_partitions(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        la = pc.split_pattern(batch["text"], pattern="\n").combine_chunks()
+        flat = la.flatten()
+        lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), lens
+        )
+        # distinct (doc, line) first, then distinct-doc count per line
+        d = pa.table({"doc_id": pa.array(doc_idx), "line": flat}).group_by(
+            ["doc_id", "line"]
+        ).aggregate([])
+        t = pa.table(
+            {
+                "line": d["line"],
+                "nd": pa.array(np.ones(d.num_rows, dtype=np.int64)),
+            }
+        )
+        return tag_partition(
+            partial_group_agg(t, keys=["line"], aggs=[("nd", "sum")]),
+            ["line"],
+            n_parts,
+        )
+
+    def frequent(group: pa.Table) -> pa.Table:
+        g = partial_group_agg(
+            group.select(["line", "nd"]), keys=["line"], aggs=[("nd", "sum")]
+        )
+        return g.filter(
+            pc.greater_equal(g["nd"], pa.scalar(min_docs, pa.int64()))
+        ).select(["line"])
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    boiler = collect(
+        docs.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(frequent, batch_format="pyarrow")
+    )
+    lines = (
+        pa.array([], pa.string())
+        if boiler is None
+        else boiler["line"].combine_chunks()
+    )
+    return instance_stage(docs, _BoilerplateFilter, lines=lines)

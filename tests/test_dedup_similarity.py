@@ -384,3 +384,63 @@ def test_read_pages_filtered_url_prefix(ray_session, small_corpus):
     # complements must partition the corpus: prefix + non-prefix = total
     all_ds = read_pages_filtered(small_corpus["corpus"], columns=["url"])
     assert len(urls) < all_ds.count()
+
+
+def test_remove_boilerplate_planted(ray_session, tmp_path):
+    """Corpus-frequency line scrub on a planted corpus with shared nav/footer
+    lines: engine output must equal the DuckDB oracle, actually remove the
+    shared lines (the sf corpora are line-dup-free, so only this test
+    exercises the removal path), and keep unique bodies intact."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as E
+    from pdf_extractor_ray.functions.textops import remove_boilerplate_lines
+
+    d = tmp_path / "boiler"
+    d.mkdir()
+    nav = "HOME | ABOUT | CONTACT"
+    footer = "(c) 2026 Example Corp"
+    texts = [
+        f"{nav}\nunique body {i} words here\nmore unique {i * 7}\n{footer}"
+        for i in range(6)
+    ] + [
+        "totally standalone document",
+        "",
+        f"{nav}\n{nav}\nrepeated nav twice\n{footer}",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = (
+        remove_boilerplate_lines(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = (
+        con.execute(E.oracle_sql()["remove_boilerplate"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], exp[sorted(exp.columns)]
+    )
+    # nav appears in 7 docs, footer in 7; doc 8 carries nav twice -> both
+    # instances counted
+    assert out["n_removed"].tolist() == [2, 2, 2, 2, 2, 2, 0, 0, 3]
+    joined = "\n".join(out["clean_text"])
+    assert nav not in joined and footer not in joined
+    assert "unique body 3 words here" in joined
