@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": T.sample_stratified,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
+        "redact_pii": T.redact_pii,
+        "repetition_stats": T.repetition_stats,
+        "pack_sequences": T.pack_sequences,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -155,6 +158,31 @@ def _lang_id_sql() -> str:
                     WHEN s_es = {g} THEN 'es'
                     ELSE 'fr' END AS pred_lang
         FROM sc
+    """
+
+
+def _redact_pii_sql() -> str:
+    """DuckDB oracle for PII redaction, built from the SAME three RE2
+    patterns the engine compiles (one source of truth; both pyarrow.compute
+    and DuckDB regexp_* run RE2, and DuckDB standard strings keep
+    backslashes literal)."""
+    from pdf_extractor_ray.functions.textops import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    e, p, i = (f"'{pat}'" for pat in (PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE))
+    return f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, {e}, '<EMAIL>', 'g'),
+                         {p}, '<PHONE>', 'g'),
+                         {i}, '<IP>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, {e})) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, {p})) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(text, {i})) AS BIGINT) AS n_ips
+        FROM documents
     """
 
 
@@ -679,6 +707,68 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT l.doc_id, l.line, l.ord, f.nd
                   FROM l JOIN freq f ON l.line = f.line)
             GROUP BY doc_id
+        """,
+        "redact_pii": _redact_pii_sql(),
+        "repetition_stats": """
+            -- Gopher-style within-doc repetition: duplicate-line count and
+            -- most-frequent word-bigram count ([a-z0-9]+ tokens, lowercased)
+            WITH ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS la
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, len(la) AS n_lines,
+                       len(list_distinct(la)) AS n_distinct
+                FROM ls
+            ), w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(range(1, len(w)),
+                                 i -> w[i]||' '||w[i+1])
+                       END AS bgs
+                FROM w
+            ), top AS (
+                SELECT doc_id, MAX(c) AS top_n FROM (
+                    SELECT doc_id, b, COUNT(*) AS c
+                    FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+                    GROUP BY doc_id, b)
+                GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
+                   CAST(l.n_lines - l.n_distinct AS BIGINT) AS n_dup_lines,
+                   CAST(greatest(len(w.w) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(top.top_n, 0) AS BIGINT) AS top_bigram_n
+            FROM lines l
+            JOIN w ON l.doc_id = w.doc_id
+            LEFT JOIN top ON l.doc_id = top.doc_id
+        """,
+        "pack_sequences": """
+            -- deterministic document packing: seq_id = exclusive prefix sum
+            -- of whitespace tokens (doc_id order) // 512
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text, ' ' || chr(9) || chr(10)
+                                       || chr(13) || chr(12) || chr(11)) = ''
+                            THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 trim(text, ' ' || chr(9) || chr(10)
+                                      || chr(13) || chr(12) || chr(11)),
+                                 '[ ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11) || ']+'))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 512 AS BIGINT)
+                       AS seq_id
+            FROM t
         """,
         "embedding_topk": """
             SELECT vec_id,

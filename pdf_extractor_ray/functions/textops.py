@@ -1405,3 +1405,233 @@ def remove_boilerplate_lines(sf_dir: str, min_docs: int = 2) -> rd.Dataset:
         else boiler["line"].combine_chunks()
     )
     return instance_stage(docs, _BoilerplateFilter, lines=lines)
+
+
+# -------------------------------------------------------------------------
+# redact_pii — vectorized PII scrubbing: emails, phone numbers and IPv4
+# addresses are counted on the original text and replaced (in that fixed
+# order) with <EMAIL>/<PHONE>/<IP> tokens. Both pyarrow.compute and the
+# DuckDB oracle run RE2, so the THREE patterns below are shared verbatim
+# with oracle_sql()["redact_pii"] — one source of truth, zero per-row
+# Python. Pure per-doc map: no shuffle, streams at any scale.
+# -------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        counts = {
+            name: pc.cast(pc.count_substring_regex(text, pattern=pat), pa.int64())
+            for name, pat in (
+                ("n_emails", PII_EMAIL_RE),
+                ("n_phones", PII_PHONE_RE),
+                ("n_ips", PII_IP_RE),
+            )
+        }
+        clean = text
+        for pat, repl in (
+            (PII_EMAIL_RE, "<EMAIL>"),
+            (PII_PHONE_RE, "<PHONE>"),
+            (PII_IP_RE, "<IP>"),
+        ):
+            clean = pc.replace_substring_regex(
+                clean, pattern=pat, replacement=repl
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "clean_text": clean, **counts}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# repetition_stats — Gopher-style (Rae et al. '21, §A1.1) within-document
+# repetition signals: duplicate-line count and the most-frequent word
+# bigram's share. Entirely vectorized per batch: arrow split kernels ->
+# flat word/line arrays with numpy offset math -> ONE arrow group_by per
+# signal; no per-row Python, no shuffle (per-doc map).
+# -------------------------------------------------------------------------
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["doc_id"].combine_chunks()
+        # -- duplicate lines: n_lines - n_distinct_lines per doc
+        ll = pc.split_pattern(batch["text"], pattern="\n").combine_chunks()
+        n_lines = np.diff(ll.offsets.to_numpy(zero_copy_only=False))
+        line_doc = np.repeat(np.arange(n), n_lines)
+        dl = (
+            pa.table({"d": pa.array(line_doc), "line": ll.flatten()})
+            .group_by(["d", "line"])
+            .aggregate([])
+            .group_by("d")
+            .aggregate([("d", "count")])
+        )
+        n_distinct = np.zeros(n, dtype=np.int64)
+        n_distinct[dl["d"].to_numpy(zero_copy_only=False)] = dl[
+            "d_count"
+        ].to_numpy(zero_copy_only=False)
+        # -- word bigrams on [a-z0-9]+ tokens of the lowercased text
+        wl = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+        ).combine_chunks()
+        wflat = wl.flatten()
+        wlens = np.diff(wl.offsets.to_numpy(zero_copy_only=False))
+        wdoc = np.repeat(np.arange(n), wlens)
+        keep = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
+        wdoc = wdoc[keep]
+        words = wflat.filter(pa.array(keep))
+        n_words = np.bincount(wdoc, minlength=n).astype(np.int64)
+        n_bigrams = np.maximum(n_words - 1, 0)
+        top = np.zeros(n, dtype=np.int64)
+        if len(words) >= 2:
+            m = wdoc[:-1] == wdoc[1:]
+            idx = np.flatnonzero(m)
+            bg = pc.binary_join_element_wise(
+                words.take(pa.array(idx)),
+                words.take(pa.array(idx + 1)),
+                " ",
+            )
+            tb = (
+                pa.table({"d": pa.array(wdoc[idx]), "b": bg})
+                .group_by(["d", "b"])
+                .aggregate([("b", "count")])
+                .group_by("d")
+                .aggregate([("b_count", "max")])
+            )
+            top[tb["d"].to_numpy(zero_copy_only=False)] = tb[
+                "b_count_max"
+            ].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_dup_lines": pa.array(n_lines - n_distinct, pa.int64()),
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "top_bigram_n": pa.array(top, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# pack_sequences — deterministic document packing for training: docs in
+# doc_id order are chunked into training sequences by token prefix sums
+# (seq_id = exclusive-cumsum(tokens) // budget). Distributed exactly like
+# Spark's zipWithIndex: pass 1 computes per-ordered-bucket token totals
+# (tiny: one row per bucket, collected and exclusive-scanned on the
+# driver), pass 2 re-tokenizes and adds local cumsum + bucket base — no
+# global sort, no full materialization; the doc_id range comes free from
+# the parquet footer stats. Token definition shared with token_count
+# (ASCII-whitespace runs on the trimmed text).
+# -------------------------------------------------------------------------
+
+
+def _ws_tokens(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    trimmed = pc.utf8_trim(text, characters=_ASCII_WS)
+    seps = pc.cast(
+        pc.count_substring_regex(trimmed, pattern=r"[ \t\n\r\f\v]+"),
+        pa.int64(),
+    )
+    return pc.if_else(
+        pc.not_equal(trimmed, ""), pc.add(seps, 1), pa.scalar(0, pa.int64())
+    )
+
+
+def _id_range_from_footer(path: str, column: str) -> tuple[int, int]:
+    """min/max of an id column from parquet row-group statistics — O(footer),
+    no data read. Falls back to a column-pruned scan if stats are absent."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    idx = md.schema.names.index(column)
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            t = pq.read_table(path, columns=[column])[column]
+            mm = pc.min_max(t)
+            return mm["min"].as_py(), mm["max"].as_py()
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi)
+
+
+def pack_sequences(sf_dir: str, budget: int = 512) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    from .agg import scaled_partitions
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    lo, hi = _id_range_from_footer(path, "doc_id")
+    n_parts = scaled_partitions(n_rows)
+    span = hi - lo + 1
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        return (ids - lo) * n_parts // span
+
+    # pass 1: per-bucket token totals (n_parts rows -> driver scan)
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "b": pa.array(bucket_of(ids)),
+                "tok": _ws_tokens(batch["text"]),
+            }
+        )
+        return partial_group_agg(t, keys=["b"], aggs=[("tok", "sum")])
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    totals = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("tok")
+        .to_pandas()
+        .sort_values("b")
+    )
+    per_bucket = np.zeros(n_parts, dtype=np.int64)
+    per_bucket[totals["b"].to_numpy()] = totals["sum(tok)"].to_numpy()
+    base = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(per_bucket, out=base[1:])
+
+    # pass 2: within each ordered bucket, sort by doc_id, local cumsum +
+    # the bucket's base offset -> global exclusive prefix sum
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": _ws_tokens(batch["text"]),
+                "__pp": pa.array(bucket_of(ids)),
+            }
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        t = group.sort_by("doc_id")
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        b = int(t["__pp"][0].as_py())
+        excl = base[b] + np.cumsum(tok) - tok
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "seq_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(pack, batch_format="pyarrow")
+    )
