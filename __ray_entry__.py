@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": T.redact_pii,
         "repetition_stats": T.repetition_stats,
         "pack_sequences": T.pack_sequences,
+        "decontaminate": T.decontaminate,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -709,6 +710,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "redact_pii": _redact_pii_sql(),
+        "decontaminate": """
+            -- benchmark n-gram overlap screen: benchmark = sample_docs
+            -- selector (md5 bucket < 25/256); candidates report distinct
+            -- 3-word shingles and how many occur in the benchmark. String
+            -- shingles here; the engine counts over 63-bit blake2b shingle
+            -- hashes (same convention as ngram_jaccard_pairs).
+            WITH w AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-1),
+                                 i -> w[i]||' '||w[i+1]||' '||w[i+2])
+                       END AS g,
+                       CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER)
+                           < 25 AS bench
+                FROM w
+            ), s AS (
+                SELECT doc_id, bench, unnest(list_distinct(g)) AS sh
+                FROM g WHERE len(g) > 0
+            ), b AS (
+                SELECT DISTINCT sh FROM s WHERE bench
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN sh IN (SELECT sh FROM b)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM s WHERE NOT bench
+            GROUP BY doc_id
+        """,
         "repetition_stats": """
             -- Gopher-style within-doc repetition: duplicate-line count and
             -- most-frequent word-bigram count ([a-z0-9]+ tokens, lowercased)

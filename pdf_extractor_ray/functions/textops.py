@@ -1635,3 +1635,103 @@ def pack_sequences(sf_dir: str, budget: int = 512) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# decontaminate — benchmark n-gram overlap screen (the train/eval
+# decontamination step, cf. GPT-3 appendix C / Dodge et al. '21): the
+# deterministic sample_docs subset (md5 bucket < pct%) plays the held-out
+# benchmark; every OTHER doc reports how many of its distinct 3-word
+# shingles appear anywhere in the benchmark. Same distributed inverted
+# shingle index as ngram_jaccard_pairs — postings bucketed by shingle
+# hash, membership tested per coarse bucket with ONE vectorized is_in,
+# per-doc partial counts re-keyed through the scale-aware grouped_sum —
+# so neither the benchmark shingle set nor any doc pair list is ever
+# broadcast or collected. Returns (doc_id, n_shingles, n_hits) for every
+# candidate doc with >= 1 shingle.
+# -------------------------------------------------------------------------
+
+
+def decontaminate(sf_dir: str, pct: int = 10) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    from .agg import grouped_sum, scaled_partitions
+
+    cut = (256 * pct) // 100
+    n_buckets = max(
+        2048,
+        scaled_partitions(
+            pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 150
+        ),
+    )
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_all: list[np.ndarray] = []
+        doc_ids: list[int] = []
+        bench: list[bool] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = _shingle_hashes63(t)
+            if hs.size == 0:
+                continue
+            b = hashlib.md5(t.encode("utf-8")).digest()[0] < cut
+            sh_all.append(hs)
+            doc_ids.extend([d] * hs.size)
+            bench.extend([b] * hs.size)
+        sh = (
+            np.concatenate(sh_all) if sh_all else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(sh % n_buckets),
+                "sh": pa.array(sh),
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+                "bench": pa.array(np.asarray(bench, dtype=bool)),
+            }
+        )
+
+    def probe(group: pa.Table) -> pa.Table:
+        is_b = group["bench"]
+        bench_sh = pc.unique(group.filter(is_b)["sh"].combine_chunks())
+        cand = group.filter(pc.invert(is_b))
+        if cand.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        hits = pc.cast(
+            pc.is_in(cand["sh"], value_set=bench_sh), pa.int64()
+        )
+        t = pa.table(
+            {
+                "doc_id": cand["doc_id"],
+                "n_shingles": pa.array(
+                    np.ones(cand.num_rows, dtype=np.int64)
+                ),
+                "n_hits": hits,
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["doc_id"],
+            aggs=[("n_shingles", "sum"), ("n_hits", "sum")],
+        )
+
+    per_bucket = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(probe, batch_format="pyarrow")
+    )
+    return grouped_sum(
+        per_bucket,
+        keys=["doc_id"],
+        partial=lambda b: partial_group_agg(
+            b,
+            keys=["doc_id"],
+            aggs=[("n_shingles", "sum"), ("n_hits", "sum")],
+        ),
+        sum_cols=["n_shingles", "n_hits"],
+    )
