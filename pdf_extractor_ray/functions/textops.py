@@ -535,44 +535,67 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
         right_on=("doc_id",),
     )
 
-    def _verify(group: pa.Table) -> pa.Table:
-        a = group["doc_a"][0].as_py()
-        b = group["doc_b"][0].as_py()
-        sa = sb = None
-        for sid, sh in zip(group["side_id"].to_pylist(), group["sh"].to_pylist()):
-            if sid == a and sa is None:
-                sa = sh
-            elif sid == b and sb is None:
-                sb = sh
-        if not sa or not sb:  # missing side or empty shingle set
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard_pct": pa.array([], pa.int64()),
-                }
-            )
-        set_a = set(np.frombuffer(sa, dtype=np.uint64).tolist())
-        set_b = set(np.frombuffer(sb, dtype=np.uint64).tolist())
-        j = len(set_a & set_b) / len(set_a | set_b)
-        if j < jaccard_threshold:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard_pct": pa.array([], pa.int64()),
-                }
-            )
+    # verification is bucketed by pair hash — NOT groupby(doc_a, doc_b),
+    # which pays one Python map_groups call per pair (the per-group killer:
+    # millions of verified candidates at corpus scale = millions of Ray
+    # group calls). One coarse bucket verifies all its pair runs with
+    # numpy set intersections on the packed shingle buffers.
+    n_ver_buckets = max(256, scaled_partitions(2 * len(need)))
+
+    def _tag_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        pb = ((a * np.int64(1_000_003)) ^ bb) % n_ver_buckets
+        return b.append_column("__pb", pa.array(pb))
+
+    def _verify_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")]
+        )
+        A = t["doc_a"].to_numpy(zero_copy_only=False)
+        B = t["doc_b"].to_numpy(zero_copy_only=False)
+        S = t["side_id"].to_numpy(zero_copy_only=False)
+        sh = t["sh"].to_pylist()
+        n = len(A)
+        newpair = np.concatenate(
+            [[True], (A[1:] != A[:-1]) | (B[1:] != B[:-1])]
+        )
+        starts = np.flatnonzero(newpair)
+        ends = np.append(starts[1:], n)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[int] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            a, b = int(A[s]), int(B[s])
+            sa = sb = None
+            for i in range(s, e):
+                if S[i] == a and sa is None:
+                    sa = sh[i]
+                elif S[i] == b and sb is None:
+                    sb = sh[i]
+            if not sa or not sb:  # missing side or empty shingle set
+                continue
+            va = np.frombuffer(sa, dtype=np.uint64)
+            vb = np.frombuffer(sb, dtype=np.uint64)
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            j = inter / (va.size + vb.size - inter)
+            if j < jaccard_threshold:
+                continue
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(int(round(j * 100)))
         return pa.table(
             {
-                "doc_a": pa.array([a], pa.int64()),
-                "doc_b": pa.array([b], pa.int64()),
-                "jaccard_pct": pa.array([int(round(j * 100))], pa.int64()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_pct": pa.array(out_j, pa.int64()),
             }
         )
 
-    verified = joined.groupby(["doc_a", "doc_b"]).map_groups(
-        _verify, batch_format="pyarrow"
+    verified = (
+        joined.map_batches(_tag_pairs, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(_verify_bucket, batch_format="pyarrow")
     )
     tables = [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
     if not tables:
