@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": T.repetition_stats,
         "pack_sequences": T.pack_sequences,
         "decontaminate": T.decontaminate,
+        "paragraph_dedup": T.paragraph_dedup,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -710,6 +711,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "redact_pii": _redact_pii_sql(),
+        "paragraph_dedup": """
+            -- MassiveText-style inter-doc paragraph dedup: keep only the
+            -- globally-first (min doc_id, then min ord) instance of each
+            -- exact paragraph ("\\n\\n"-separated)
+            WITH ls AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)||chr(10)) AS la
+                FROM documents
+            ), p AS (
+                SELECT doc_id, unnest(la) AS para,
+                       generate_subscripts(la, 1) AS ord
+                FROM ls
+            ), w AS (
+                SELECT para, MIN(doc_id) AS wdoc FROM p GROUP BY para
+            ), w2 AS (
+                SELECT p.para, w.wdoc, MIN(p.ord) AS word
+                FROM p JOIN w ON p.para = w.para AND p.doc_id = w.wdoc
+                GROUP BY p.para, w.wdoc
+            ), k AS (
+                SELECT p.doc_id, p.ord, p.para,
+                       (p.doc_id = w2.wdoc AND p.ord = w2.word) AS keep
+                FROM p JOIN w2 ON p.para = w2.para
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(para, chr(10)||chr(10) ORDER BY ord)
+                            FILTER (WHERE keep), '') AS clean_text,
+                   CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT)
+                       AS n_removed
+            FROM k GROUP BY doc_id
+        """,
         "decontaminate": """
             -- benchmark n-gram overlap screen: benchmark = sample_docs
             -- selector (md5 bucket < 25/256); candidates report distinct

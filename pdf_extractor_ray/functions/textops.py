@@ -1758,3 +1758,136 @@ def decontaminate(sf_dir: str, pct: int = 10) -> rd.Dataset:
         ),
         sum_cols=["n_shingles", "n_hits"],
     )
+
+
+# -------------------------------------------------------------------------
+# paragraph_dedup — inter-document EXACT dedup at paragraph granularity
+# (the MassiveText / CCNet step between line scrubbing and whole-doc
+# dedup): every paragraph instance except the globally-first occurrence
+# (lexicographic min (doc_id, ord)) is dropped from its document. Two
+# keyed exchanges, both over paragraph rows — the honest shuffle for
+# these semantics, mirror of dedup_exact at a finer grain:
+#
+#   1. explode (doc_id, ord, para), hash-bucket by PARA -> winner = first
+#      row of each sorted run (vectorized adjacent-equality, no per-para
+#      Python);
+#   2. re-bucket survivors+tombstones by DOC -> per-doc reassembly with
+#      arrow list offsets + binary_join (tombstones carry an empty payload
+#      so only kept paragraph bytes travel the second exchange).
+#
+# Each bucket holds ~rows/n_parts paragraphs (scaled_partitions), never
+# one key's cluster; a pathological mega-duplicate paragraph lands one
+# run in one bucket and is dropped in O(run) time.
+# -------------------------------------------------------------------------
+
+
+def paragraph_dedup(sf_dir: str) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    from .agg import scaled_partitions, tag_partition
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # paragraph rows ≈ docs x ~10 paragraphs
+    n_parts = scaled_partitions(n_rows * 10)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        la = pc.split_pattern(
+            batch["text"], pattern="\n\n"
+        ).combine_chunks()
+        lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+        total = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(
+                        batch["doc_id"].to_numpy(zero_copy_only=False), lens
+                    )
+                ),
+                "ord": pa.array(
+                    np.arange(total) - np.repeat(starts, lens), pa.int64()
+                ),
+                "para": la.flatten(),
+            }
+        )
+        return tag_partition(t, ["para"], n_parts)
+
+    def pick_winners(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("para", "ascending"),
+                ("doc_id", "ascending"),
+                ("ord", "ascending"),
+            ]
+        )
+        para = t["para"].combine_chunks()
+        n = len(para)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "ord": pa.array([], pa.int64()),
+                    "para": pa.array([], pa.string()),
+                    "keep": pa.array([], pa.bool_()),
+                }
+            )
+        eq = pc.equal(para.slice(1), para.slice(0, n - 1))
+        keep = np.concatenate(
+            [[True], pc.invert(eq).to_numpy(zero_copy_only=False)]
+        )
+        # tombstones ship no paragraph bytes back out
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ord": t["ord"],
+                "para": pc.if_else(pa.array(keep), para, ""),
+                "keep": pa.array(keep),
+            }
+        )
+
+    def retag(batch: pa.Table) -> pa.Table:
+        return tag_partition(
+            batch.select(["doc_id", "ord", "para", "keep"]),
+            ["doc_id"],
+            n_parts,
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("doc_id", "ascending"), ("ord", "ascending")]
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        doc_starts = np.flatnonzero(
+            np.concatenate([[True], ids[1:] != ids[:-1]])
+        )
+        doc_lens = np.diff(np.append(doc_starts, n))
+        n_docs = len(doc_starts)
+        doc_idx = np.repeat(np.arange(n_docs), doc_lens)
+        keep = t["keep"].to_numpy(zero_copy_only=False)
+        kept_per_doc = np.bincount(doc_idx[keep], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            t["para"].combine_chunks().filter(pa.array(keep)),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_starts]),
+                "clean_text": pc.binary_join(kept_list, "\n\n"),
+                "n_removed": pa.array(
+                    doc_lens - kept_per_doc, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(pick_winners, batch_format="pyarrow")
+        .map_batches(retag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

@@ -133,3 +133,32 @@ def test_pack_sequences_multibucket_matches_oracle(
     _assert_match(out, exp)
     assert out["seq_id"].iloc[-1] > 5  # actually crossed many sequences
     assert (out["seq_id"].diff().dropna() >= 0).all()  # monotone in doc_id
+
+
+def test_paragraph_dedup_planted(ray_session, tmp_path):
+    """Global first-wins at paragraph granularity: later docs lose shared
+    paragraphs, intra-doc repeats collapse to the first ord, and the winner
+    doc keeps its copy untouched."""
+    from pdf_extractor_ray.functions.textops import paragraph_dedup
+
+    shared = "this exact paragraph appears in many documents"
+    texts = [
+        f"{shared}\n\nunique to zero",  # doc 0 wins the shared para
+        f"unique to one\n\n{shared}",
+        f"{shared}\n\n{shared}\n\nmiddle\n\n{shared}",  # 3 repeats, all lose
+        "all original content here",
+        "",
+        "",  # the empty paragraph also dedups (doc 4 wins)
+    ]
+    d = _docs_dir(tmp_path, texts)
+    out = _run(paragraph_dedup, d)
+    _assert_match(out, _oracle(d, "paragraph_dedup"))
+    assert out["n_removed"].tolist() == [0, 1, 3, 0, 0, 1]
+    assert out["clean_text"].tolist() == [
+        texts[0],
+        "unique to one",
+        "middle",
+        texts[3],
+        "",
+        "",
+    ]
