@@ -1165,7 +1165,16 @@ def shipping_priority(
     from ray.data.aggregate import Sum
 
     def post_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(["l_orderkey", "o_orderdate", "revenue_c"])
+        # key on the int64 microsecond value: Ray's native aggregate coerces
+        # timestamp[us] keys to timestamp[s] (lossy in general), int64 is
+        # exact and casts back losslessly after the exchange
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "o_orderdate": pc.cast(batch["o_orderdate"], pa.int64()),
+                "revenue_c": batch["revenue_c"],
+            }
+        )
         return partial_group_agg(
             t, keys=["l_orderkey", "o_orderdate"], aggs=[("revenue_c", "sum")]
         )
@@ -1174,7 +1183,7 @@ def shipping_priority(
         return pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
-                "o_orderdate": batch["o_orderdate"],
+                "o_orderdate": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
                 "revenue_c": pc.cast(batch["sum(revenue_c)"], pa.int64()),
             }
         )
