@@ -96,12 +96,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.pack_sequences,
         "decontaminate": T.decontaminate,
         "paragraph_dedup": T.paragraph_dedup,
+        "vocab_topk": T.vocab_topk,
+        "normalize_text": T.normalize_text,
+        "explode_paragraphs": T.explode_paragraphs,
+        "cap_per_source": T.cap_per_source,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_near_dup": S.embedding_near_dup,
         "near_dup_groups": S.near_dup_groups,
+        "knn_classify": S.knn_classify,
         # mergeable sketches — the O(1)-state 100 TB paths beside the exact
         # aggregates (approximate by design -> rows-only; error bounds are
         # pytest-asserted against the exact results)
@@ -847,5 +852,75 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT CAST(embedding AS DOUBLE[])
                         FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "vocab_topk": """
+            -- corpus vocabulary: top-100 terms by total occurrences
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                      AS term
+                  FROM documents)
+            GROUP BY term
+            ORDER BY cnt DESC, term ASC
+            LIMIT 100
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text),
+                        '[ ' || chr(9) || chr(10) || chr(13) || chr(12)
+                             || chr(11) || ']+', ' ', 'g'), ' ')
+                       AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(text),
+                        '[ ' || chr(9) || chr(10) || chr(13) || chr(12)
+                             || chr(11) || ']+', ' ', 'g'), ' '))
+                       AS BIGINT) AS norm_chars
+            FROM documents
+        """,
+        "explode_paragraphs": """
+            SELECT doc_id,
+                   CAST(generate_subscripts(sp, 1) AS BIGINT) AS para_idx,
+                   unnest(sp) AS para,
+                   CAST(length(unnest(sp)) AS BIGINT) AS para_chars
+            FROM (SELECT doc_id,
+                         string_split(text, chr(10) || chr(10)) AS sp
+                  FROM documents)
+        """,
+        "cap_per_source": """
+            SELECT source, doc_id
+            FROM (SELECT source, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 50
+        """,
+        "knn_classify": """
+            -- k-NN (k=5, cosine) majority-label vote for queries vec_id<20
+            -- over the reference set vec_id>=20; ties -> smallest label
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 20
+            ), r AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv, label
+                FROM embeddings WHERE vec_id >= 20
+            ), s AS (
+                SELECT q.qid, r.vec_id, r.label,
+                       list_cosine_similarity(q.qv, r.rv) AS sim
+                FROM q, r
+            ), nn AS (
+                SELECT qid, label FROM (
+                    SELECT qid, label,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id ASC) AS rn
+                    FROM s)
+                WHERE rn <= 5
+            ), votes AS (
+                SELECT qid, label, COUNT(*) AS c
+                FROM nn GROUP BY qid, label
+            )
+            SELECT qid AS vec_id, pred_label FROM (
+                SELECT qid, label AS pred_label,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY c DESC, label ASC) AS rn
+                FROM votes)
+            WHERE rn = 1
         """,
     }

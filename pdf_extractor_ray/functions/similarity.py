@@ -459,3 +459,98 @@ def near_dup_groups(sf_dir: str, threshold: float = 0.95) -> pa.Table:
             "canon_id": pa.array([find(i) for i in ids], pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# knn_classify — k-nearest-neighbor label vote: for each query vector
+# (vec_id < n_queries) find the k cosine-nearest vectors in the reference
+# set (vec_id >= n_queries) and emit the majority label (ties -> smallest
+# label). The classification-by-retrieval shape over an embedding column.
+# Query matrix broadcast once (closure / object store); each batch does ONE
+# (batch x queries) matmul and forwards at most k rows per query, so the
+# driver-side vote sees #batches x n_queries x k tiny rows, never vectors.
+# -------------------------------------------------------------------------
+
+def knn_classify(
+    sf_dir: str, k: int = 5, n_queries: int = 20
+) -> pa.Table:
+    import pyarrow.compute as pc
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).sort_by("vec_id")
+    Q = _to_matrix(qt["embedding"])  # (q, dim)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qn = np.linalg.norm(Q, axis=1)
+    nq = len(qids)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.greater_equal(batch["vec_id"], pa.scalar(n_queries))
+        )
+        empty = pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int32()),
+                "raw": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        m = _to_matrix(b["embedding"])
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ Q.T) / np.outer(norms, qn)  # (n, q)
+        vids = b["vec_id"].to_numpy(zero_copy_only=False)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        kk = min(k, len(vids))
+        qcol, vcol, lcol, rcol = [], [], [], []
+        for j in range(nq):
+            col = sims[:, j]
+            order = np.lexsort((vids, -col))[:kk]
+            qcol.append(np.full(kk, qids[j], dtype=np.int64))
+            vcol.append(vids[order])
+            lcol.append(labels[order])
+            rcol.append(col[order])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(qcol)),
+                "vec_id": pa.array(np.concatenate(vcol), pa.int64()),
+                "label": pa.array(np.concatenate(lcol), pa.int32()),
+                "raw": pa.array(np.concatenate(rcol), pa.float64()),
+            }
+        )
+
+    import ray
+
+    pruned = _read_emb(sf_dir).map_batches(score_batch, batch_format="pyarrow")
+    parts = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "pred_label": pa.array([], pa.int32()),
+            }
+        )
+    allt = pa.concat_tables(parts)
+    qs = allt["qid"].to_numpy(zero_copy_only=False)
+    vs = allt["vec_id"].to_numpy(zero_copy_only=False)
+    ls = allt["label"].to_numpy(zero_copy_only=False)
+    rs = allt["raw"].to_numpy(zero_copy_only=False)
+    out_q, out_l = [], []
+    for qid in qids:
+        sel = qs == qid
+        order = np.lexsort((vs[sel], -rs[sel]))[:k]
+        top_labels = ls[sel][order]
+        uniq, cnts = np.unique(top_labels, return_counts=True)
+        # majority, ties -> smallest label (np.unique returns sorted uniq)
+        out_q.append(int(qid))
+        out_l.append(int(uniq[np.argmax(cnts)]))
+    return pa.table(
+        {
+            "vec_id": pa.array(out_q, pa.int64()),
+            "pred_label": pa.array(out_l, pa.int32()),
+        }
+    )

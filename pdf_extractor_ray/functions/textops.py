@@ -1891,3 +1891,151 @@ def paragraph_dedup(sf_dir: str) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(rebuild, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# vocab_topk — corpus-wide vocabulary build: global term-occurrence counts,
+# top-k by (count desc, term asc). The tokenizer-training / vocab-audit
+# step of a web-text pipeline. Fully vectorized: utf8_lower ->
+# split_pattern_regex on the non-alnum complement (identical runs to
+# _WORD_RE.findall) -> list_flatten -> per-batch arrow group_by partial ->
+# one hash-bucketed exchange of (term, cnt) partials -> distributed exact
+# top-k. The exchange moves per-batch-DISTINCT terms (Zipf: vocab grows
+# ~O(sqrt(tokens))), never raw token streams.
+# -------------------------------------------------------------------------
+
+def vocab_topk(sf_dir: str, k: int = 100) -> pa.Table:
+    from .agg import topk
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table(
+            {
+                "term": flat,
+                "cnt": pa.array(np.ones(len(flat), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["term"], aggs=[("cnt", "sum")])
+
+    counts = grouped_sum(ds, keys=["term"], partial=partial, sum_cols=["cnt"])
+    return topk(
+        counts, k=k, sort_keys=[("cnt", "descending"), ("term", "ascending")]
+    )
+
+
+# -------------------------------------------------------------------------
+# normalize_text — canonical text form ahead of hashing/dedup/tokenization:
+# unicode lowercase, ASCII-whitespace runs collapsed to single spaces,
+# leading/trailing spaces trimmed. Pure vectorized arrow kernels; byte
+# parity with DuckDB's lower()/regexp_replace(..,'g')/trim() verified
+# (both sides are utf8proc + RE2 semantics).
+# -------------------------------------------------------------------------
+
+def normalize_text(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                low, pattern=r"[ \t\n\r\f\v]+", replacement=" "
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": norm,
+                "norm_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# explode_paragraphs — the flat_map shape: one input document row ->
+# one output row per '\n\n'-separated paragraph, with a 1-based
+# within-document index. Vectorized end-to-end (split_pattern ->
+# list_value_length/list_flatten + numpy repeat/arange for the
+# (doc_id, idx) expansion); no per-row Python. Embarrassingly parallel —
+# no exchange at all; output rows stay in input-block order so downstream
+# stages inherit the read's partitioning.
+# -------------------------------------------------------------------------
+
+def explode_paragraphs(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], "\n\n")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n = int(lens.sum())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "para_idx": pa.array(
+                    np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+                ),
+                "para": flat,
+                "para_chars": pc.cast(pc.utf8_length(flat), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# cap_per_source — per-domain document cap (the web-pipeline "no domain
+# dominates the mix" rule: keep at most `cap` docs per source, smallest
+# doc_id first = deterministic first-crawled-wins). Per-batch per-source
+# top-cap prefilter bounds the exchange at cap rows x #sources x #batches;
+# the keyed combine re-ranks vectorized (sort + run-length rank), never a
+# per-group Python call.
+# -------------------------------------------------------------------------
+
+def cap_per_source(sf_dir: str, cap: int = 50) -> rd.Dataset:
+    from .agg import tag_partition
+
+    ds = _read_docs(sf_dir, ["source", "doc_id"])
+
+    def _rank_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(idx)
+        src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        new_grp = np.empty(len(src), dtype=bool)
+        new_grp[0] = True
+        np.not_equal(src[1:], src[:-1], out=new_grp[1:])
+        starts = np.flatnonzero(new_grp)
+        rank = np.arange(len(src)) - np.repeat(
+            starts, np.diff(np.append(starts, len(src)))
+        )
+        return t.select(["source", "doc_id"]).filter(pa.array(rank < cap))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return tag_partition(_rank_filter(batch), ["source"])
+
+    def combine(group: pa.Table) -> pa.Table:
+        return _rank_filter(group.select(["source", "doc_id"]))
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
