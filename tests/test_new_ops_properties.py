@@ -1,0 +1,161 @@
+"""Planted-structure / invariant coverage for the round-2 additions
+(vocab build, normalization, paragraph explode, domain cap, k-NN
+classify) beyond the synthetic-table oracle parametrization in
+test_queries.py."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _docs_dir(tmp_path, rows, name="docs"):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_explode_paragraphs_roundtrip(ray_session, tmp_path):
+    """Rejoining paragraphs by doc in index order reproduces the input
+    byte-for-byte (split is lossless), including empty paragraphs and
+    whitespace-only docs."""
+    from pdf_extractor_ray.functions.textops import explode_paragraphs
+
+    texts = [
+        "one para",
+        "a\n\nb\n\nc",
+        "",
+        "\n\n",          # two empty paragraphs
+        "x\n\n\n\ny",    # empty middle paragraph
+        "  spaced  \n\n\ttabbed\t",
+    ]
+    sf = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        },
+    )
+    df = explode_paragraphs(sf).to_pandas()
+    assert list(df.columns) == ["doc_id", "para_idx", "para", "para_chars"]
+    rebuilt = (
+        df.sort_values(["doc_id", "para_idx"])
+        .groupby("doc_id")["para"]
+        .agg("\n\n".join)
+    )
+    for i, t in enumerate(texts):
+        assert rebuilt[i] == t, f"doc {i} not roundtripped"
+    assert (df["para_chars"] == df["para"].str.len()).all()
+
+
+def test_cap_per_source_invariants(ray_session, tmp_path):
+    """Never more than `cap` rows per source; kept ids are exactly the
+    `cap` smallest doc_ids of each source."""
+    from pdf_extractor_ray.functions.textops import cap_per_source
+
+    rng = np.random.default_rng(7)
+    n = 600
+    sources = [f"site{i}" for i in rng.integers(0, 5, n)]
+    ids = rng.permutation(n).astype(np.int64)
+    sf = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(["t"] * n),
+            "source": pa.array(sources),
+        },
+    )
+    out = cap_per_source(sf, cap=30).to_pandas()
+    counts = out.groupby("source")["doc_id"].count()
+    assert (counts <= 30).all()
+    gold = (
+        pd.DataFrame({"source": sources, "doc_id": ids})
+        .sort_values(["source", "doc_id"])
+        .groupby("source")
+        .head(30)
+    )
+    got = set(map(tuple, out[["source", "doc_id"]].itertuples(index=False)))
+    want = set(map(tuple, gold.itertuples(index=False)))
+    assert got == want
+
+
+def test_vocab_topk_planted(ray_session, tmp_path):
+    """Counts are total occurrences (not document frequency) and the
+    (cnt desc, term asc) tie-break is honored."""
+    from pdf_extractor_ray.functions.textops import vocab_topk
+
+    texts = ["apple apple banana", "apple cherry", "Banana! CHERRY, date"]
+    sf = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        },
+    )
+    t = vocab_topk(sf, k=3).to_pandas()
+    assert list(t["term"]) == ["apple", "banana", "cherry"]
+    assert list(t["cnt"]) == [3, 2, 2]
+
+
+def test_knn_classify_planted_clusters(ray_session, tmp_path):
+    """Queries planted inside a tight label cluster get that label."""
+    from pdf_extractor_ray.functions.similarity import knn_classify
+
+    rng = np.random.default_rng(3)
+    dim, per = 16, 40
+    centers = rng.normal(size=(3, dim)) * 10
+    vecs, labels = [], []
+    # 4 queries near center of their (known) cluster, then reference set
+    qlabels = [0, 1, 2, 1]
+    for ql in qlabels:
+        vecs.append(centers[ql] + rng.normal(size=dim) * 0.01)
+        labels.append(-1)  # query label ignored by the op
+    for lab in range(3):
+        for _ in range(per):
+            vecs.append(centers[lab] + rng.normal(size=dim) * 0.01)
+            labels.append(lab)
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = knn_classify(str(d), k=5, n_queries=4).to_pandas()
+    assert list(out["vec_id"]) == [0, 1, 2, 3]
+    assert list(out["pred_label"]) == qlabels
+
+
+def test_normalize_text_idempotent(ray_session, tmp_path):
+    from pdf_extractor_ray.functions.textops import normalize_text
+
+    texts = ["  A\t\tB\nC  ", "x", "", "\r\n\f\v", "ÄÖÜ  ß"]
+    sf = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        },
+    )
+    one = normalize_text(sf).to_pandas().sort_values("doc_id")
+    assert list(one["norm_text"]) == ["a b c", "x", "", "", "äöü ß"]
+    # idempotence: normalizing the normalized text is a fixed point
+    sf2 = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": one["doc_id"].to_numpy(),
+            "text": pa.array(list(one["norm_text"])),
+        },
+        name="docs2",
+    )
+    two = normalize_text(sf2).to_pandas().sort_values("doc_id")
+    assert list(two["norm_text"]) == list(one["norm_text"])
