@@ -1,0 +1,67 @@
+"""JSONL ingest/egress adapter: roundtrip exactness vs the parquet path,
+including binary html payloads and the extraction pipeline downstream."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_docs_jsonl_matches_parquet(ray_session, tmp_path):
+    from pdf_extractor_ray.sources.jsonl import read_docs_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    gold = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for rec in gold.to_dict("records"):
+            f.write(json.dumps(rec) + "\n")
+    got = (
+        read_docs_jsonl(str(jl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, gold.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_pages_jsonl_roundtrip_through_extraction(ray_session, tmp_path):
+    """corpus -> write_pages_jsonl -> read_pages_jsonl must reproduce the
+    canonical schema and byte-identical html, and the extraction stage
+    must produce the same text as the parquet-sourced run."""
+    import ray.data as rd
+
+    from pdf_extractor_ray.corpus import write_corpus
+    from pdf_extractor_ray.sources.jsonl import (
+        read_pages_jsonl,
+        write_pages_jsonl,
+    )
+    from pdf_extractor_ray.sources.pages import read_pages
+
+    pages_dir = tmp_path / "pages"
+    write_corpus(str(pages_dir), 60, n_shards=2)
+
+    jl_dir = tmp_path / "jl"
+    write_pages_jsonl(
+        rd.read_parquet(str(pages_dir)), str(jl_dir)
+    )
+
+    back = read_pages_jsonl(str(jl_dir))
+    want = (
+        read_pages(str(pages_dir))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got = back.to_pandas().sort_values("url").reset_index(drop=True)
+    got = got[want.columns.tolist()]
+    assert [str(got[c].dtype) for c in ["url", "lang"]] == ["object", "object"]
+    assert (got["url"] == want["url"]).all()
+    assert all(a == b for a, b in zip(got["html"], want["html"]))
+    assert (
+        got["warc_ts"].astype("datetime64[us, UTC]")
+        == want["warc_ts"].astype("datetime64[us, UTC]")
+    ).all()
