@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": R.orders_above_cust_avg,
         "order_priority_returned": R.order_priority_returned,
         "parts_never_returned_heavy": R.parts_never_returned_heavy,
+        "cust_order_counts": R.cust_order_counts,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
@@ -852,6 +853,12 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT CAST(embedding AS DOUBLE[])
                         FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "cust_order_counts": """
+            -- LEFT OUTER join: customers with no orders count 0
+            SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
         """,
         "vocab_topk": """
             -- corpus vocabulary: top-100 terms by total occurrences

@@ -1988,3 +1988,93 @@ def parts_never_returned_heavy(sf_dir: str) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# cust_order_counts — distributed LEFT OUTER join: every customer row
+# survives, customers with no orders emit n_orders = 0. The orders side is
+# reduced to per-key partial counts BEFORE the join (two-phase aggregate),
+# so the outer join's shuffle moves one tiny count row per active
+# customer, never raw order rows; partitions scale with cluster size.
+# Reference analog: the per-project document-count listing
+# (/root/reference/backend/src/main.py:545-575) which LEFT-joins projects
+# to their documents so empty projects still render.
+# -------------------------------------------------------------------------
+
+def cust_order_counts(
+    sf_dir: str, broadcast_rows: int = 5_000_000
+) -> rd.Dataset:
+    import numpy as np
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["o_custkey"], aggs=[("n", "sum")])
+
+    counts = grouped_sum(
+        orders, keys=["o_custkey"], partial=partial, sum_cols=["n"]
+    )
+
+    cust_rows = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if cust_rows <= broadcast_rows:
+        # broadcast path: the reduced count table (≤ one row per customer)
+        # is collected once and probed map-side — the LEFT OUTER semantics
+        # fall out of the searchsorted miss -> 0
+        cnt_t = collect(counts)
+        if cnt_t is not None:
+            cnt_t = cnt_t.sort_by("o_custkey")
+            okeys = cnt_t["o_custkey"].to_numpy(zero_copy_only=False)
+            ovals = cnt_t["n"].to_numpy(zero_copy_only=False)
+        else:
+            okeys = np.empty(0, dtype=np.int64)
+            ovals = np.empty(0, dtype=np.int64)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            k = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, k)
+            pos_c = np.minimum(pos, max(len(okeys) - 1, 0))
+            hit = (okeys[pos_c] == k) if len(okeys) else np.zeros(len(k), bool)
+            n = np.where(hit, ovals[pos_c] if len(okeys) else 0, 0)
+            return pa.table(
+                {
+                    "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                    "n_orders": pa.array(n, pa.int64()),
+                }
+            )
+
+        return cust.map_batches(probe, batch_format="pyarrow")
+
+    # scale path: native distributed left-outer join. Partition count is
+    # sized so every partition holds millions of key rows — Ray's join
+    # aggregator builds a schema-less table for a right partition that
+    # received zero rows (crashes acero), which only tiny inputs can hit.
+    rows = cust_rows + pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, min(2 * cpus, rows // 2_000_000 + 1))
+    joined = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "n_orders": pc.fill_null(
+                    pc.cast(batch["n"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

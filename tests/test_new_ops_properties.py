@@ -159,3 +159,33 @@ def test_normalize_text_idempotent(ray_session, tmp_path):
     )
     two = normalize_text(sf2).to_pandas().sort_values("doc_id")
     assert list(two["norm_text"]) == list(one["norm_text"])
+
+
+def test_cust_order_counts_left_outer_zero(ray_session, tmp_path):
+    """Customers without any order must survive the left-outer join with
+    n_orders = 0 (the null-fill path the synthetic tables may not hit)."""
+    from pdf_extractor_ray.functions.relational import cust_order_counts
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(d / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    out = (
+        cust_order_counts(str(d))
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert list(out["c_custkey"]) == [1, 2, 3, 4]
+    assert list(out["n_orders"]) == [2, 0, 1, 0]
