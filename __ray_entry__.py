@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": T.normalize_text,
         "explode_paragraphs": T.explode_paragraphs,
         "cap_per_source": T.cap_per_source,
+        "filter_source_quality": T.filter_source_quality,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -898,6 +899,22 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn <= 50
+        """,
+        "filter_source_quality": """
+            -- domain-level gate: drop whole sources failing aggregate
+            -- space-share or mean-length thresholds (integer-exact math)
+            WITH s AS (
+                SELECT source,
+                       COUNT(*) AS n_docs,
+                       SUM(length(text)) AS sum_chars,
+                       SUM(length(text)
+                           - length(replace(text, ' ', ''))) AS sum_spaces
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN s USING (source)
+            WHERE 100 * s.sum_spaces >= 10 * s.sum_chars
+              AND s.sum_chars >= 200 * s.n_docs
         """,
         "knn_classify": """
             -- k-NN (k=5, cosine) majority-label vote for queries vec_id<20

@@ -2039,3 +2039,78 @@ def cap_per_source(sf_dir: str, cap: int = 50) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# filter_source_quality — domain-level quality gate (the RefinedWeb-style
+# "drop whole bad domains" rule): a source survives iff its AGGREGATE
+# space share >= space_pct% and its mean doc length >= min_mean_chars.
+# Integer-exact threshold math (100*sum_spaces >= pct*sum_chars), so the
+# DuckDB oracle hash-matches bit-for-bit. The per-source stats reduce
+# in-cluster via the partial-agg exchange; only the REJECTED source set is
+# collected and broadcast (garbage domains are rare by assumption —
+# the mirror of the dup-index design), then docs anti-filter map-side.
+# -------------------------------------------------------------------------
+
+def filter_source_quality(
+    sf_dir: str, min_mean_chars: int = 200, space_pct: int = 10
+) -> rd.Dataset:
+    from .agg import collect
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        n_spaces = pc.cast(
+            pc.count_substring(batch["text"], pattern=" "), pa.int64()
+        )
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "sum_chars": n_chars,
+                "sum_spaces": n_spaces,
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["source"],
+            aggs=[("n_docs", "sum"), ("sum_chars", "sum"), ("sum_spaces", "sum")],
+        )
+
+    stats = grouped_sum(
+        ds,
+        keys=["source"],
+        partial=partial,
+        sum_cols=["n_docs", "sum_chars", "sum_spaces"],
+    )
+
+    def rejected_only(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(
+                pc.multiply(batch["sum_spaces"], pa.scalar(100, pa.int64())),
+                pc.multiply(batch["sum_chars"], pa.scalar(space_pct, pa.int64())),
+            ),
+            pc.greater_equal(
+                batch["sum_chars"],
+                pc.multiply(
+                    batch["n_docs"], pa.scalar(min_mean_chars, pa.int64())
+                ),
+            ),
+        )
+        return batch.filter(pc.invert(ok)).select(["source"])
+
+    rej_t = collect(stats.map_batches(rejected_only, batch_format="pyarrow"))
+    rejected = (
+        rej_t["source"].combine_chunks()
+        if rej_t is not None
+        else pa.array([], pa.string())
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["source"], value_set=rejected))
+        return batch.filter(mask).select(["doc_id", "source"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -189,3 +189,26 @@ def test_cust_order_counts_left_outer_zero(ray_session, tmp_path):
     )
     assert list(out["c_custkey"]) == [1, 2, 3, 4]
     assert list(out["n_orders"]) == [2, 0, 1, 0]
+
+
+def test_filter_source_quality_drops_bad_domain(ray_session, tmp_path):
+    """A source failing the aggregate thresholds is dropped wholesale,
+    including its individually-fine documents; good sources keep all."""
+    from pdf_extractor_ray.functions.textops import filter_source_quality
+
+    good = "word " * 60               # long, 20% spaces
+    garbage = "x" * 500               # long but zero spaces
+    texts = [good, good, garbage, garbage, good]
+    sources = ["a.com", "a.com", "spam.com", "spam.com", "spam.com"]
+    # spam.com has one good doc but aggregate space share ~7% -> all dropped
+    sf = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(sources),
+        },
+    )
+    out = filter_source_quality(sf).to_pandas()
+    assert set(out["source"]) == {"a.com"}
+    assert sorted(out["doc_id"]) == [0, 1]
