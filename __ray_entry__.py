@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_paragraphs": T.explode_paragraphs,
         "cap_per_source": T.cap_per_source,
         "filter_source_quality": T.filter_source_quality,
+        "split_assign": T.split_assign,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -899,6 +900,16 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn <= 50
+        """,
+        "split_assign": """
+            -- deterministic content-hash train/valid/test assignment
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(text), 1, 2))
+                             AS INTEGER) < 242 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(text), 1, 2))
+                             AS INTEGER) < 249 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "filter_source_quality": """
             -- domain-level gate: drop whole sources failing aggregate

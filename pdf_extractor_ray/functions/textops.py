@@ -2114,3 +2114,33 @@ def filter_source_quality(
         return batch.filter(mask).select(["doc_id", "source"])
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# split_assign — deterministic train/valid/test split by content hash
+# (the same md5-first-byte convention as sample_docs, so splits are
+# reproducible across runs/engines and stable under re-sharding):
+# buckets [0,242) -> train (~94.5%), [242,249) -> valid (~2.7%),
+# [249,256) -> test (~2.7%). Embarrassingly parallel, no exchange.
+# -------------------------------------------------------------------------
+
+def split_assign(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = np.array(
+            [
+                hashlib.md5(t.encode("utf-8")).digest()[0]
+                for t in batch["text"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        split = np.where(b < 242, "train", np.where(b < 249, "valid", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
