@@ -2088,6 +2088,10 @@ def filter_source_quality(
     )
 
     def rejected_only(batch: pa.Table) -> pa.Table:
+        # empty shuffle partitions surface as zero-column blocks — guard
+        # before touching named columns
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string())})
         ok = pc.and_(
             pc.greater_equal(
                 pc.multiply(batch["sum_spaces"], pa.scalar(100, pa.int64())),
