@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": T.cap_per_source,
         "filter_source_quality": T.filter_source_quality,
         "split_assign": T.split_assign,
+        "shuffle_docs": T.shuffle_docs,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -900,6 +901,14 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn <= 50
+        """,
+        "shuffle_docs": """
+            -- deterministic global shuffle order (seed 42)
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
         """,
         "split_assign": """
             -- deterministic content-hash train/valid/test assignment

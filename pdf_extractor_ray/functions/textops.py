@@ -2148,3 +2148,89 @@ def split_assign(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# shuffle_docs — deterministic global training-order shuffle: every doc
+# gets shuffle_pos = its rank under md5("{doc_id}:{seed}") hash order.
+# The distributed zipWithIndex shape WITHOUT a global sort operator:
+# md5 is uniform, so ordered key-RANGE buckets (first 32 hash bits scaled
+# to n_parts) are balanced by construction; pass 1 counts rows per bucket
+# (n_parts-row exchange -> exclusive base offsets), pass 2 ranks within
+# each bucket (sort by full key, tie-break doc_id) and adds the base.
+# Exactly reproduces ROW_NUMBER() OVER (ORDER BY md5(...), doc_id) - 1
+# because hex string order == numeric order of the hash prefix.
+# -------------------------------------------------------------------------
+
+def shuffle_docs(sf_dir: str, seed: int = 42) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    from .agg import scaled_partitions
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    n_parts = scaled_partitions(n_rows)
+
+    def keys_of(ids: list[int]) -> list[str]:
+        return [
+            hashlib.md5(f"{i}:{seed}".encode("ascii")).hexdigest()
+            for i in ids
+        ]
+
+    def bucket_of(keys: list[str]) -> np.ndarray:
+        v = np.array([int(k[:8], 16) for k in keys], dtype=np.int64)
+        return v * n_parts // (1 << 32)
+
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    # pass 1: per-bucket row counts -> exclusive global base offsets
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        t = pa.table(
+            {
+                "b": pa.array(bucket_of(keys_of(ids))),
+                "n": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["b"], aggs=[("n", "sum")])
+
+    totals = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("n")
+        .to_pandas()
+        .sort_values("b")
+    )
+    per_bucket = np.zeros(n_parts, dtype=np.int64)
+    per_bucket[totals["b"].to_numpy()] = totals["sum(n)"].to_numpy()
+    base = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(per_bucket, out=base[1:])
+
+    # pass 2: rank within each ordered bucket + the bucket's base offset
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ks = keys_of(ids)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "k": pa.array(ks, pa.string()),
+                "__pp": pa.array(bucket_of(ks)),
+            }
+        )
+
+    def rank(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("k", "ascending"), ("doc_id", "ascending")])
+        b = int(t["__pp"][0].as_py())
+        pos = base[b] + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shuffle_pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(rank, batch_format="pyarrow")
+    )
