@@ -2115,9 +2115,12 @@ def filter_source_quality(
 
     def keep(batch: pa.Table) -> pa.Table:
         mask = pc.invert(pc.is_in(batch["source"], value_set=rejected))
-        return batch.filter(mask).select(["doc_id", "source"])
+        return batch.filter(mask)
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    # second pass re-reads pruned to the two output columns — the heavy
+    # text column must not ship through the filter
+    slim = _read_docs(sf_dir, ["doc_id", "source"])
+    return slim.map_batches(keep, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------------

@@ -65,3 +65,26 @@ def test_pages_jsonl_roundtrip_through_extraction(ray_session, tmp_path):
         got["warc_ts"].astype("datetime64[us, UTC]")
         == want["warc_ts"].astype("datetime64[us, UTC]")
     ).all()
+
+    # run the SAME fused extraction stage over both sources: text must be
+    # byte-identical per url regardless of the wire format
+    from pdf_extractor_ray.stages.extract import FusedExtractor
+
+    inst = FusedExtractor(dup_index=None, n_partitions=16)
+    jl_ext = (
+        read_pages_jsonl(str(jl_dir))
+        .map_batches(lambda b: inst(b), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pq_ext = (
+        read_pages(str(pages_dir))
+        .map_batches(lambda b: inst(b), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert (jl_ext["url"] == pq_ext["url"]).all()
+    assert (jl_ext["extracted_text"] == pq_ext["extracted_text"]).all()
+    assert (jl_ext["status"] == pq_ext["status"]).all()
