@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_returned": R.order_priority_returned,
         "parts_never_returned_heavy": R.parts_never_returned_heavy,
         "cust_order_counts": R.cust_order_counts,
+        "user_customer_reconcile": R.user_customer_reconcile,
         # text analysis / dedup (training-data ops)
         "token_count": T.token_count,
         "token_count_bpe": T.token_count_bpe,
@@ -862,6 +863,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS n_orders
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
+        """,
+        "user_customer_reconcile": """
+            -- FULL OUTER join: union of event users and customer keys
+            WITH e AS (
+                SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events GROUP BY user_id
+            )
+            SELECT COALESCE(e.key, c.c_custkey) AS key,
+                   CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+                   (c.c_custkey IS NOT NULL) AS is_customer
+            FROM e FULL OUTER JOIN customer c ON e.key = c.c_custkey
         """,
         "vocab_topk": """
             -- corpus vocabulary: top-100 terms by total occurrences

@@ -2078,3 +2078,112 @@ def cust_order_counts(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# user_customer_reconcile — FULL OUTER join: the key universe is the UNION
+# of event users and customer keys; event-less customers emit n_events=0,
+# non-customer users emit is_customer=false. Events reduce to per-user
+# counts before the join (two-phase aggregate), so the outer join moves
+# one count row per active user. Small sides merge driver-side via one
+# arrow full-outer join (both inputs already reduced + under the
+# threshold); at scale the native distributed full_outer join runs with
+# partitions sized so none can be empty (see cust_order_counts note).
+# -------------------------------------------------------------------------
+
+def user_customer_reconcile(
+    sf_dir: str, broadcast_rows: int = 5_000_000
+) -> pa.Table | rd.Dataset:
+    import numpy as np
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "key": pc.cast(batch["user_id"], pa.int64()),
+                "n_events": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        return partial_group_agg(t, keys=["key"], aggs=[("n_events", "sum")])
+
+    counts = grouped_sum(
+        events, keys=["key"], partial=partial, sum_cols=["n_events"]
+    )
+
+    cust_rows = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    ev_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if cust_rows <= broadcast_rows and ev_rows <= broadcast_rows:
+        cnt_t = collect(counts)
+        if cnt_t is None:
+            cnt_t = pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        cust_t = collect(cust)
+        if cust_t is None:
+            cust_t = pa.table({"c_custkey": pa.array([], pa.int64())})
+        cust_t = cust_t.append_column(
+            "__c", pa.array(np.ones(cust_t.num_rows, dtype=np.int8))
+        )
+        j = cnt_t.join(
+            cust_t,
+            keys=["key"],
+            right_keys=["c_custkey"],
+            join_type="full outer",
+        )
+        return pa.table(
+            {
+                "key": pc.cast(j["key"], pa.int64()),
+                "n_events": pc.fill_null(
+                    pc.cast(j["n_events"], pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                ),
+                "is_customer": pc.fill_null(
+                    pc.equal(j["__c"], pa.scalar(1, pa.int8())), False
+                ),
+            }
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, min(2 * cpus, (cust_rows + ev_rows) // 2_000_000 + 1))
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "__c": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    joined = counts.join(
+        cust.map_batches(tag_cust, batch_format="pyarrow"),
+        join_type="full_outer",
+        num_partitions=n_parts,
+        on=("key",),
+        right_on=("c_custkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Ray's join coalesces left/right key values into the left key
+        # column and drops the right one
+        return pa.table(
+            {
+                "key": pc.cast(batch["key"], pa.int64()),
+                "n_events": pc.fill_null(
+                    pc.cast(batch["n_events"], pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                ),
+                "is_customer": pc.fill_null(
+                    pc.equal(batch["__c"], pa.scalar(1, pa.int8())), False
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -212,3 +212,40 @@ def test_filter_source_quality_drops_bad_domain(ray_session, tmp_path):
     out = filter_source_quality(sf).to_pandas()
     assert set(out["source"]) == {"a.com"}
     assert sorted(out["doc_id"]) == [0, 1]
+
+
+def test_user_customer_reconcile_both_paths(ray_session, tmp_path):
+    """Native distributed full-outer and broadcast merge agree with each
+    other and with a pandas gold, including both null sides (event-less
+    customers, non-customer users)."""
+    from pdf_extractor_ray.functions.relational import user_customer_reconcile
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": pa.array(np.arange(1, 401), pa.int64())}),
+        str(d / "customer.parquet"),
+    )
+    rng = np.random.default_rng(5)
+    users = rng.integers(201, 601, 3000).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(users),
+                "event_id": pa.array(np.arange(3000), pa.int64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    counts = pd.Series(users).value_counts()
+    keys = sorted(set(range(1, 401)) | set(counts.index))
+    gold = pd.DataFrame({"key": keys})
+    gold["n_events"] = gold["key"].map(counts).fillna(0).astype("int64")
+    gold["is_customer"] = gold["key"] <= 400
+    import ray.data as rd
+
+    for br in (0, 5_000_000):
+        out = user_customer_reconcile(str(d), broadcast_rows=br)
+        df = out.to_pandas() if isinstance(out, rd.Dataset) else out.to_pandas()
+        got = df.sort_values("key").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, gold, check_dtype=True)
