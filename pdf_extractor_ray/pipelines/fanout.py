@@ -37,29 +37,10 @@ from ..stages.registry import get_extractor
 FANOUT_COLUMNS = ["url", "extractor", "extracted_text", "status"]
 
 
-def fan_out(
-    pages: rd.Dataset,
-    extractors: Sequence[str],
-    *,
-    batch_size: int = 64,
-    fake_services: bool = False,
-    materialize_input: bool = False,
-) -> rd.Dataset:
-    """Run ``pages`` through every named registry extractor; returns the
-    (url, extractor, extracted_text, status) long table — one row per
-    url x extractor, the reference's per-job result set
-    (``tasks.py:250-264``). ``fake_services`` enables the deterministic
-    fake for stub (external-service) engines so the full dataflow runs in
-    sandboxes without network/binaries. ``materialize_input`` pins the
-    input blocks in the object store so the k branches share one read —
-    right when the corpus (or the filtered slice being compared) fits in
-    cluster memory; leave False at full-corpus scale and let each branch
-    stream its own read."""
-    if not extractors:
-        raise ValueError("fan_out needs at least one extractor name")
-    if materialize_input:
-        pages = pages.materialize()
-    branches = []
+def _build_instances(
+    extractors: Sequence[str], fake_services: bool
+) -> list[tuple[str, object, int]]:
+    insts = []
     for name in extractors:
         cls = get_extractor(name)  # raises on unknown, like get_reader
         kwargs: dict = {}
@@ -68,20 +49,80 @@ def fan_out(
             kwargs["fake"] = fake_services
         elif isinstance(cls, type) and issubclass(cls, DocumentExtractor):
             kwargs["emit_pages"] = False
-        inst = cls(**kwargs)
+        insts.append(
+            (name, cls(**kwargs), int(cls.info().get("max_retries", 2)))
+        )
+    return insts
 
-        def _stage(b: pa.Table, _inst=inst, _name: str = name) -> pa.Table:
-            out = _inst(b)
-            return pa.table(
-                {
-                    "url": out["url"],
-                    "extractor": pa.array([_name] * out.num_rows, pa.string()),
-                    "extracted_text": pc.cast(
-                        out["extracted_text"], pa.large_string()
-                    ),
-                    "status": out["status"],
-                }
+
+def _long_rows(out: pa.Table, name: str) -> pa.Table:
+    return pa.table(
+        {
+            "url": out["url"],
+            "extractor": pa.array([name] * out.num_rows, pa.string()),
+            "extracted_text": pc.cast(
+                out["extracted_text"], pa.large_string()
+            ),
+            "status": out["status"],
+        }
+    )
+
+
+def fan_out(
+    pages: rd.Dataset,
+    extractors: Sequence[str],
+    *,
+    batch_size: int = 64,
+    fake_services: bool = False,
+    materialize_input: bool = False,
+    fused: bool = False,
+) -> rd.Dataset:
+    """Run ``pages`` through every named registry extractor; returns the
+    (url, extractor, extracted_text, status) long table — one row per
+    url x extractor, the reference's per-job result set
+    (``tasks.py:250-264``). ``fake_services`` enables the deterministic
+    fake for stub (external-service) engines so the full dataflow runs in
+    sandboxes without network/binaries.
+
+    Two physical shapes:
+
+    * ``fused=True`` — ONE streaming stage runs all k engines over each
+      batch and emits k rows per document: one storage read, one
+      object-store hop, no re-parse of the payload columns. The right
+      default when every engine is a CPU-local kernel; the retry budget is
+      the max over the fused engines (per-engine budgets can't attach to a
+      shared stage).
+    * ``fused=False`` — k independent streaming branches unioned, each
+      with its OWN per-extractor retry budget (constants.py:72-95) and
+      failure isolation; the input is read once per extractor. Choose this
+      when engines have very different cost/failure profiles (external
+      services) and the re-read is cheaper than coupling them.
+      ``materialize_input`` pins the input blocks in the object store so
+      the k branches share one read — right when the corpus (or the
+      filtered slice being compared) fits in cluster memory."""
+    if not extractors:
+        raise ValueError("fan_out needs at least one extractor name")
+    insts = _build_instances(extractors, fake_services)
+
+    if fused:
+        def fused_stage(b: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [_long_rows(inst(b), name) for name, inst, _ in insts]
             )
+
+        return pages.map_batches(
+            fused_stage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            max_retries=max(r for _, _, r in insts),
+        )
+
+    if materialize_input:
+        pages = pages.materialize()
+    branches = []
+    for name, inst, retries in insts:
+        def _stage(b: pa.Table, _inst=inst, _name: str = name) -> pa.Table:
+            return _long_rows(_inst(b), _name)
 
         branches.append(
             pages.map_batches(
@@ -89,7 +130,7 @@ def fan_out(
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 # per-extractor infra retry budget (constants.py:72-95)
-                max_retries=int(cls.info().get("max_retries", 2)),
+                max_retries=retries,
             )
         )
     out = branches[0]
@@ -116,4 +157,5 @@ def fanout_extract(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     pages = ds.map_batches(docs_to_pages, batch_format="pyarrow")
-    return fan_out(pages, DEFAULT_FANOUT, fake_services=True)
+    # all default engines are CPU-local kernels/fakes -> fused single pass
+    return fan_out(pages, DEFAULT_FANOUT, fake_services=True, fused=True)

@@ -182,3 +182,35 @@ def test_media_real_decode_raises():
 
     with pytest.raises(NotImplementedError):
         ImageDecode(decode_real=True)(synthetic_media_table(2))
+
+
+def test_fan_out_fused_matches_branches(ray_session, small_corpus):
+    """The single-pass fused fan-out emits exactly the branch-mode long
+    table (same rows, any order) — one read + one hop vs k reads."""
+    import ray
+
+    from pdf_extractor_ray.pipelines.extract import read_pages
+    from pdf_extractor_ray.pipelines.fanout import fan_out
+
+    names = ["main_content", "markdown_pages", "ocr_tesseract"]
+    # whole corpus, NOT .limit(n): limit on a parallel read takes whichever
+    # rows arrive first, so two executions of the shared plan can select
+    # different subsets
+    pages = read_pages(small_corpus["corpus"])
+
+    def rows(ds):
+        t = pa.concat_tables(
+            [x for x in ray.get(ds.to_arrow_refs()) if x.num_rows]
+        )
+        return sorted(
+            zip(
+                t["url"].to_pylist(),
+                t["extractor"].to_pylist(),
+                t["extracted_text"].to_pylist(),
+                t["status"].to_pylist(),
+            )
+        )
+
+    branch = rows(fan_out(pages, names, fake_services=True))
+    fused = rows(fan_out(pages, names, fake_services=True, fused=True))
+    assert fused == branch and len(fused) > 0
