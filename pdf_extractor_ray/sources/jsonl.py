@@ -127,3 +127,20 @@ def write_pages_jsonl(ds: rd.Dataset, output_path: str) -> None:
         return pa.table(out)
 
     ds.map_batches(encode, batch_format="pyarrow").write_json(output_path)
+
+
+def read_docs_csv(
+    input_path: str, columns: list[str] | None = None
+) -> rd.Dataset:
+    """Documents table from *.csv — the third interchange format next to
+    parquet (scale path) and JSONL. Same normalize-to-canonical-schema
+    contract: downstream stages see blocks identical to the parquet
+    reader's. CSV carries no types, so every column is cast explicitly;
+    binary-bearing tables (pages) are NOT supported as CSV on purpose —
+    use JSONL (base64) or parquet."""
+    cols = columns or [f.name for f in DOCS_SCHEMA]
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return _select_cast(batch, DOCS_SCHEMA, cols)
+
+    return rd.read_csv(input_path).map_batches(cast, batch_format="pyarrow")

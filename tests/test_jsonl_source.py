@@ -88,3 +88,25 @@ def test_pages_jsonl_roundtrip_through_extraction(ray_session, tmp_path):
     assert (jl_ext["url"] == pq_ext["url"]).all()
     assert (jl_ext["extracted_text"] == pq_ext["extracted_text"]).all()
     assert (jl_ext["status"] == pq_ext["status"]).all()
+
+
+def test_docs_csv_matches_parquet(ray_session, tmp_path):
+    """CSV ingest restores the canonical documents schema; newline-bearing
+    text survives via quoting."""
+    import csv
+
+    from pdf_extractor_ray.sources.jsonl import read_docs_csv
+
+    sf = "/root/testdata/sf0.001"
+    gold = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    p = tmp_path / "docs.csv"
+    gold.to_csv(p, index=False, quoting=csv.QUOTE_NONNUMERIC)
+    got = (
+        read_docs_csv(str(p))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, gold.sort_values("doc_id").reset_index(drop=True)
+    )
