@@ -72,16 +72,24 @@ def read_pages_jsonl(
     indistinguishable from the parquet path."""
     cols = columns or ["url", "warc_ts", "html", "lang"]
 
+    def decode_or_none(v: str | None) -> bytes | None:
+        # swallow-and-flag contract: a malformed base64 payload becomes a
+        # null html cell (the sniff stage flags the row) instead of
+        # poisoning the whole batch
+        if v is None:
+            return None
+        try:
+            return base64.b64decode(v, validate=True)
+        except (ValueError, TypeError):
+            return None
+
     def cast(batch: pa.Table) -> pa.Table:
         out = {}
         for name in cols:
             col = batch[name]
             if name == "html":
                 out[name] = pa.array(
-                    [
-                        None if v is None else base64.b64decode(v)
-                        for v in col.to_pylist()
-                    ],
+                    [decode_or_none(v) for v in col.to_pylist()],
                     pa.large_binary(),
                 )
             elif name == "warc_ts":

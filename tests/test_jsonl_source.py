@@ -110,3 +110,37 @@ def test_docs_csv_matches_parquet(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, gold.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_pages_jsonl_malformed_base64_yields_null(ray_session, tmp_path):
+    """A corrupt base64 html cell becomes null (row flagged downstream),
+    never a thrown batch — the engine's swallow-and-flag contract."""
+    from pdf_extractor_ray.sources.jsonl import read_pages_jsonl
+
+    jl = tmp_path / "pages.jsonl"
+    with open(jl, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "url": "https://a/1",
+                    "warc_ts": "2025-01-01T00:00:00+0000",
+                    "html": "!!!not-base64!!!",
+                    "lang": "en",
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "url": "https://a/2",
+                    "warc_ts": "2025-01-01T00:00:01+0000",
+                    "html": "PGh0bWw+",  # "<html>"
+                    "lang": "en",
+                }
+            )
+            + "\n"
+        )
+    df = read_pages_jsonl(str(jl)).to_pandas().sort_values("url")
+    assert df["html"].iloc[0] is None or pd.isna(df["html"].iloc[0])
+    assert df["html"].iloc[1] == b"<html>"
