@@ -112,6 +112,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": S.embedding_near_dup,
         "near_dup_groups": S.near_dup_groups,
         "knn_classify": S.knn_classify,
+        # clustering layer: distributed spherical k-means + SemDeDup
+        # (iterative -> rows-only; planted-structure pytest oracles in
+        # tests/test_dedup_similarity.py)
+        "kmeans_clusters": S.kmeans_clusters,
+        "semdedup": S.semdedup,
         # mergeable sketches — the O(1)-state 100 TB paths beside the exact
         # aggregates (approximate by design -> rows-only; error bounds are
         # pytest-asserted against the exact results)

@@ -471,6 +471,228 @@ def near_dup_groups(sf_dir: str, threshold: float = 0.95) -> pa.Table:
 # driver-side vote sees #batches x n_queries x k tiny rows, never vectors.
 # -------------------------------------------------------------------------
 
+# -------------------------------------------------------------------------
+# Distributed k-means + SemDeDup — the clustering layer of a training-data
+# curation pipeline (semantic dedup a la SemDeDup, Abbas et al. 2023:
+# cluster the embedding space, then drop near-identical members within each
+# cluster). The reference stores embeddings but never clusters them
+# (vestigial EMBEDDING_DIMENSION, /root/reference/backend/src/constants.py:15-20);
+# this is a from-scratch design.
+#
+# Scale shape: each Lloyd iteration is ONE streaming pass — map_batches
+# emits per-batch (cluster, count, vector-sum) partials (k x dim floats per
+# batch, KBs on the wire), the driver reduces k rows. Centroids are
+# broadcast via the task closure (object store on a cluster). The
+# per-cluster dedup runs inside groupby(cluster).map_groups, so all-pairs
+# work is bounded by the largest cluster, never the corpus.
+# -------------------------------------------------------------------------
+
+_KM_SEED = 0xC1A5
+_KM_ITERS = 5
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _kmeans_centroids(sf_dir: str, k: int, iters: int = _KM_ITERS) -> np.ndarray:
+    """Spherical k-means centroids via distributed Lloyd iterations.
+
+    Init: deterministic seed choice from a BOUNDED head sample (same policy
+    as the IVF quantizer). Each iteration: per-batch partial (count, sum)
+    per cluster inside ``map_batches``; the driver combines partials in
+    sorted batch order (key = min vec_id in the batch) so the reduction
+    order is content-determined, not scheduler-determined."""
+    ds = _read_emb(sf_dir)
+    n = _table_rows(sf_dir)
+    sample = _ivf_sample(sf_dir, min(n, max(8 * k, 256), _IVF_SAMPLE_CAP))
+    s = _unit_rows(sample)
+    rng = np.random.RandomState(_KM_SEED)
+    cent = s[rng.choice(len(s), size=min(k, len(s)), replace=False)].copy()
+    k_eff, dim = cent.shape
+
+    for _ in range(iters):
+        c = cent  # bind current centroids into the task closure
+
+        def partials(batch: pa.Table, _c=c) -> pa.Table:
+            m = _unit_rows(_to_matrix(batch["embedding"]))
+            assign = (m @ _c.T).argmax(axis=1)
+            sums = np.zeros((k_eff, dim), np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=k_eff).astype(np.int64)
+            live = np.flatnonzero(counts)
+            bkey = int(batch["vec_id"].to_numpy().min()) if batch.num_rows else 0
+            return pa.table(
+                {
+                    "bkey": pa.array([bkey] * len(live), pa.int64()),
+                    "cluster": pa.array(live.astype(np.int64)),
+                    "cnt": pa.array(counts[live]),
+                    "vsum": pa.array(list(sums[live]), pa.list_(pa.float64())),
+                }
+            )
+
+        from .agg import collect
+
+        part = collect(ds.map_batches(partials, batch_format="pyarrow"))
+        if part is None:
+            break
+        part = part.sort_by([("bkey", "ascending"), ("cluster", "ascending")])
+        sums = np.zeros((k_eff, dim), np.float64)
+        counts = np.zeros(k_eff, np.int64)
+        cl = part["cluster"].to_numpy(zero_copy_only=False)
+        cn = part["cnt"].to_numpy(zero_copy_only=False)
+        vs = _to_matrix(part["vsum"])
+        np.add.at(sums, cl, vs)
+        np.add.at(counts, cl, cn)
+        new = cent.copy()
+        live = counts > 0
+        new[live] = _unit_rows(sums[live])
+        cent = new
+    return cent
+
+
+def _assign_clusters(ds: rd.Dataset, cent: np.ndarray) -> rd.Dataset:
+    """Append ``cluster`` (argmax-cosine centroid id) per batch."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _unit_rows(_to_matrix(batch["embedding"]))
+        a = (m @ cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(a))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _relabel_canonical(out: pa.Table, col: str) -> pa.Table:
+    """Rewrite raw centroid ids in ``out[col]`` to dense ids ranked by each
+    cluster's min vec_id — runs on the already-collected (small) result, so
+    it costs no extra streaming pass. At corpus scale a user keeps the raw
+    centroid id (it IS the partition layout); the canonical form exists so
+    tests and the driver see scheduler-independent output."""
+    raw = out[col].to_numpy(zero_copy_only=False)
+    vid = out["vec_id"].to_numpy(zero_copy_only=False)
+    mins: dict[int, int] = {}
+    for c, v in zip(raw, vid):
+        c = int(c)
+        if c not in mins or v < mins[c]:
+            mins[c] = int(v)
+    order = sorted(mins, key=lambda c: mins[c])
+    lut = {c: i for i, c in enumerate(order)}
+    dense = np.array([lut[int(c)] for c in raw], np.int64)
+    return out.set_column(
+        out.schema.get_field_index(col), col, pa.array(dense)
+    )
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = _KM_ITERS) -> pa.Table:
+    """(vec_id, cluster_id) spherical k-means assignment over the embedding
+    column. cluster_id is canonical (dense, ranked by the cluster's min
+    vec_id) so output is stable across schedulers. Rows-only oracle:
+    iterative algorithm, not SQL-expressible."""
+    cent = _kmeans_centroids(sf_dir, k, iters)
+    assigned = _assign_clusters(_read_emb(sf_dir), cent)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": batch["vec_id"], "cluster_id": batch["cluster"]}
+        )
+
+    from .agg import collect
+
+    out = collect(
+        assigned.map_batches(emit, batch_format="pyarrow")
+    )
+    if out is None:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    return _relabel_canonical(out, "cluster_id").sort_by("vec_id")
+
+
+_SEMDEDUP_STAR_CAP = 2000  # above this, star-verify vs the cluster rep
+
+
+def semdedup(sf_dir: str, threshold: float = 0.95, k: int = 8) -> pa.Table:
+    """SemDeDup: spherical k-means partitions the space, then WITHIN each
+    cluster near-identical members (cosine >= threshold) collapse to one
+    representative (connected components, keep min vec_id). Returns
+    (vec_id, cluster_id, keep) for every vector — keep=false rows are the
+    semantic duplicates a curation pipeline drops.
+
+    All-pairs work happens only inside groupby(cluster).map_groups, bounded
+    by the largest cluster; clusters above _SEMDEDUP_STAR_CAP fall back to
+    a linear star-verify against the cluster's min-id representative."""
+    cent = _kmeans_centroids(sf_dir, k)
+    assigned = _assign_clusters(_read_emb(sf_dir), cent)
+
+    def dedup_in_cluster(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+            }
+        )
+        # Ray 2.49 emits zero-column blocks for empty shuffle partitions
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        cl = int(group["cluster"][0].as_py())  # raw id; canonicalized post-collect
+        n = len(ids)
+        order = np.argsort(ids)
+        keep = np.ones(n, bool)
+        m = _unit_rows(_to_matrix(group["embedding"]))
+        if n > _SEMDEDUP_STAR_CAP:
+            rep = order[0]
+            sims = m @ m[rep]
+            for j in order[1:]:
+                if sims[j] >= threshold:
+                    keep[j] = False
+        elif n > 1:
+            sim = m @ m.T
+            # union-find over pairs >= threshold, keep min vec_id per comp
+            parent = {int(i): int(i) for i in ids}
+
+            def find(a: int) -> int:
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            iu, ju = np.triu_indices(n, k=1)
+            hit = sim[iu, ju] >= threshold
+            for i, j in zip(iu[hit], ju[hit]):
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            for pos in range(n):
+                if find(int(ids[pos])) != int(ids[pos]):
+                    keep[pos] = False
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(np.full(n, cl, np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    from .agg import collect
+
+    out = collect(
+        assigned.groupby("cluster").map_groups(
+            dedup_in_cluster, batch_format="pyarrow"
+        )
+    )
+    if out is None:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+            }
+        )
+    return _relabel_canonical(out, "cluster_id").sort_by("vec_id")
+
+
 def knn_classify(
     sf_dir: str, k: int = 5, n_queries: int = 20
 ) -> pa.Table:

@@ -5,6 +5,7 @@ import os
 import random
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -444,3 +445,95 @@ def test_remove_boilerplate_planted(ray_session, tmp_path):
     joined = "\n".join(out["clean_text"])
     assert nav not in joined and footer not in joined
     assert "unique body 3 words here" in joined
+
+
+# -------------------------------------------------------------------------
+# Distributed k-means + SemDeDup (clustering layer)
+# -------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def blobs_dir(tmp_path_factory):
+    """Embeddings with 3 PLANTED well-separated gaussian blobs (cosine
+    between blob means ~0) — k-means ground truth is unambiguous."""
+    root = str(tmp_path_factory.mktemp("blobs"))
+    nprng = np.random.RandomState(11)
+    dim, per = 32, 30
+    means = np.zeros((3, dim))
+    means[0, 0] = 10.0
+    means[1, 1] = 10.0
+    means[2, 2] = 10.0
+    vecs, ids, labels = [], [], []
+    for b in range(3):
+        for i in range(per):
+            vecs.append(
+                (means[b] + nprng.standard_normal(dim) * 0.1).astype(np.float32)
+            )
+            ids.append(b * per + i)
+            labels.append(b)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+def test_kmeans_recovers_planted_blobs(ray_session, blobs_dir):
+    from pdf_extractor_ray.functions.similarity import kmeans_clusters
+
+    t = kmeans_clusters(blobs_dir, k=3).to_pandas()
+    assert len(t) == 90
+    assert sorted(t["vec_id"]) == list(range(90))
+    # every planted blob maps to exactly one cluster id, blobs to distinct ids
+    blob_of = t["vec_id"] // 30
+    purity = t.groupby(blob_of)["cluster_id"].nunique()
+    assert (purity == 1).all(), t.groupby(blob_of)["cluster_id"].unique()
+    assert t["cluster_id"].nunique() == 3
+    # canonical relabel: cluster containing vec_id 0 is cluster 0, and ids
+    # are dense ranked by min member
+    first_of = t.groupby("cluster_id")["vec_id"].min().sort_index()
+    assert first_of.is_monotonic_increasing
+    assert int(t.loc[t["vec_id"] == 0, "cluster_id"].iloc[0]) == 0
+
+
+def test_kmeans_deterministic_across_runs(ray_session, blobs_dir):
+    from pdf_extractor_ray.functions.similarity import kmeans_clusters
+
+    a = kmeans_clusters(blobs_dir, k=3).to_pandas()
+    b = kmeans_clusters(blobs_dir, k=3).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_drops_planted_duplicates(ray_session, planted_dir):
+    from pdf_extractor_ray.functions.similarity import semdedup
+
+    t = semdedup(planted_dir, threshold=0.95, k=4).to_pandas()
+    assert len(t) == 45  # one row per vector, none lost in the shuffle
+    byid = t.set_index("vec_id")
+    for j in range(5):
+        # planted copy 100+j collapses onto original j: same cluster,
+        # original kept, copy dropped
+        assert byid.loc[100 + j, "cluster_id"] == byid.loc[j, "cluster_id"]
+        assert bool(byid.loc[j, "keep"]) is True
+        assert bool(byid.loc[100 + j, "keep"]) is False
+    # random gaussians in 32d are nowhere near cosine 0.95: all kept
+    others = byid.drop(index=[100 + j for j in range(5)])
+    assert others["keep"].all()
+
+
+def test_semdedup_keep_set_matches_near_dup_groups(ray_session, planted_dir):
+    """Cross-check the two semantic-dedup paths: SemDeDup's dropped set must
+    equal the non-canonical members of near_dup_groups (both keep min id)
+    when the planted pairs are unambiguous."""
+    from pdf_extractor_ray.functions.similarity import near_dup_groups, semdedup
+
+    sd = semdedup(planted_dir, threshold=0.95, k=4).to_pandas()
+    dropped = set(sd.loc[~sd["keep"], "vec_id"])
+    g = near_dup_groups(planted_dir, threshold=0.95).to_pandas()
+    non_canon = set(g.loc[g["vec_id"] != g["canon_id"], "vec_id"])
+    assert dropped == non_canon

@@ -56,7 +56,14 @@ def test_rows_only_queries_run(ray_session):
     import __ray_entry__ as E
 
     qs = E.queries()
-    for name in ["lang_id", "minhash_signatures", "simhash_fingerprint", "ann_lsh_topk"]:
+    for name in [
+        "lang_id",
+        "minhash_signatures",
+        "simhash_fingerprint",
+        "ann_lsh_topk",
+        "kmeans_clusters",
+        "semdedup",
+    ]:
         res = _to_pandas(qs[name](SF))
         assert len(res) >= 0
 
