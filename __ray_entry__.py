@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": R.orders_by_segment,
         "latest_event_per_user": R.latest_event_per_user,
         "sessionize": R.sessionize,
+        "funnel_counts": R.funnel_counts,
         "price_quantiles": R.price_quantiles,
         "props_stats": R.props_stats,
         "orders_page": R.orders_page,
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": T.decontaminate,
         "paragraph_dedup": T.paragraph_dedup,
         "vocab_topk": T.vocab_topk,
+        "tfidf_search": T.tfidf_search,
         "normalize_text": T.normalize_text,
         "explode_paragraphs": T.explode_paragraphs,
         "cap_per_source": T.cap_per_source,
@@ -889,6 +891,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY cnt DESC, term ASC
             LIMIT 100
+        """,
+        "tfidf_search": """
+            -- ranked retrieval: integer tf-idf weights, floor(1e6*ln(N/df))
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                FROM documents
+            ),
+            terms(term) AS (
+                VALUES ('scan'), ('merge'), ('window'), ('join')
+            ),
+            w AS (
+                SELECT term,
+                       CAST(FLOOR(1e6 * LN(
+                           (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / d
+                       )) AS BIGINT) AS wt
+                FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS d
+                      FROM terms, toks
+                      WHERE list_contains(ts, term)
+                      GROUP BY term)
+            )
+            SELECT doc_id,
+                   CAST(SUM(len(list_filter(ts, x -> x = term)) * wt)
+                        AS BIGINT) AS score
+            FROM toks, w
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "funnel_counts": """
+            -- 3-stage first-touch funnel; strictly-later timestamps qualify
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT DISTINCT e.user_id
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            )
+            SELECT * FROM (
+                SELECT '1_view' AS stage,
+                       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+                UNION ALL
+                SELECT '2_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+                UNION ALL
+                SELECT '3_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+            ) ORDER BY stage
         """,
         "normalize_text": """
             SELECT doc_id,

@@ -2187,3 +2187,78 @@ def user_customer_reconcile(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# funnel_counts — 3-stage first-touch conversion funnel over the event
+# stream (view -> click-after-first-view -> purchase-after-that-click).
+# The sequential-pattern shape the reference's analytics tab approximates
+# driver-side (/root/reference/backend/src/main.py:1291-1318 computes
+# per-user breakdowns in Python over full result sets); here every user's
+# events land in one hash bucket via ONE keyed exchange of the pruned
+# (user_id, event_type, ts) columns, each bucket resolves its users in one
+# vectorized reduceat pass, and only 3 integers per bucket reach the
+# driver. Stage rule: strictly-later timestamps qualify (ties do not).
+# -------------------------------------------------------------------------
+
+def funnel_counts(sf_dir: str) -> pa.Table:
+    import numpy as np
+
+    from .agg import collect, tag_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_parts = _raw_parts(sf_dir, "events")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["user_id"], n_parts)
+
+    INF = np.int64(2**62)
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "s1": pa.array([], pa.int64()),
+                "s2": pa.array([], pa.int64()),
+                "s3": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        runs = np.diff(np.concatenate([starts, [len(u)]]))
+        # stage 1: first view per user
+        tv = np.where(et == "view", ts, INF)
+        t1 = np.minimum.reduceat(tv, starts)
+        # stage 2: first click strictly after the user's first view
+        tc = np.where((et == "click") & (ts > np.repeat(t1, runs)), ts, INF)
+        t2 = np.minimum.reduceat(tc, starts)
+        # stage 3: any purchase strictly after that click
+        hit = (et == "purchase") & (ts > np.repeat(t2, runs))
+        s3 = np.add.reduceat(hit.astype(np.int64), starts) > 0
+        return pa.table(
+            {
+                "s1": pa.array([int((t1 < INF).sum())], pa.int64()),
+                "s2": pa.array([int((t2 < INF).sum())], pa.int64()),
+                "s3": pa.array([int(s3.sum())], pa.int64()),
+            }
+        )
+
+    partials = collect(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    tot = [0, 0, 0]
+    if partials is not None:
+        for i, c in enumerate(("s1", "s2", "s3")):
+            tot[i] = int(pc.sum(partials[c]).as_py() or 0)
+    return pa.table(
+        {
+            "stage": pa.array(["1_view", "2_click", "3_purchase"], pa.string()),
+            "users": pa.array(tot, pa.int64()),
+        }
+    )

@@ -2237,3 +2237,78 @@ def shuffle_docs(sf_dir: str, seed: int = 42) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# tfidf_search — ranked keyword retrieval: score = sum over query terms of
+# tf(term, doc) * weight(term), weight = floor(1e6 * ln(N / df)) as int64.
+# The integer weighting makes ranking hash-exact vs the SQL oracle (no
+# float sums cross the exchange). Two streaming passes: (1) per-batch df
+# partials (one tiny row per batch), (2) vectorized tf scoring + the
+# standard local-topk prefilter, so only #batches x k rows reach the
+# driver. The reference's search is an ILIKE substring filter
+# (/root/reference/backend/src/main.py:1209-1214); ranked retrieval is the
+# corpus-scale upgrade of that surface.
+# -------------------------------------------------------------------------
+
+TFIDF_TERMS = ("scan", "merge", "window", "join")
+
+
+def tfidf_search(
+    sf_dir: str, k: int = 20, terms: tuple[str, ...] = TFIDF_TERMS
+) -> pa.Table:
+    import math
+
+    from .agg import collect, local_topk
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _tok(batch: pa.Table):
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks).to_numpy(zero_copy_only=False))
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        return flat, parent
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        row = {"n_docs": pa.array([batch.num_rows], pa.int64())}
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = pa.array(
+                [len(np.unique(parent[flat == term]))], pa.int64()
+            )
+        return pa.table(row)
+
+    part = collect(ds.map_batches(df_partial, batch_format="pyarrow"))
+    n_total = int(pc.sum(part["n_docs"]).as_py()) if part is not None else 0
+    weights = []
+    for i in range(len(terms)):
+        df = int(pc.sum(part[f"df{i}"]).as_py()) if part is not None else 0
+        # libm ln on both sides (CPython math.log / DuckDB LN) -> identical
+        # doubles -> identical floor
+        weights.append(
+            int(math.floor(1e6 * math.log(n_total / df))) if df else 0
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        s = np.zeros(batch.num_rows, np.int64)
+        for term, w in zip(terms, weights):
+            if w:
+                tf = np.bincount(parent[flat == term], minlength=batch.num_rows)
+                s += tf.astype(np.int64) * w
+        t = pa.table({"doc_id": batch["doc_id"], "score": pa.array(s)})
+        return local_topk(
+            t, k=k, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+
+    pruned = collect(ds.map_batches(score, batch_format="pyarrow"))
+    if pruned is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+    return local_topk(
+        pruned, k=k, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
