@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": T.paragraph_dedup,
         "vocab_topk": T.vocab_topk,
         "tfidf_search": T.tfidf_search,
+        "curation_summary": T.curation_summary,
         "normalize_text": T.normalize_text,
         "explode_paragraphs": T.explode_paragraphs,
         "cap_per_source": T.cap_per_source,
@@ -919,6 +920,77 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC
             LIMIT 20
+        """,
+        "curation_summary": """
+            -- composed curation pipeline: per-rule drop counts + final kept
+            WITH rep AS (
+                WITH ls AS (
+                    SELECT doc_id, string_split(text, chr(10)) AS la
+                    FROM documents
+                ), lines AS (
+                    SELECT doc_id, len(la) AS n_lines,
+                           len(list_distinct(la)) AS n_distinct
+                    FROM ls
+                ), w AS (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                    FROM documents
+                ), bg AS (
+                    SELECT doc_id,
+                           CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                                ELSE list_transform(range(1, len(w)),
+                                     i -> w[i]||' '||w[i+1])
+                           END AS bgs
+                    FROM w
+                ), top AS (
+                    SELECT doc_id, MAX(c) AS top_n FROM (
+                        SELECT doc_id, b, COUNT(*) AS c
+                        FROM (SELECT doc_id, unnest(bgs) AS b FROM bg)
+                        GROUP BY doc_id, b)
+                    GROUP BY doc_id
+                )
+                SELECT l.doc_id,
+                       l.n_lines, l.n_lines - l.n_distinct AS n_dup,
+                       greatest(len(w.w) - 1, 0) AS n_bg,
+                       COALESCE(top.top_n, 0) AS top_n
+                FROM lines l
+                JOIN w ON l.doc_id = w.doc_id
+                LEFT JOIN top ON l.doc_id = top.doc_id
+            ),
+            flags AS (
+                SELECT d.doc_id,
+                       NOT (LENGTH(d.text) BETWEEN 100 AND 20000
+                            AND (LENGTH(d.text)
+                                 - LENGTH(REPLACE(d.text, ' ', ''))) * 100
+                                >= 5 * LENGTH(d.text)
+                            AND LENGTH(regexp_replace(d.text, '[^0-9]',
+                                                      '', 'g')) * 100
+                                <= 20 * LENGTH(d.text)) AS bad_q,
+                       (r.n_dup * 100 > 10 * r.n_lines
+                        OR r.top_n * 100 > 8 * greatest(r.n_bg, 1)) AS bad_r,
+                       d.doc_id <> MIN(d.doc_id)
+                           OVER (PARTITION BY d.text) AS is_dup
+                FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+            )
+            SELECT * FROM (
+                SELECT 'dropped_exact_dup' AS rule,
+                       CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_docs
+                FROM flags
+                UNION ALL
+                SELECT 'dropped_quality',
+                       CAST(COUNT(*) FILTER (WHERE bad_q) AS BIGINT)
+                FROM flags
+                UNION ALL
+                SELECT 'dropped_repetition',
+                       CAST(COUNT(*) FILTER (WHERE bad_r) AS BIGINT)
+                FROM flags
+                UNION ALL
+                SELECT 'kept',
+                       CAST(COUNT(*) FILTER (
+                           WHERE NOT bad_q AND NOT bad_r AND NOT is_dup
+                       ) AS BIGINT)
+                FROM flags
+            ) ORDER BY rule
         """,
         "funnel_counts": """
             -- 3-stage first-touch funnel; strictly-later timestamps qualify

@@ -1482,65 +1482,79 @@ def redact_pii(sf_dir: str) -> rd.Dataset:
 # -------------------------------------------------------------------------
 
 
+def _repetition_counts(
+    batch: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(n_lines, n_dup_lines, n_bigrams, top_bigram_n) int64 arrays per row
+    of ``batch["text"]`` — the Gopher-style within-doc repetition signals,
+    shared by ``repetition_stats`` and ``curation_summary``."""
+    n = batch.num_rows
+    # -- duplicate lines: n_lines - n_distinct_lines per doc
+    ll = pc.split_pattern(batch["text"], pattern="\n").combine_chunks()
+    n_lines = np.diff(ll.offsets.to_numpy(zero_copy_only=False))
+    line_doc = np.repeat(np.arange(n), n_lines)
+    dl = (
+        pa.table({"d": pa.array(line_doc), "line": ll.flatten()})
+        .group_by(["d", "line"])
+        .aggregate([])
+        .group_by("d")
+        .aggregate([("d", "count")])
+    )
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_distinct[dl["d"].to_numpy(zero_copy_only=False)] = dl[
+        "d_count"
+    ].to_numpy(zero_copy_only=False)
+    # -- word bigrams on [a-z0-9]+ tokens of the lowercased text
+    wl = pc.split_pattern_regex(
+        pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
+    ).combine_chunks()
+    wflat = wl.flatten()
+    wlens = np.diff(wl.offsets.to_numpy(zero_copy_only=False))
+    wdoc = np.repeat(np.arange(n), wlens)
+    keep = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
+    wdoc = wdoc[keep]
+    words = wflat.filter(pa.array(keep))
+    n_words = np.bincount(wdoc, minlength=n).astype(np.int64)
+    n_bigrams = np.maximum(n_words - 1, 0)
+    top = np.zeros(n, dtype=np.int64)
+    if len(words) >= 2:
+        m = wdoc[:-1] == wdoc[1:]
+        idx = np.flatnonzero(m)
+        bg = pc.binary_join_element_wise(
+            words.take(pa.array(idx)),
+            words.take(pa.array(idx + 1)),
+            " ",
+        )
+        tb = (
+            pa.table({"d": pa.array(wdoc[idx]), "b": bg})
+            .group_by(["d", "b"])
+            .aggregate([("b", "count")])
+            .group_by("d")
+            .aggregate([("b_count", "max")])
+        )
+        top[tb["d"].to_numpy(zero_copy_only=False)] = tb[
+            "b_count_max"
+        ].to_numpy(zero_copy_only=False)
+    return (
+        n_lines.astype(np.int64),
+        (n_lines - n_distinct).astype(np.int64),
+        n_bigrams,
+        top,
+    )
+
+
 def repetition_stats(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = batch["doc_id"].combine_chunks()
-        # -- duplicate lines: n_lines - n_distinct_lines per doc
-        ll = pc.split_pattern(batch["text"], pattern="\n").combine_chunks()
-        n_lines = np.diff(ll.offsets.to_numpy(zero_copy_only=False))
-        line_doc = np.repeat(np.arange(n), n_lines)
-        dl = (
-            pa.table({"d": pa.array(line_doc), "line": ll.flatten()})
-            .group_by(["d", "line"])
-            .aggregate([])
-            .group_by("d")
-            .aggregate([("d", "count")])
-        )
-        n_distinct = np.zeros(n, dtype=np.int64)
-        n_distinct[dl["d"].to_numpy(zero_copy_only=False)] = dl[
-            "d_count"
-        ].to_numpy(zero_copy_only=False)
-        # -- word bigrams on [a-z0-9]+ tokens of the lowercased text
-        wl = pc.split_pattern_regex(
-            pc.utf8_lower(batch["text"]), pattern="[^a-z0-9]+"
-        ).combine_chunks()
-        wflat = wl.flatten()
-        wlens = np.diff(wl.offsets.to_numpy(zero_copy_only=False))
-        wdoc = np.repeat(np.arange(n), wlens)
-        keep = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
-        wdoc = wdoc[keep]
-        words = wflat.filter(pa.array(keep))
-        n_words = np.bincount(wdoc, minlength=n).astype(np.int64)
-        n_bigrams = np.maximum(n_words - 1, 0)
-        top = np.zeros(n, dtype=np.int64)
-        if len(words) >= 2:
-            m = wdoc[:-1] == wdoc[1:]
-            idx = np.flatnonzero(m)
-            bg = pc.binary_join_element_wise(
-                words.take(pa.array(idx)),
-                words.take(pa.array(idx + 1)),
-                " ",
-            )
-            tb = (
-                pa.table({"d": pa.array(wdoc[idx]), "b": bg})
-                .group_by(["d", "b"])
-                .aggregate([("b", "count")])
-                .group_by("d")
-                .aggregate([("b_count", "max")])
-            )
-            top[tb["d"].to_numpy(zero_copy_only=False)] = tb[
-                "b_count_max"
-            ].to_numpy(zero_copy_only=False)
+        n_lines, n_dup, n_bigrams, top = _repetition_counts(batch)
         return pa.table(
             {
-                "doc_id": ids,
-                "n_lines": pa.array(n_lines, pa.int64()),
-                "n_dup_lines": pa.array(n_lines - n_distinct, pa.int64()),
-                "n_bigrams": pa.array(n_bigrams, pa.int64()),
-                "top_bigram_n": pa.array(top, pa.int64()),
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "n_lines": pa.array(n_lines),
+                "n_dup_lines": pa.array(n_dup),
+                "n_bigrams": pa.array(n_bigrams),
+                "top_bigram_n": pa.array(top),
             }
         )
 
@@ -2311,4 +2325,120 @@ def tfidf_search(
         )
     return local_topk(
         pruned, k=k, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+
+
+# -------------------------------------------------------------------------
+# curation_summary — the composed corpus-curation pipeline: quality gate +
+# within-doc repetition screen + exact dedup applied in ONE pass, reporting
+# per-rule drop counts and the final kept count. This is the end-to-end
+# shape a training-data pipeline runs before packing; every predicate is
+# integer math shared bit-exactly with the DuckDB oracle. Physical plan:
+# one map pass computes all per-doc flags + the text md5, ONE bucketed
+# exchange resolves exact-dup groups (in-bucket arrow group_by on the full
+# md5, min doc_id wins — same layout as dedup_exact), and each bucket
+# forwards 4 integers; the driver sums #buckets tiny rows.
+# -------------------------------------------------------------------------
+
+def curation_summary(
+    sf_dir: str,
+    *,
+    max_dup_line_pct: int = 10,
+    max_top_bigram_pct: int = 8,
+) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    from .agg import collect, scaled_partitions
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_parts = scaled_partitions(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+
+    def flag_stage(batch: pa.Table) -> pa.Table:
+        n_chars, spaces, digits, _ = _quality_counters(batch["text"])
+        good_q = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n_chars, 100),
+                    pc.less_equal(n_chars, 20000),
+                ),
+                pc.greater_equal(
+                    pc.multiply(spaces, pa.scalar(100, pa.int64())),
+                    pc.multiply(n_chars, pa.scalar(5, pa.int64())),
+                ),
+            ),
+            pc.less_equal(
+                pc.multiply(digits, pa.scalar(100, pa.int64())),
+                pc.multiply(n_chars, pa.scalar(20, pa.int64())),
+            ),
+        )
+        n_lines, n_dup, n_bg, top = _repetition_counts(batch)
+        bad_r = (n_dup * 100 > max_dup_line_pct * n_lines) | (
+            top * 100 > max_top_bigram_pct * np.maximum(n_bg, 1)
+        )
+        fps = [
+            hashlib.md5(t.encode("utf-8")).digest()
+            for t in batch["text"].to_pylist()
+        ]
+        h64 = np.asarray(
+            [struct.unpack("<q", fp[:8])[0] for fp in fps], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "__pp": pa.array(h64 % n_parts),
+                "full": pa.array([fp.hex() for fp in fps], pa.string()),
+                "bad_q": pc.invert(good_q),
+                "bad_r": pa.array(bad_r),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dropped_exact_dup": pa.array([], pa.int64()),
+                "dropped_quality": pa.array([], pa.int64()),
+                "dropped_repetition": pa.array([], pa.int64()),
+                "kept": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        mins = group.group_by(["full"]).aggregate([("doc_id", "min")])
+        lut = dict(
+            zip(mins["full"].to_pylist(), mins["doc_id_min"].to_pylist())
+        )
+        winner = np.asarray(
+            [lut[f] for f in group["full"].to_pylist()], dtype=np.int64
+        )
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        is_dup = ids != winner
+        bq = group["bad_q"].to_numpy(zero_copy_only=False)
+        br = group["bad_r"].to_numpy(zero_copy_only=False)
+        kept = ~bq & ~br & ~is_dup
+        return pa.table(
+            {
+                "dropped_exact_dup": pa.array([int(is_dup.sum())], pa.int64()),
+                "dropped_quality": pa.array([int(bq.sum())], pa.int64()),
+                "dropped_repetition": pa.array([int(br.sum())], pa.int64()),
+                "kept": pa.array([int(kept.sum())], pa.int64()),
+            }
+        )
+
+    partials = collect(
+        ds.map_batches(flag_stage, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    rules = ["dropped_exact_dup", "dropped_quality", "dropped_repetition", "kept"]
+    tot = {
+        r: (int(pc.sum(partials[r]).as_py() or 0) if partials is not None else 0)
+        for r in rules
+    }
+    return pa.table(
+        {
+            "rule": pa.array(rules, pa.string()),
+            "n_docs": pa.array([tot[r] for r in rules], pa.int64()),
+        }
     )

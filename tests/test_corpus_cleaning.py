@@ -162,3 +162,53 @@ def test_paragraph_dedup_planted(ray_session, tmp_path):
         "",
         "",
     ]
+
+
+def test_curation_summary_planted_all_rules(ray_session, tmp_path):
+    """Every curation rule fires: a short doc (quality), a repetitive doc
+    (top bigram dominates), exact duplicates, and clean keepers — counts
+    must match the DuckDB oracle on the same planted table."""
+    from pdf_extractor_ray.functions.textops import curation_summary
+
+    import itertools, string
+
+    # clean keeper: every word distinct -> every bigram distinct
+    good = " ".join(
+        a + b + c
+        for a, b, c in itertools.islice(
+            itertools.product(string.ascii_lowercase, repeat=3), 60
+        )
+    )
+    texts = [
+        good,                                  # 0 kept
+        "tiny",                                # 1 dropped_quality (too short)
+        "spam ham " * 60,                      # 2 dropped_repetition
+        good,                                  # 3 dropped_exact_dup (of 0)
+        good + "tail words differ here now",   # 4 kept
+        good,                                  # 5 dropped_exact_dup (of 0)
+    ]
+    d = _docs_dir(tmp_path, texts)
+    got = curation_summary(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    import __ray_entry__ as E
+
+    exp = (
+        con.execute(E.oracle_sql()["curation_summary"])
+        .fetchdf()
+        .sort_values("rule")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("rule").reset_index(drop=True), exp
+    )
+    byrule = dict(zip(got["rule"], got["n_docs"]))
+    assert byrule == {
+        "dropped_exact_dup": 2,
+        "dropped_quality": 1,
+        "dropped_repetition": 1,
+        "kept": 2,
+    }
