@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": T.vocab_topk,
         "tfidf_search": T.tfidf_search,
         "curation_summary": T.curation_summary,
+        # deflate-compressibility quality signal (zlib; no SQL analog)
+        "compression_ratio": T.compression_ratio,
         "normalize_text": T.normalize_text,
         "explode_paragraphs": T.explode_paragraphs,
         "cap_per_source": T.cap_per_source,

@@ -2442,3 +2442,40 @@ def curation_summary(
             "n_docs": pa.array([tot[r] for r in rules], pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# compression_ratio — the deflate-compressibility quality signal used by
+# large corpus-curation pipelines (highly repetitive/template text
+# compresses far below natural prose): per doc, zlib level-6 deflate of
+# the UTF-8 bytes; ratio reported in integer basis points (10000 *
+# comp/raw) so output is platform-exact. zlib output is fully
+# deterministic for a fixed level, but DuckDB has no deflate -> rows-only
+# oracle (pytest recomputes the same bytes directly). The per-row Python
+# loop is inherent (deflate is per-document C code, like the PDF/HTML
+# kernels); map-only, zero exchange.
+# -------------------------------------------------------------------------
+
+def compression_ratio(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        raw_b, comp_b = [], []
+        for t in batch["text"].to_pylist():
+            b = t.encode("utf-8")
+            raw_b.append(len(b))
+            comp_b.append(len(zlib.compress(b, 6)))
+        raw = np.asarray(raw_b, np.int64)
+        comp = np.asarray(comp_b, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "raw_bytes": pa.array(raw),
+                "comp_bytes": pa.array(comp),
+                "ratio_bp": pa.array(
+                    10000 * comp // np.maximum(raw, 1)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -212,3 +212,23 @@ def test_curation_summary_planted_all_rules(ray_session, tmp_path):
         "dropped_repetition": 1,
         "kept": 2,
     }
+
+
+def test_compression_ratio_matches_direct_zlib(ray_session, tmp_path):
+    import zlib
+
+    from pdf_extractor_ray.functions.textops import compression_ratio
+
+    texts = ["spam " * 500, "the quick brown fox", "", "unique words here"]
+    d = _docs_dir(tmp_path, texts)
+    got = compression_ratio(d).to_pandas().sort_values("doc_id")
+    for i, t in enumerate(texts):
+        row = got[got["doc_id"] == i].iloc[0]
+        b = t.encode()
+        assert row["raw_bytes"] == len(b)
+        assert row["comp_bytes"] == len(zlib.compress(b, 6))
+        assert row["ratio_bp"] == 10000 * len(zlib.compress(b, 6)) // max(len(b), 1)
+    # the repetitive doc compresses far better than the unique-words doc
+    rep = got[got["doc_id"] == 0]["ratio_bp"].iloc[0]
+    uniq = got[got["doc_id"] == 3]["ratio_bp"].iloc[0]
+    assert rep < uniq / 5

@@ -63,6 +63,7 @@ def test_rows_only_queries_run(ray_session):
         "ann_lsh_topk",
         "kmeans_clusters",
         "semdedup",
+        "compression_ratio",
     ]:
         res = _to_pandas(qs[name](SF))
         assert len(res) >= 0
