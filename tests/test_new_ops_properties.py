@@ -249,3 +249,66 @@ def test_user_customer_reconcile_both_paths(ray_session, tmp_path):
         df = out.to_pandas() if isinstance(out, rd.Dataset) else out.to_pandas()
         got = df.sort_values("key").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, gold, check_dtype=True)
+
+
+def test_funnel_counts_tie_semantics_planted(ray_session, tmp_path):
+    """Strictly-later rule: a click AT the first-view timestamp does not
+    qualify; one microsecond later does. Matches the DuckDB oracle on the
+    same planted events."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from pdf_extractor_ray.functions.relational import funnel_counts
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        # user 1: full funnel (view < click < purchase)
+        (1, "view", base),
+        (1, "click", base + 10 * us),
+        (1, "purchase", base + 20 * us),
+        # user 2: click TIES first view -> stage 2 not reached
+        (2, "view", base),
+        (2, "click", base),
+        (2, "purchase", base + 10 * us),
+        # user 3: purchase TIES first qualifying click -> stage 3 not reached
+        (3, "view", base),
+        (3, "click", base + 5 * us),
+        (3, "purchase", base + 5 * us),
+        # user 4: click BEFORE any view -> stage 2 not reached
+        (4, "click", base),
+        (4, "view", base + 5 * us),
+        # user 5: view only
+        (5, "view", base),
+        # user 6: purchase before the funnel -> only stage 1
+        (6, "purchase", base),
+        (6, "view", base + 5 * us),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = funnel_counts(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    exp = con.execute(E.oracle_sql()["funnel_counts"]).fetchdf()
+    pd.testing.assert_frame_equal(got, exp)
+    # stage 2 = users 1 and 3 (user 3's click is later than its view; only
+    # its purchase ties); stage 3 = user 1 alone
+    assert dict(zip(got["stage"], got["users"])) == {
+        "1_view": 6,
+        "2_click": 2,
+        "3_purchase": 1,
+    }
