@@ -643,10 +643,9 @@ def semdedup(sf_dir: str, threshold: float = 0.95, k: int = 8) -> pa.Table:
         m = _unit_rows(_to_matrix(group["embedding"]))
         if n > _SEMDEDUP_STAR_CAP:
             rep = order[0]
-            sims = m @ m[rep]
-            for j in order[1:]:
-                if sims[j] >= threshold:
-                    keep[j] = False
+            drop = (m @ m[rep]) >= threshold
+            drop[rep] = False
+            keep[drop] = False
         elif n > 1:
             sim = m @ m.T
             # union-find over pairs >= threshold, keep min vec_id per comp
