@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": R.lang_histogram,
         "orders_asof": R.orders_asof,
         "user_rolling_window": R.user_rolling_window,
+        "events_tumbling": R.events_tumbling,
+        "user_last3_sum": R.user_last3_sum,
         "top_orders_per_segment": R.top_orders_per_segment,
         "value_bands": R.value_bands,
         "users_no_big_spend": R.users_no_big_spend,
@@ -385,6 +387,28 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                AND CURRENT ROW)
+        """,
+        "events_tumbling": """
+            -- 15-minute tumbling windows by integer epoch-us floor division
+            -- (same exact arithmetic as the engine; no time_bucket origin
+            -- ambiguity)
+            SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+                       AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_c
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "user_last3_sum": """
+            SELECT event_id, user_id, ts,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w3_count,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w
+                        AS BIGINT) AS w3_sum_c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "top_orders_per_segment": """
             SELECT c_mktsegment, CAST(rn AS BIGINT) AS rnk,

@@ -2262,3 +2262,115 @@ def funnel_counts(sf_dir: str) -> pa.Table:
             "users": pa.array(tot, pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# events_tumbling — fixed 15-minute tumbling-window aggregate per event
+# type: the canonical streaming-window shape (SURVEY §2.8) one step up from
+# events_hourly's single-key truncation. Reference analog: the per-job
+# time-bucketed metrics rollup (backend/src/main.py:943-951) generalized to
+# (window, type) keys. Window id is integer epoch-microsecond floor
+# division (exact; identical in the DuckDB oracle via make_timestamp), so
+# no date_trunc/time_bucket origin ambiguity exists between the engines.
+# -------------------------------------------------------------------------
+
+_TUMBLE_US = 15 * 60 * 1_000_000  # 15-minute windows
+
+
+def events_tumbling(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        win = pc.multiply(
+            pc.divide(us, pa.scalar(_TUMBLE_US, pa.int64())),
+            pa.scalar(_TUMBLE_US, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "window_start": pc.cast(win, pa.timestamp("us")),
+                "event_type": batch["event_type"],
+                "n_events": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_value_c": cents(batch["value"]),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["window_start", "event_type"],
+            aggs=[("n_events", "sum"), ("sum_value_c", "sum")],
+        )
+
+    return grouped_sum(
+        ds,
+        keys=["window_start", "event_type"],
+        partial=partial,
+        sum_cols=["n_events", "sum_value_c"],
+    )
+
+
+# -------------------------------------------------------------------------
+# user_last3_sum — ROWS-frame sliding window (2 PRECEDING .. CURRENT ROW)
+# per user ordered by (ts, event_id): the row-count-frame complement of
+# user_rolling_window's RANGE interval frame. One keyed exchange of raw
+# event rows hash-bucketed by user (scaled partition count), then every
+# user in the bucket in one vectorized pass: positions within each sorted
+# user run give the frame start directly (lo = i - min(pos, 2)), and the
+# frame sum is a prefix-sum difference on exact int64 cents.
+# -------------------------------------------------------------------------
+
+
+def user_last3_sum(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_parts = _raw_parts(sf_dir, "events")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["user_id"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "w3_count": pa.array([], pa.int64()),
+                    "w3_sum_c": pa.array([], pa.int64()),
+                }
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        v_c = cents(t["value"]).to_numpy(zero_copy_only=False)
+        i = np.arange(n, dtype=np.int64)
+        # index of each row's user-run start: maximum.accumulate of the
+        # boundary positions
+        is_start = np.concatenate([[True], u[1:] != u[:-1]])
+        run_start = np.maximum.accumulate(np.where(is_start, i, 0))
+        pos = i - run_start
+        lo = i - np.minimum(pos, 2)
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(v_c)])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "w3_count": pa.array(i + 1 - lo, pa.int64()),
+                "w3_sum_c": pa.array(cum[i + 1] - cum[lo], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
