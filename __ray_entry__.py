@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": T.pack_sequences,
         "decontaminate": T.decontaminate,
         "paragraph_dedup": T.paragraph_dedup,
+        "duplicate_ngram_coverage": T.duplicate_ngram_coverage,
+        "jaccard_dup_groups": T.jaccard_dup_groups,
         "vocab_topk": T.vocab_topk,
         "tfidf_search": T.tfidf_search,
         "curation_summary": T.curation_summary,
@@ -731,6 +733,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS vec_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS canon_id
             FROM reach GROUP BY u
         """,
+        "jaccard_dup_groups": """
+            -- connected components (transitive closure) over the EXACT
+            -- n-gram Jaccard pair set (same pair SQL as
+            -- ngram_jaccard_pairs); canon = min doc_id in the component
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-1),
+                                 i -> w[i]||' '||w[i+1]||' '||w[i+2])
+                       END AS g
+                FROM w
+            ), s AS (
+                SELECT doc_id, list_distinct(g) AS ss FROM sh WHERE len(g) > 0
+            ), sim AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           len(list_intersect(a.ss, b.ss)) AS inter,
+                           len(a.ss) + len(b.ss)
+                               - len(list_intersect(a.ss, b.ss)) AS uni
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id
+                ) WHERE inter * 2 >= uni
+            ), edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM sim
+                UNION
+                SELECT doc_b, doc_a FROM sim
+            ), reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS canon_id
+            FROM reach GROUP BY u
+        """,
         "remove_boilerplate": """
             -- CCNet-style corpus-frequency line scrub: a line occurring in
             -- >= 2 DISTINCT documents is boilerplate and dropped everywhere.
@@ -817,6 +857,36 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
             FROM s WHERE NOT bench
             GROUP BY doc_id
+        """,
+        "duplicate_ngram_coverage": """
+            -- Gopher-style duplicate-n-gram coverage: per doc, distinct
+            -- 3-word shingles occurring in >=2 distinct documents. String
+            -- shingles here; the engine counts 63-bit blake2b shingle
+            -- hashes (same convention as ngram_jaccard_pairs/decontaminate)
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(range(1, len(w)-1),
+                                 i -> w[i]||' '||w[i+1]||' '||w[i+2])
+                       END AS g
+                FROM w
+            ), s AS (
+                SELECT doc_id, unnest(list_distinct(g)) AS sh
+                FROM g WHERE len(g) > 0
+            ), f AS (
+                SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY sh
+            )
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(COUNT(*) FILTER (WHERE f.nd >= 2) AS BIGINT)
+                       AS n_dup_shingles
+            FROM s JOIN f USING (sh)
+            GROUP BY s.doc_id
         """,
         "repetition_stats": """
             -- Gopher-style within-doc repetition: duplicate-line count and

@@ -2479,3 +2479,146 @@ def compression_ratio(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# duplicate_ngram_coverage — Gopher/MassiveText-style duplicate-n-gram
+# signal: for every document, how many of its DISTINCT 3-word shingles
+# also occur in at least one OTHER document. Same distributed inverted
+# shingle index as decontaminate/ngram_jaccard_pairs: explode (doc, sh)
+# rows, ONE keyed exchange hash-bucketed on the shingle (all postings of a
+# shingle land together, so its global distinct-doc count is local to the
+# bucket), one vectorized value_counts pass per bucket, then the per-doc
+# partial sums ride the small grouped_sum exchange. Never an all-pairs
+# join; a pathological mega-shingle is one posting run in one bucket.
+# Reference analog: no equivalent (the reference dedups nothing); this is
+# the training-data signal the task brief asks for beside dedup_exact.
+# -------------------------------------------------------------------------
+
+
+def duplicate_ngram_coverage(sf_dir: str) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    from .agg import grouped_sum, scaled_partitions
+
+    n_buckets = max(
+        2048,
+        scaled_partitions(
+            pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 150
+        ),
+    )
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_all: list[np.ndarray] = []
+        doc_ids: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = _shingle_hashes63(t)
+            if hs.size == 0:
+                continue
+            sh_all.append(hs)
+            doc_ids.extend([d] * hs.size)
+        sh = np.concatenate(sh_all) if sh_all else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(sh % n_buckets),
+                "sh": pa.array(sh),
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            }
+        )
+
+    def count_dups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_dup_shingles": pa.array([], pa.int64()),
+                }
+            )
+        # postings are distinct per (doc, shingle), so the bucket-local
+        # occurrence count of a shingle IS its global distinct-doc count
+        vc = pc.value_counts(group["sh"].combine_chunks())
+        dup_set = vc.field("values").filter(
+            pc.greater_equal(vc.field("counts"), pa.scalar(2))
+        )
+        hits = pc.cast(pc.is_in(group["sh"], value_set=dup_set), pa.int64())
+        t = pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "n_shingles": pa.array(
+                    np.ones(group.num_rows, dtype=np.int64)
+                ),
+                "n_dup_shingles": hits,
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["doc_id"],
+            aggs=[("n_shingles", "sum"), ("n_dup_shingles", "sum")],
+        )
+
+    per_bucket = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_dups, batch_format="pyarrow")
+    )
+    return grouped_sum(
+        per_bucket,
+        keys=["doc_id"],
+        partial=lambda b: partial_group_agg(
+            b,
+            keys=["doc_id"],
+            aggs=[("n_shingles", "sum"), ("n_dup_shingles", "sum")],
+        ),
+        sum_cols=["n_shingles", "n_dup_shingles"],
+    )
+
+
+# -------------------------------------------------------------------------
+# jaccard_dup_groups — near-dup CLUSTERS over the EXACT n-gram Jaccard
+# pair set: connected components (union-find) with canonical
+# representative = min doc_id, turning pairwise dup detection into the
+# per-document keep/drop decision a curation pipeline actually applies.
+# The union-find runs over the verified pairs only — the tiny set
+# ngram_jaccard_pairs is contractually allowed to return to the driver
+# (pairs above threshold, not candidates); all heavy work (inverted
+# shingle index, bucketed posting intersection) stays distributed inside
+# that operator. DuckDB oracle: recursive-CTE transitive closure over the
+# same exact pair SQL.
+# -------------------------------------------------------------------------
+
+
+def jaccard_dup_groups(sf_dir: str) -> pa.Table:
+    from .agg import collect
+
+    res = ngram_jaccard_pairs(sf_dir)
+    pairs = res if isinstance(res, pa.Table) else collect(res)
+    if pairs is None:
+        pairs = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    parent: dict[int, int] = {}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id keeps the representative canonical
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    ids = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "canon_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
