@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.functions import relational as R
     from pdf_extractor_ray.functions import textops as T
     from pdf_extractor_ray.functions import similarity as S
+    from pdf_extractor_ray.functions import links as L
     from pdf_extractor_ray.pipelines.webpages import extract_from_documents
     from pdf_extractor_ray.pipelines.fanout import fanout_extract
 
@@ -131,6 +132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-asserted against the exact results)
         "distinct_users_hll": R.distinct_users_hll,
         "price_quantiles_sketch": R.price_quantiles_sketch,
+        # link-graph extraction over the synthesized pages (WAT-file
+        # analog; HTML parse -> rows-only)
+        "extract_links": L.extract_links,
+        "link_hosts": L.link_hosts,
         # markdown page-split long table (M10; rows-only)
         "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (rows-only)

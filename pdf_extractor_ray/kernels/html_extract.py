@@ -150,18 +150,18 @@ def _scan_html(text: str, collector: "_BlockCollector") -> None:
             # self-closing only when '/' is a standalone token — in
             # <a href=http://x.com/> the slash belongs to the unquoted
             # attribute value (html.parser semantics) and this IS a start tag
-            collector.handle_startendtag(tag, ())
+            collector.handle_startendtag(tag, attrs)
             continue
         if tag in _RAWTEXT_TAGS:
             cm = _RAWTEXT_CLOSE[tag].search(text, i)
-            collector.handle_starttag(tag, ())
+            collector.handle_starttag(tag, attrs)
             raw = text[i : cm.start()] if cm else text[i:]
             if raw:
                 collector.handle_data_raw(raw)
             collector.handle_endtag(tag)
             i = cm.end() if cm else n
             continue
-        collector.handle_starttag(tag, ())
+        collector.handle_starttag(tag, attrs)
 
 
 class _BlockCollector:
@@ -301,3 +301,78 @@ def extract_html(payload: bytes) -> ExtractResult:
         return ExtractResult(text=full, pages=[full], spans=spans, status=status)
     except Exception as exc:  # pragma: no cover - html.parser is lenient
         return ExtractResult(text="", pages=[""], status="error", error=f"html:{exc!r}"[:200])
+
+
+# -------------------------------------------------------------------------
+# Link extraction — the link-graph half of web-page processing: every
+# <a href=...> with its anchor text, in document order. Shares _scan_html
+# (one scanner, two collectors) so tag/rawtext/comment semantics are
+# identical to the text extractor; anchors inside <script>/<style> bodies
+# can't exist (rawtext is data, never tags). HTML5 agency mirrored from
+# _BlockCollector: a nested/unclosed <a> auto-closes the previous one, and
+# a block boundary closes an inline <a>.
+# -------------------------------------------------------------------------
+
+_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I
+)
+
+
+class _LinkCollector:
+    def __init__(self) -> None:
+        self.links: list[tuple[str, str]] = []  # (href, anchor_text)
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def _close_anchor(self) -> None:
+        if self._href is not None:
+            self.links.append(
+                (self._href, normalize_text("".join(self._parts)))
+            )
+        self._href = None
+        self._parts = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._close_anchor()
+            m = _HREF_RE.search(attrs or "")
+            if m:
+                href = m.group(1) or m.group(2) or m.group(3) or ""
+                if "&" in href:
+                    href = _unescape(href)
+                href = href.strip()
+                if href:
+                    self._href = href
+        elif tag in BLOCK_TAGS:
+            self._close_anchor()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":  # self-closing <a/>: empty anchor text
+            self.handle_starttag(tag, attrs)
+            self._close_anchor()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close_anchor()
+
+    def handle_data_raw(self, data: str) -> None:
+        if self._href is not None:
+            if "&" in data:
+                data = _unescape(data)
+            self._parts.append(data)
+
+    def close(self) -> None:
+        self._close_anchor()
+
+
+def extract_links(payload: bytes) -> list[tuple[str, str]]:
+    """bytes -> ordered (href, anchor_text) pairs. Never raises; undecodable
+    or non-HTML input yields []."""
+    try:
+        text = payload.decode("utf-8", errors="replace")
+        c = _LinkCollector()
+        _scan_html(text, c)
+        c.close()
+        return c.links
+    except Exception:  # pragma: no cover - scanner is lenient by design
+        return []

@@ -94,3 +94,57 @@ def test_empty_and_sniff():
 def test_normalize_text_nfc():
     # e + combining acute -> precomposed
     assert normalize_text("Café  x") == "Café x"
+
+
+# -- link extraction (same scanner, second collector) ----------------------
+
+def test_extract_links_basic_order_and_anchor():
+    from pdf_extractor_ray.kernels.html_extract import extract_links
+
+    html = (
+        b"<html><body><nav><a href='/'>Home</a></nav>"
+        b'<p>See <a href="/ref/1">the first ref</a> and '
+        b"<a href=http://x.com/page>bare one</a>.</p>"
+        b"<footer><a href='/tos'>terms</a></footer></body></html>"
+    )
+    assert extract_links(html) == [
+        ("/", "Home"),
+        ("/ref/1", "the first ref"),
+        ("http://x.com/page", "bare one"),
+        ("/tos", "terms"),
+    ]
+
+
+def test_extract_links_nested_unclosed_and_block_boundary():
+    from pdf_extractor_ray.kernels.html_extract import extract_links
+
+    # nested <a> auto-closes the previous one; a block tag closes an
+    # unclosed anchor (HTML5 agency, mirrors the text collector)
+    html = (
+        b"<p><a href='/a'>one <a href='/b'>two</a></p>"
+        b"<p><a href='/c'>dangling</p><p>after</p>"
+    )
+    assert extract_links(html) == [
+        ("/a", "one"),
+        ("/b", "two"),
+        ("/c", "dangling"),
+    ]
+
+
+def test_extract_links_script_and_entities():
+    from pdf_extractor_ray.kernels.html_extract import extract_links
+
+    html = (
+        b"<script>var s = '<a href=\"/fake\">x</a>';</script>"
+        b'<a href="/q?a=1&amp;b=2">A &amp; B</a>'
+        b"<a name='no-href'>not a link</a>"
+        b"<a href=''>empty href skipped</a>"
+    )
+    assert extract_links(html) == [("/q?a=1&b=2", "A & B")]
+
+
+def test_extract_links_never_raises_on_junk():
+    from pdf_extractor_ray.kernels.html_extract import extract_links
+
+    assert extract_links(b"\x00\xff<<<a href") == []
+    assert extract_links(b"%PDF-1.4 binary junk") == []

@@ -312,3 +312,44 @@ def test_funnel_counts_tie_semantics_planted(ray_session, tmp_path):
         "2_click": 2,
         "3_purchase": 1,
     }
+
+
+def test_extract_links_long_table_over_sf(ray_session):
+    """Every synthesized page carries exactly 3 anchors (nav home/about +
+    footer tos), in document order, with hosts resolving to the page host."""
+    from pdf_extractor_ray.functions.links import extract_links, link_hosts
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    links = extract_links(sf).to_pandas()
+    assert len(links) == 3 * n_docs
+    per = links.groupby("url")["link_idx"].agg(["count", "min", "max"])
+    assert (per["count"] == 3).all()
+    assert (per["min"] == 0).all() and (per["max"] == 2).all()
+    assert set(links["href"]) == {"/", "/about", "/tos"}
+    assert set(links["anchor"]) == {"home", "about", "terms"}
+
+    hosts = link_hosts(sf).to_pandas()
+    assert len(hosts) == 1
+    row = hosts.iloc[0]
+    assert row["src_host"] == "testdata.local"
+    assert row["dst_host"] == "testdata.local"  # relative hrefs resolve home
+    assert row["n_links"] == 3 * n_docs
+
+
+def test_link_hosts_resolves_absolute_hrefs(ray_session, tmp_path):
+    """Absolute hrefs land on their own host in the edge list; relative
+    ones resolve against the page url (urljoin semantics)."""
+    from pdf_extractor_ray.functions.links import links_batch, link_hosts
+
+    batch = pa.table(
+        {
+            "url": ["https://src.example/page/1"],
+            "html": [
+                b"<p><a href='https://other.example/x'>abs</a>"
+                b"<a href='rel/y'>rel</a></p>"
+            ],
+        }
+    )
+    t = links_batch(batch).to_pandas()
+    assert list(t["href"]) == ["https://other.example/x", "rel/y"]
