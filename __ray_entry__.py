@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngram_coverage": T.duplicate_ngram_coverage,
         "jaccard_dup_groups": T.jaccard_dup_groups,
         "vocab_topk": T.vocab_topk,
+        "vocab_topk_sketch": T.vocab_topk_sketch,
         "tfidf_search": T.tfidf_search,
         "curation_summary": T.curation_summary,
         # deflate-compressibility quality signal (zlib; no SQL analog)

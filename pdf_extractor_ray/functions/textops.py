@@ -2622,3 +2622,86 @@ def jaccard_dup_groups(sf_dir: str) -> pa.Table:
             "canon_id": pa.array([find(i) for i in ids], pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# vocab_topk_sketch — mergeable Misra-Gries heavy-hitters summary: the
+# O(cap)-state 100 TB path beside the exact vocab_topk (whose exchange
+# carries one partial per distinct term per batch — unbounded vocabulary
+# cost on the wire). Each batch forwards at most _MG_CAP counters; the
+# driver merges #batches x cap rows. Merge rule (Agarwal et al.,
+# "Mergeable Summaries"): pointwise-add counters, then subtract the
+# (cap+1)-th largest value and drop non-positive. Deterministic guarantee
+# carried in the output: cnt_est <= true <= cnt_est + err_bound for every
+# surviving term, and any term with true count > err_bound survives
+# (err_bound <= total_tokens/(cap+1)). Approximate by design -> rows-only;
+# the bound is pytest-asserted against the exact operator.
+# -------------------------------------------------------------------------
+
+_MG_CAP = 4096
+
+
+def _mg_compress(
+    terms: np.ndarray, counts: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Keep <= cap counters by subtracting the (cap+1)-th largest count;
+    returns (terms, counts, subtracted)."""
+    if len(terms) <= cap:
+        return terms, counts, 0
+    kth = int(np.partition(counts, len(counts) - cap - 1)[len(counts) - cap - 1])
+    keep = counts > kth
+    return terms[keep], counts[keep] - kth, kth
+
+
+def vocab_topk_sketch(
+    sf_dir: str, k: int = 100, cap: int = _MG_CAP
+) -> pa.Table:
+    from .agg import collect
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat.combine_chunks())
+        terms = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        terms, counts, err = _mg_compress(terms, counts, cap)
+        return pa.table(
+            {
+                # null-term sentinel row carries this batch's subtraction
+                "term": pa.array(list(terms) + [None], pa.string()),
+                "cnt_est": pa.array(
+                    np.concatenate([counts, [err]]), pa.int64()
+                ),
+            }
+        )
+
+    parts = collect(ds.map_batches(sketch, batch_format="pyarrow"))
+    if parts is None:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "cnt_est": pa.array([], pa.int64()),
+                "err_bound": pa.array([], pa.int64()),
+            }
+        )
+    is_err = pc.is_null(parts["term"])
+    err_total = int(pc.sum(parts.filter(is_err)["cnt_est"]).as_py() or 0)
+    live = parts.filter(pc.invert(is_err))
+    g = live.group_by(["term"]).aggregate([("cnt_est", "sum")])
+    terms = g["term"].to_numpy(zero_copy_only=False)
+    counts = g["cnt_est_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    terms, counts, err = _mg_compress(terms, counts, cap)
+    err_total += err
+    order = np.lexsort((terms, -counts))[:k]
+    return pa.table(
+        {
+            "term": pa.array(terms[order], pa.string()),
+            "cnt_est": pa.array(counts[order], pa.int64()),
+            "err_bound": pa.array(
+                np.full(len(order), err_total, dtype=np.int64)
+            ),
+        }
+    )

@@ -353,3 +353,41 @@ def test_link_hosts_resolves_absolute_hrefs(ray_session, tmp_path):
     )
     t = links_batch(batch).to_pandas()
     assert list(t["href"]) == ["https://other.example/x", "rel/y"]
+
+
+def test_vocab_topk_sketch_bounds_vs_exact(ray_session):
+    """Misra-Gries guarantee vs the exact operator at sf0.001:
+    cnt_est <= true <= cnt_est + err_bound for every reported term, and
+    the exact top terms all survive (their counts dwarf the bound)."""
+    from pdf_extractor_ray.functions.textops import vocab_topk, vocab_topk_sketch
+
+    sf = "/root/testdata/sf0.001"
+    exact = vocab_topk(sf, k=100_000)  # full exact vocabulary
+    truth = dict(zip(exact["term"].to_pylist(), exact["cnt"].to_pylist()))
+    sk = vocab_topk_sketch(sf, k=100)
+    err = sk["err_bound"][0].as_py() if sk.num_rows else 0
+    for term, est in zip(sk["term"].to_pylist(), sk["cnt_est"].to_pylist()):
+        true = truth[term]
+        assert est <= true <= est + err, (term, est, true, err)
+    top20 = exact.slice(0, 20)["term"].to_pylist()
+    assert set(top20) <= set(sk["term"].to_pylist())
+
+
+def test_vocab_topk_sketch_compression_planted(ray_session, tmp_path):
+    """With a tiny cap the sketch must still surface a planted heavy
+    hitter among high-cardinality noise, with a valid deficit bound."""
+    from pdf_extractor_ray.functions.textops import vocab_topk_sketch
+
+    rows = {
+        "doc_id": list(range(200)),
+        # every doc: 5x the heavy term + 10 unique noise terms
+        "text": [
+            ("heavyterm " * 5) + " ".join(f"noise{i}x{j}" for j in range(10))
+            for i in range(200)
+        ],
+    }
+    d = _docs_dir(tmp_path, rows, "mg")
+    sk = vocab_topk_sketch(d, k=10, cap=64).to_pandas()
+    assert "heavyterm" in set(sk["term"])
+    r = sk[sk["term"] == "heavyterm"].iloc[0]
+    assert r["cnt_est"] <= 1000 <= r["cnt_est"] + r["err_bound"]
