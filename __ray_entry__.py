@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_groups": T.jaccard_dup_groups,
         "vocab_topk": T.vocab_topk,
         "vocab_topk_sketch": T.vocab_topk_sketch,
+        "collocations_topk": T.collocations_topk,
         "tfidf_search": T.tfidf_search,
         "curation_summary": T.curation_summary,
         # deflate-compressibility quality signal (zlib; no SQL analog)
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analog; HTML parse -> rows-only)
         "extract_links": L.extract_links,
         "link_hosts": L.link_hosts,
+        "host_pagerank": L.host_pagerank,
         # markdown page-split long table (M10; rows-only)
         "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (rows-only)
@@ -994,6 +996,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY cnt DESC, term ASC
             LIMIT 100
+        """,
+        "collocations_topk": """
+            -- top-50 word bigrams with component unigram totals (the
+            -- integer-exact basis for PMI-style association scores)
+            WITH w AS (
+                SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ), bg AS (
+                SELECT unnest(CASE WHEN len(w) < 2
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE list_transform(range(1, len(w)),
+                                        i -> w[i]||' '||w[i+1])
+                              END) AS bigram
+                FROM w
+            ), top AS (
+                SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM bg GROUP BY bigram
+                ORDER BY cnt DESC, bigram ASC LIMIT 50
+            ), uc AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT unnest(w) AS term FROM w) GROUP BY term
+            )
+            SELECT t.bigram, t.cnt,
+                   ua.c AS left_cnt, ub.c AS right_cnt
+            FROM top t
+            JOIN uc ua ON ua.term = string_split(t.bigram, ' ')[1]
+            JOIN uc ub ON ub.term = string_split(t.bigram, ' ')[2]
         """,
         "tfidf_search": """
             -- ranked retrieval: integer tf-idf weights, floor(1e6*ln(N/df))

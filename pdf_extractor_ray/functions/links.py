@@ -16,6 +16,7 @@ from __future__ import annotations
 from urllib.parse import urljoin, urlsplit
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -99,3 +100,128 @@ def link_hosts(sf_dir: str) -> rd.Dataset:
         partial=partial,
         sum_cols=["n_links"],
     )
+
+
+# -------------------------------------------------------------------------
+# host_pagerank — PageRank power iteration over the host-level link graph:
+# the canonical iterative-algorithm shape (rank vector broadcast each
+# round, contributions as per-batch partials, one tiny keyed reduce per
+# iteration). Partitioning assumption, stated per the task brief: the HOST
+# vector (not the page set) fits driver/object-store memory — true to
+# ~10^7 hosts; beyond that the rank vector itself must become a keyed
+# Dataset and each iteration a hash join, which this operator does not do.
+# Edges stay distributed; each iteration moves only (dst_host, partial)
+# rows. Deterministic: fixed iteration count, sorted host order, float64.
+# -------------------------------------------------------------------------
+
+
+def pagerank_edges(
+    edges: rd.Dataset, *, damping: float = 0.85, iters: int = 10
+) -> pa.Table:
+    """edges: (src_host, dst_host, n_links) weighted edge list. The edge
+    Dataset is materialized ONCE (so iterations never re-run the upstream
+    parse) and stays in the object store; only host-cardinality vectors
+    move per iteration."""
+    import numpy as np
+    import ray
+
+    from .agg import collect
+
+    edges = edges.materialize()
+    # pass 1 (distributed): host universe + per-src out-weights, both
+    # host-cardinality reductions over tiny per-batch partials
+    def host_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        batch["src_host"].combine_chunks(),
+                        batch["dst_host"].combine_chunks(),
+                    ]
+                ),
+                "outw": pa.concat_arrays(
+                    [
+                        pc.cast(batch["n_links"], pa.int64()).combine_chunks(),
+                        pa.array(
+                            np.zeros(batch.num_rows, dtype=np.int64)
+                        ),
+                    ]
+                ),
+            }
+        )
+        return t.group_by(["host"]).aggregate([("outw", "sum")])
+
+    hp = collect(edges.map_batches(host_partial, batch_format="pyarrow"))
+    if hp is None:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "rank_ppm": pa.array([], pa.int64()),
+            }
+        )
+    hg = hp.group_by(["host"]).aggregate([("outw_sum", "sum")])
+    order = pc.sort_indices(hg, sort_keys=[("host", "ascending")])
+    hg = hg.take(order)
+    hosts = hg["host"].to_pylist()
+    outw = hg["outw_sum_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(hosts)
+    idx = {h: i for i, h in enumerate(hosts)}
+    rank = np.full(n, 1.0 / n)
+
+    def contrib_partial(batch: pa.Table, share_ref) -> pa.Table:
+        # closure-captured ObjectRef: fetched from the local object store
+        # once per task (zero-copy for the numpy share vector)
+        share, index = ray.get(share_ref)
+        s = np.asarray(
+            [index[h] for h in batch["src_host"].to_pylist()], np.int64
+        )
+        d = np.asarray(
+            [index[h] for h in batch["dst_host"].to_pylist()], np.int64
+        )
+        w = batch["n_links"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "dst": pa.array(d),
+                "contrib": pa.array(share[s] * w),
+            }
+        )
+        return t.group_by(["dst"]).aggregate([("contrib", "sum")])
+
+    import functools as _ft
+
+    for _ in range(iters):
+        share = np.where(outw > 0, rank / np.maximum(outw, 1e-300), 0.0)
+        share_ref = ray.put((share, idx))  # broadcast once per iteration
+        parts = collect(
+            edges.map_batches(
+                _ft.partial(contrib_partial, share_ref=share_ref),
+                batch_format="pyarrow",
+            )
+        )
+        contrib = np.zeros(n)
+        if parts is not None:
+            np.add.at(
+                contrib,
+                parts["dst"].to_numpy(zero_copy_only=False),
+                parts["contrib_sum"].to_numpy(zero_copy_only=False),
+            )
+        dangling = float(rank[outw == 0].sum())
+        rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "rank_ppm": pa.array(
+                np.round(rank * 1_000_000).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def host_pagerank(
+    sf_dir: str, *, damping: float = 0.85, iters: int = 10
+) -> pa.Table:
+    """PageRank over the host graph extracted from the pages corpus. The
+    edge AGGREGATION is the distributed stage (link_hosts: scan + parse +
+    partial-combine exchange); the power iteration then runs on the
+    host-cardinality edge list per the assumption above."""
+    return pagerank_edges(link_hosts(sf_dir), damping=damping, iters=iters)

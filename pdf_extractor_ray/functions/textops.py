@@ -2705,3 +2705,83 @@ def vocab_topk_sketch(
             ),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# collocations_topk — corpus collocation table: top word bigrams by total
+# occurrences, each with its component unigram totals (the integer-exact
+# basis for PMI-style association scores, which are float and therefore
+# left to the caller). Same tokenizer as vocab_topk ([a-z0-9]+ over
+# lower(text)); bigram partials ride the standard grouped_sum exchange and
+# the unigram totals for the surviving k bigrams come from ONE is_in-pruned
+# second pass, so the join back is k-sized, never vocabulary-sized.
+# -------------------------------------------------------------------------
+
+
+def collocations_topk(sf_dir: str, k: int = 50) -> pa.Table:
+    from .agg import collect, grouped_sum, topk
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
+        bgs: list[str] = []
+        for lst in words.to_pylist():
+            ws = [w for w in lst if w]
+            bgs.extend(
+                f"{a} {b}" for a, b in zip(ws, ws[1:])
+            )
+        t = pa.table(
+            {
+                "bigram": pa.array(bgs, pa.string()),
+                "cnt": pa.array(np.ones(len(bgs), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["bigram"], aggs=[("cnt", "sum")])
+
+    counts = grouped_sum(
+        ds, keys=["bigram"], partial=bigram_partial, sum_cols=["cnt"]
+    )
+    top = topk(
+        counts, k=k, sort_keys=[("cnt", "descending"), ("bigram", "ascending")]
+    )
+    # unigram totals for exactly the words the surviving bigrams mention
+    need = sorted(
+        {w for bg in top["bigram"].to_pylist() for w in bg.split(" ")}
+    )
+    need_arr = pa.array(need, pa.string())
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
+        )
+        flat = flat.filter(pc.is_in(flat, value_set=need_arr))
+        t = pa.table(
+            {
+                "term": flat,
+                "cnt": pa.array(np.ones(len(flat), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["term"], aggs=[("cnt", "sum")])
+
+    uni = collect(
+        grouped_sum(ds, keys=["term"], partial=uni_partial, sum_cols=["cnt"])
+    )
+    lut = (
+        dict(zip(uni["term"].to_pylist(), uni["cnt"].to_pylist()))
+        if uni is not None
+        else {}
+    )
+    lefts, rights = [], []
+    for bg in top["bigram"].to_pylist():
+        a, b = bg.split(" ")
+        lefts.append(int(lut.get(a, 0)))
+        rights.append(int(lut.get(b, 0)))
+    return pa.table(
+        {
+            "bigram": top["bigram"],
+            "cnt": top["cnt"],
+            "left_cnt": pa.array(lefts, pa.int64()),
+            "right_cnt": pa.array(rights, pa.int64()),
+        }
+    )

@@ -391,3 +391,56 @@ def test_vocab_topk_sketch_compression_planted(ray_session, tmp_path):
     assert "heavyterm" in set(sk["term"])
     r = sk[sk["term"] == "heavyterm"].iloc[0]
     assert r["cnt_est"] <= 1000 <= r["cnt_est"] + r["err_bound"]
+
+
+def test_pagerank_planted_graph(ray_session):
+    """Classic 3-node graph: A->B, A->C, B->C, C->A. Compare against the
+    dense-matrix fixed point computed independently here."""
+    import numpy as np
+    import ray.data as rd
+    from pdf_extractor_ray.functions.links import pagerank_edges
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src_host": ["a", "a", "b", "c"],
+                "dst_host": ["b", "c", "c", "a"],
+                "n_links": pa.array([1, 1, 1, 1], pa.int64()),
+            }
+        )
+    )
+    got = pagerank_edges(edges, iters=50).to_pandas().set_index("host")
+
+    # reference: dense power iteration
+    M = np.zeros((3, 3))  # column-stochastic: M[j, i] = w(i->j)/out(i)
+    M[1, 0] = M[2, 0] = 0.5
+    M[2, 1] = 1.0
+    M[0, 2] = 1.0
+    r = np.full(3, 1 / 3)
+    for _ in range(50):
+        r = 0.15 / 3 + 0.85 * (M @ r)
+    for h, i in (("a", 0), ("b", 1), ("c", 2)):
+        assert abs(got.loc[h, "rank_ppm"] - round(r[i] * 1e6)) <= 1
+
+    # dangling node: b gets no out-edges
+    edges2 = rd.from_arrow(
+        pa.table(
+            {
+                "src_host": ["a"],
+                "dst_host": ["b"],
+                "n_links": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    got2 = pagerank_edges(edges2, iters=60).to_pandas().set_index("host")
+    # closed form with dangling redistribution: total mass stays 1
+    assert abs(got2["rank_ppm"].sum() - 1_000_000) <= 2
+    assert got2.loc["b", "rank_ppm"] > got2.loc["a", "rank_ppm"]
+
+
+def test_host_pagerank_single_host_corpus(ray_session):
+    from pdf_extractor_ray.functions.links import host_pagerank
+
+    got = host_pagerank("/root/testdata/sf0.001", iters=5).to_pandas()
+    assert list(got["host"]) == ["testdata.local"]
+    assert got["rank_ppm"].iloc[0] == 1_000_000
