@@ -163,6 +163,7 @@ def process_partition(
     *,
     n_url_buckets: int = DEFAULT_URL_BUCKETS,
     emit_pages: bool = True,
+    emit_links: bool = False,
     batch_size: int = 64,
     skew_threshold_bytes: int | None = None,
 ) -> pa.Table:
@@ -209,6 +210,18 @@ def process_partition(
         pa.compute.sum(pa.compute.binary_length(deduped["html"])).as_py() or 0
     )
 
+    if emit_links:
+        # second product off the same deduped payloads (WAT-file analog):
+        # per-page ordered anchors; shares the scanner with the text kernel
+        from ..functions.links import links_batch
+
+        links = links_batch(deduped.select(["url", "html"]))
+        links = links.take(
+            pa.compute.sort_indices(
+                links, sort_keys=[("url", "ascending"), ("link_idx", "ascending")]
+            )
+        )
+
     def writer(dir_path: str) -> None:
         flat = out.drop_columns(["pages"]) if "pages" in out.column_names else out
         pq.write_table(flat, os.path.join(dir_path, "extracted.parquet"))
@@ -216,6 +229,8 @@ def process_partition(
             pq.write_table(
                 _explode_pages(out), os.path.join(dir_path, "extracted_pages.parquet")
             )
+        if emit_links:
+            pq.write_table(links, os.path.join(dir_path, "links.parquet"))
 
     n_ok = statuses.count("ok")
     n_empty = statuses.count("empty")
@@ -279,6 +294,7 @@ def run_checkpoint(
     n_partitions: int = 32,
     resume: bool = True,
     emit_pages: bool = True,
+    emit_links: bool = False,
     dedup: bool = True,
     skew_threshold_bytes: int | None = None,
 ) -> pa.Table:
@@ -317,6 +333,7 @@ def run_checkpoint(
     futures = [
         worker.remote(
             pid, files, output_dir, dup_ref, emit_pages=emit_pages,
+            emit_links=emit_links,
             skew_threshold_bytes=skew_threshold_bytes,
         )
         for pid, files in enumerate(groups)
@@ -355,6 +372,11 @@ def main() -> None:
     ap.add_argument(
         "--skew-threshold-mb", type=float, default=8.0,
         help="PDFs above this many MiB are page-range-split across the cluster",
+    )
+    ap.add_argument(
+        "--emit-links", action="store_true",
+        help="also write per-partition links.parquet (url, link_idx, href, "
+             "anchor) — the link-graph product off the same payload pass",
     )
     ap.add_argument(
         "--extractors", default=None,
@@ -406,7 +428,8 @@ def main() -> None:
         else:
             metrics = run_checkpoint(
                 args.input, args.output, n_partitions=args.partitions,
-                resume=args.resume, skew_threshold_bytes=skew_bytes,
+                resume=args.resume, emit_links=args.emit_links,
+                skew_threshold_bytes=skew_bytes,
             )
             done = metrics.num_rows
             total_rows = sum(metrics["rows_out"].to_pylist()) if done else 0

@@ -109,3 +109,35 @@ def test_resume_invalidates_on_input_change(ray_session, small_corpus, tmp_path)
     assert m2.num_rows == 4  # all groups recomputed (boundaries shifted)
     total = _read_all(out)
     assert set(new_urls) <= set(total["url"].to_pylist())
+
+
+def test_checkpoint_emit_links_product(ray_session, tmp_path):
+    """--emit-links writes a links.parquet per partition: every html page's
+    anchors in (url, link_idx) order; pdf/junk rows contribute none."""
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.corpus import write_corpus
+    from pdf_extractor_ray.pipelines.extract import run_checkpoint
+
+    src = tmp_path / "pages"
+    out = tmp_path / "out"
+    write_corpus(str(src), 120, n_shards=4)
+    run_checkpoint(str(src), str(out), n_partitions=4, emit_links=True)
+    parts = sorted(p for p in out.iterdir() if p.name.startswith("part-"))
+    assert len(parts) == 4
+    import pandas as pd
+
+    links = pd.concat(
+        [pq.read_table(str(p / "links.parquet")).to_pandas() for p in parts]
+    )
+    assert len(links) > 0
+    assert links["href"].str.len().gt(0).all()
+    # per-page indices are dense from 0
+    g = links.groupby("url")["link_idx"]
+    assert (g.min() == 0).all()
+    assert (g.max() == g.count() - 1).all()
+    # links only come from html rows
+    ext = pd.concat(
+        [pq.read_table(str(p / "extracted.parquet")).to_pandas() for p in parts]
+    )
+    html_urls = set(ext[ext["content_type"] == "html"]["url"])
+    assert set(links["url"]) <= html_urls
