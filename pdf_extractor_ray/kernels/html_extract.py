@@ -271,11 +271,37 @@ def _keep(kind: str, text: str, density: float) -> bool:
     return len(text) >= MIN_BLOCK_CHARS and density < MAX_LINK_DENSITY
 
 
+# meta-charset declaration in the document head (HTML5 <meta charset=...>
+# or the legacy http-equiv Content-Type form); scanned over the first 2 KiB
+# of raw bytes like browsers' pre-scan. Only consulted when strict UTF-8
+# decode fails, so pure-UTF-8 corpora are byte-for-byte unaffected.
+_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I
+)
+
+
+def _decode_html(payload: bytes) -> str:
+    """Strict UTF-8 first; on failure honor a declared meta charset (any
+    stdlib codec); last resort UTF-8 with replacement (legacy behavior)."""
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        m = _CHARSET_RE.search(payload[:2048])
+        if m:
+            enc = m.group(1).decode("ascii", "ignore").strip().lower()
+            if enc and enc not in ("utf-8", "utf8"):
+                try:
+                    return payload.decode(enc)
+                except (LookupError, UnicodeDecodeError):
+                    pass
+        return payload.decode("utf-8", errors="replace")
+
+
 def extract_html(payload: bytes) -> ExtractResult:
     """bytes -> main-content text + spans. Never raises; malformed input
     yields a best-effort salvage (status='empty' when nothing survives)."""
     try:
-        text = payload.decode("utf-8", errors="replace")
+        text = _decode_html(payload)
         parser = _BlockCollector()
         _scan_html(text, parser)
         parser.close()
@@ -369,7 +395,7 @@ def extract_links(payload: bytes) -> list[tuple[str, str]]:
     """bytes -> ordered (href, anchor_text) pairs. Never raises; undecodable
     or non-HTML input yields []."""
     try:
-        text = payload.decode("utf-8", errors="replace")
+        text = _decode_html(payload)
         c = _LinkCollector()
         _scan_html(text, c)
         c.close()

@@ -148,3 +148,70 @@ def test_extract_links_never_raises_on_junk():
 
     assert extract_links(b"\x00\xff<<<a href") == []
     assert extract_links(b"%PDF-1.4 binary junk") == []
+
+
+def test_charset_meta_decode_latin1():
+    from pdf_extractor_ray.kernels.html_extract import extract_html
+
+    body = "Café déjà vu, crème brûlée et ça va"
+    html = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        "<body><p>" + body + " and enough filler text to clear the minimum "
+        "block length threshold for extraction.</p></body></html>"
+    ).encode("iso-8859-1")
+    # invalid as UTF-8, so the meta charset must be honored
+    res = extract_html(html)
+    assert "Café déjà vu" in res.text
+    assert "crème brûlée" in res.text
+    assert "�" not in res.text
+
+
+def test_charset_meta_decode_http_equiv_cp1251():
+    from pdf_extractor_ray.kernels.html_extract import extract_html
+
+    body = "Пример русского текста для проверки корректного декодирования страницы"
+    html = (
+        "<html><head><meta http-equiv='Content-Type' "
+        "content='text/html; charset=windows-1251'></head>"
+        "<body><p>" + body + "</p></body></html>"
+    ).encode("windows-1251")
+    res = extract_html(html)
+    assert "Пример русского текста" in res.text
+    assert "�" not in res.text
+
+
+def test_charset_utf8_wins_over_wrong_meta():
+    from pdf_extractor_ray.kernels.html_extract import extract_html
+
+    # valid UTF-8 bytes with a (wrong) latin-1 declaration: strict UTF-8
+    # decode succeeds first, so the meta tag is never consulted
+    body = "日本語のテキスト with mixed ascii to pass the length gate easily here"
+    html = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        "<body><p>" + body + "</p></body></html>"
+    ).encode("utf-8")
+    res = extract_html(html)
+    assert "日本語のテキスト" in res.text
+
+
+def test_charset_unknown_codec_falls_back_to_replacement():
+    from pdf_extractor_ray.kernels.html_extract import extract_html
+
+    html = (
+        b'<html><head><meta charset="x-no-such-codec"></head><body><p>'
+        b"prefix \xff\xfe suffix and enough filler to clear the minimum "
+        b"block length threshold for extraction today</p></body></html>"
+    )
+    res = extract_html(html)
+    assert "prefix" in res.text and "suffix" in res.text
+    assert "�" in res.text
+
+
+def test_charset_links_also_decoded():
+    from pdf_extractor_ray.kernels.html_extract import extract_links
+
+    html = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        '<body><a href="/caf%C3%A9">Café München</a></body></html>'
+    ).encode("iso-8859-1")
+    assert extract_links(html) == [("/caf%C3%A9", "Café München")]
