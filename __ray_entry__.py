@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": T.winnow_fingerprints,
         "sample_docs": T.sample_docs,
         "sample_stratified": T.sample_stratified,
+        "mix_sources": T.mix_sources,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
         "redact_pii": T.redact_pii,
@@ -664,6 +665,28 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
+        """,
+        "mix_sources": """
+            -- weighted source mixing at 5:3:2 over src0/src1/src2; the
+            -- largest feasible total T is set by the scarcest source,
+            -- per-source targets t_s = w_s*T//W, and the kept set is the
+            -- rows whose 32-bit md5 prefix clears t_s*2^32//n_s (all
+            -- integer math, mirrored exactly by the engine)
+            WITH wts(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+            c AS (
+                SELECT d.source, COUNT(*) AS n, ANY_VALUE(w.w) AS w
+                FROM documents d JOIN wts w ON d.source = w.source
+                GROUP BY d.source
+            ),
+            tmax AS (SELECT MIN(n * 10 // w) AS t FROM c),
+            thr AS (
+                SELECT c.source,
+                       ((c.w * t.t // 10) * 4294967296 // c.n) AS u
+                FROM c, tmax t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON d.source = thr.source
+            WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) < thr.u
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups

@@ -2785,3 +2785,79 @@ def collocations_topk(sf_dir: str, k: int = 50) -> pa.Table:
             "right_cnt": pa.array(rights, pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# mix_sources — deterministic weighted source mixing, the data-mixing step
+# a training pipeline runs to hit target corpus proportions (web/wiki/books
+# at w1:w2:w3). Given integer weights per source, the op computes the
+# LARGEST total T the corpus can serve at exactly those proportions
+# (limited by the scarcest source), derives a per-source target count
+# t_s = w_s*T//W, and keeps each row iff its 32-bit content hash falls
+# under the integer threshold u_s = t_s*2^32//n_s. All threshold math is
+# int64, so the kept SET is bit-identical to the DuckDB oracle; realized
+# per-source counts are binomial around t_s (the scalable semantics — an
+# exact-count variant would need a per-source rank, i.e. a full sort).
+#
+# Scale posture: one streaming count pass with per-batch partials (#rows
+# shuffled = #batches x #sources), a driver-side threshold table of
+# #sources rows broadcast into the second streaming filter pass. No
+# full-table shuffle at any point; both passes are single-hop map_batches.
+# Reference analog: the per-project document quotas in
+# /root/reference/backend/src/main.py (project listing caps) — here
+# generalized to proportional corpus composition.
+# -------------------------------------------------------------------------
+
+MIX_WEIGHTS: dict[str, int] = {"src0": 5, "src1": 3, "src2": 2}
+
+
+def mix_sources(
+    sf_dir: str, weights: dict[str, int] = MIX_WEIGHTS
+) -> rd.Dataset:
+    from .agg import collect
+
+    w_total = sum(weights.values())
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["source"])
+            .group_by("source")
+            .aggregate([("source", "count")])
+        )
+        return pa.table(
+            {"source": g["source"], "n": g["source_count"].cast(pa.int64())}
+        )
+
+    part = collect(ds.map_batches(count_partial, batch_format="pyarrow"))
+    counts: dict[str, int] = {}
+    if part is not None:
+        for s, n in zip(part["source"].to_pylist(), part["n"].to_pylist()):
+            if s in weights:
+                counts[s] = counts.get(s, 0) + int(n)
+
+    # largest feasible total at the target proportions, then per-source
+    # integer thresholds (t_s == n_s yields u_s == 2^32 > any hash: keep all)
+    thresholds: dict[str, int] = {}
+    if counts and all(counts.get(s, 0) > 0 for s in weights):
+        t_total = min(counts[s] * w_total // w for s, w in weights.items())
+        for s, w in weights.items():
+            t_s = w * t_total // w_total
+            thresholds[s] = (t_s << 32) // counts[s]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        mask = [
+            s in thresholds
+            and int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:4], "big"
+            )
+            < thresholds[s]
+            for s, t in zip(srcs, texts)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_())).select(
+            ["doc_id", "source"]
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -232,3 +232,46 @@ def test_compression_ratio_matches_direct_zlib(ray_session, tmp_path):
     rep = got[got["doc_id"] == 0]["ratio_bp"].iloc[0]
     uniq = got[got["doc_id"] == 3]["ratio_bp"].iloc[0]
     assert rep < uniq / 5
+
+
+def test_mix_sources_planted_proportions(ray_session, tmp_path):
+    """Skewed availability (src0 abundant, src2 scarce): the scarce source
+    limits the total, realized proportions track 5:3:2 within binomial
+    noise, and the kept set bit-matches the DuckDB oracle."""
+    from pdf_extractor_ray.functions.textops import mix_sources
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for src, n in [("src0", 2000), ("src1", 900), ("src2", 300), ("srcX", 500)]:
+        for i in range(n):
+            rows.append((src, f"{src} document {i} " + " ".join(
+                str(x) for x in rng.integers(0, 99, 6))))
+    d = tmp_path / "mix"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "source": pa.array([r[0] for r in rows]),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = _run(mix_sources, str(d))
+    exp = _oracle(str(d), "mix_sources")
+    _assert_match(out, exp)
+
+    # srcX (unweighted) contributes nothing
+    assert not (out["source"] == "srcX").any()
+    got = out["source"].value_counts()
+    # limiting source: src2 with 300 docs at weight 2 -> T = 1500,
+    # targets 750/450/300; binomial noise ~ sqrt(t) so allow 5 sigma
+    for src, t in [("src0", 750), ("src1", 450), ("src2", 300)]:
+        assert abs(int(got.get(src, 0)) - t) <= 5 * int(np.sqrt(t)) + 1, (
+            src,
+            int(got.get(src, 0)),
+            t,
+        )
+    # scarce source kept wholesale (threshold == 2^32)
+    assert int(got.get("src2", 0)) == 300
