@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": T.sample_docs,
         "sample_stratified": T.sample_stratified,
         "mix_sources": T.mix_sources,
+        "incremental_new_docs": T.incremental_new_docs,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
         "redact_pii": T.redact_pii,
@@ -665,6 +666,19 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
+        """,
+        "incremental_new_docs": """
+            -- incremental-crawl ingestion: new batch = doc_id % 3 == 0,
+            -- seen snapshot = the rest; emit new docs whose exact text
+            -- does not appear in the snapshot (the engine runs a
+            -- bloom-prefiltered anti-join; bit-equal because blooms have
+            -- no false negatives and positives are exact-confirmed)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 3 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id % 3 <> 0 AND s.text = d.text
+              )
         """,
         "mix_sources": """
             -- weighted source mixing at 5:3:2 over src0/src1/src2; the

@@ -275,3 +275,46 @@ def test_mix_sources_planted_proportions(ray_session, tmp_path):
         )
     # scarce source kept wholesale (threshold == 2^32)
     assert int(got.get("src2", 0)) == 300
+
+
+def test_incremental_new_docs_planted_both_paths(ray_session, tmp_path):
+    """Cross-increment dup texts are suppressed, intra-new dups both
+    survive (NOT EXISTS semantics), and the bucketed-exchange fallback
+    (broadcast_limit=0) emits the same set as the broadcast path."""
+    from pdf_extractor_ray.functions.textops import incremental_new_docs
+
+    # doc_id % 3 == 0 -> new batch; others are the seen snapshot
+    texts = {
+        0: "brand new page about rivers and dams",      # new, unseen
+        1: "seen snapshot page alpha",
+        2: "seen snapshot page beta",
+        3: "seen snapshot page alpha",                  # new, dup of seen -> drop
+        4: "seen snapshot page gamma",
+        5: "seen snapshot page delta",
+        6: "fresh page twins in the same increment",    # new, intra-new dup
+        7: "seen snapshot page epsilon",
+        8: "seen snapshot page zeta",
+        9: "fresh page twins in the same increment",    # new, intra-new dup
+        10: "seen snapshot page eta",
+        11: "seen snapshot page theta",
+        12: "seen snapshot page beta",                  # new, dup of seen -> drop
+    }
+    d = tmp_path / "inc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)]),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    exp = _oracle(str(d), "incremental_new_docs")
+    assert sorted(exp["doc_id"]) == [0, 6, 9]
+
+    out_bcast = _run(incremental_new_docs, str(d))
+    _assert_match(out_bcast, exp)
+
+    out_exch = _run(incremental_new_docs, str(d), broadcast_limit=0)
+    _assert_match(out_exch, exp)
