@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": T.sample_stratified,
         "mix_sources": T.mix_sources,
         "incremental_new_docs": T.incremental_new_docs,
+        "bm25_search": T.bm25_search,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
         "redact_pii": T.redact_pii,
@@ -666,6 +667,51 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
+        """,
+        "bm25_search": """
+            -- BM25 (k1=1.2, b=0.75, Lucene IDF) in exact integer math:
+            -- weights floor(1e6*LN(1+(N-df+0.5)/(df+0.5))); the normalized
+            -- term ratio is multiplied through by 20*S so every per-doc
+            -- contribution is wt*44*S*tf // (20*S*tf + 6*S + 18*N*dl)
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(len(ts)) AS BIGINT) AS s
+                FROM toks
+            ),
+            terms(term) AS (
+                VALUES ('scan'), ('merge'), ('window'), ('join')
+            ),
+            w AS (
+                SELECT term,
+                       CAST(FLOOR(1e6 * LN(1 + (
+                           CAST((SELECT n FROM stats) AS DOUBLE) - d + 0.5
+                       ) / (d + 0.5))) AS BIGINT) AS wt
+                FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS d
+                      FROM terms, toks
+                      WHERE list_contains(ts, term)
+                      GROUP BY term)
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST(len(ts) AS BIGINT) AS dl,
+                       term,
+                       CAST(len(list_filter(ts, x -> x = term)) AS BIGINT)
+                           AS tf
+                FROM toks, terms
+            )
+            SELECT doc_id,
+                   CAST(SUM((wt * 44 * s.s * tf)
+                            // (20 * s.s * tf + 6 * s.s + 18 * s.n * dl))
+                        AS BIGINT) AS score
+            FROM q JOIN w USING (term), stats s
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
         """,
         "incremental_new_docs": """
             -- incremental-crawl ingestion: new batch = doc_id % 3 == 0,

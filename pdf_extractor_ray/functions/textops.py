@@ -3034,3 +3034,94 @@ def incremental_new_docs(
         .map_groups(bucket_anti, batch_format="pyarrow")
     )
     return definite.union(confirmed)
+
+
+# -------------------------------------------------------------------------
+# bm25_search — BM25-ranked retrieval (k1=1.2, b=0.75, Lucene-form IDF
+# ln(1 + (N-df+0.5)/(df+0.5))), the standard upgrade of tfidf_search for
+# length-biased web corpora. Exactness: IDF weights are the established
+# floor(1e6*ln(double)) int64 pattern (libm on both engines); the
+# length-normalized term ratio tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) is
+# cleared of floats by multiplying through by 20*S (S = corpus token
+# count, avgdl = S/N):  contribution = wt*44*S*tf // (20*S*tf + 6*S +
+# 18*N*dl) — pure int64 floor division, bit-equal in DuckDB. int64 holds
+# while wt*44*S*tf < 2^63 (corpora to ~1e10 tokens with 1e6-scaled
+# weights; beyond that, rescale the weight constant).
+#
+# Physical plan = tfidf_search's: one streaming pass of tiny per-batch
+# partials (df per term, N, S), driver combine, then one scoring pass
+# with the per-batch local-topk prefilter — no shuffle, #batches x k rows
+# reach the driver. Reference analog: the ILIKE search surface
+# (/root/reference/backend/src/main.py:1209-1214), here ranked.
+# -------------------------------------------------------------------------
+
+def bm25_search(
+    sf_dir: str, k: int = 20, terms: tuple[str, ...] = TFIDF_TERMS
+) -> pa.Table:
+    import math
+
+    from .agg import collect, local_topk
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _tok(batch: pa.Table):
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks).to_numpy(zero_copy_only=False))
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # drop the empty boundary tokens the splitter emits so token
+        # counts equal regexp_extract_all('[a-z0-9]+') semantics
+        nonempty = flat != ""
+        return flat[nonempty], parent[nonempty]
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        row = {
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "n_toks": pa.array([len(flat)], pa.int64()),
+        }
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = pa.array(
+                [len(np.unique(parent[flat == term]))], pa.int64()
+            )
+        return pa.table(row)
+
+    part = collect(ds.map_batches(stat_partial, batch_format="pyarrow"))
+    n_total = int(pc.sum(part["n_docs"]).as_py()) if part is not None else 0
+    s_total = int(pc.sum(part["n_toks"]).as_py()) if part is not None else 0
+    weights = []
+    for i in range(len(terms)):
+        df = int(pc.sum(part[f"df{i}"]).as_py()) if part is not None else 0
+        weights.append(
+            # math.log(1 + x), not log1p: DuckDB computes LN(1 + x) and the
+            # two differ in the last ulp for small x
+            int(math.floor(1e6 * math.log(1.0 + (n_total - df + 0.5) / (df + 0.5))))
+            if n_total
+            else 0
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        dl = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+        s = np.zeros(batch.num_rows, np.int64)
+        base = 6 * s_total + 18 * n_total * dl
+        for term, w in zip(terms, weights):
+            tf = np.bincount(
+                parent[flat == term], minlength=batch.num_rows
+            ).astype(np.int64)
+            s += (w * 44 * s_total * tf) // (20 * s_total * tf + base)
+        t = pa.table({"doc_id": batch["doc_id"], "score": pa.array(s)})
+        return local_topk(
+            t, k=k, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+
+    pruned = collect(ds.map_batches(score, batch_format="pyarrow"))
+    if pruned is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+    return local_topk(
+        pruned, k=k, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
