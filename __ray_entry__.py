@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": T.mix_sources,
         "incremental_new_docs": T.incremental_new_docs,
         "bm25_search": T.bm25_search,
+        "mix_epochs": T.mix_epochs,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
         "redact_pii": T.redact_pii,
@@ -667,6 +668,24 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
+        """,
+        "mix_epochs": """
+            -- repetition mixing at 0.5x/1x/2.5x: doc appears in epoch e
+            -- iff h32*den < 2^32*(num - e*den) (covers full epochs and the
+            -- deterministic fractional tail in one integer inequality)
+            WITH reps(source, num, den) AS (
+                VALUES ('src0', 1, 2), ('src1', 1, 1), ('src2', 5, 2)
+            ),
+            e AS (
+                SELECT source, num, den,
+                       UNNEST(range(CAST((num + den - 1) // den AS BIGINT)))
+                           AS epoch
+                FROM reps
+            )
+            SELECT d.doc_id, d.source, e.epoch
+            FROM documents d JOIN e USING (source)
+            WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) * den
+                  < 4294967296 * (num - epoch * den)
         """,
         "bm25_search": """
             -- BM25 (k1=1.2, b=0.75, Lucene IDF) in exact integer math:

@@ -3125,3 +3125,72 @@ def bm25_search(
     return local_topk(
         pruned, k=k, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
     )
+
+
+# -------------------------------------------------------------------------
+# mix_epochs — repetition-based mixing, the upsampling complement of
+# mix_sources: each source is replicated by a rational repeat factor
+# num/den (0.5x downsample, 1x identity, 2.5x = two full epochs + a half
+# epoch), the shape training mixtures use to overweight scarce
+# high-quality sources. A doc appears in epoch e iff
+# h32(text) * den < 2^32 * (num - e*den) — one int64 inequality that
+# covers both full epochs (rhs >= 2^32*den > any lhs) and the fractional
+# tail, so the emitted (doc_id, source, epoch) set is bit-identical to
+# the SQL oracle. Single streaming map (per-row hash computed once, one
+# filtered slice per epoch); the repeat table is driver state of
+# #sources rows — no shuffle anywhere.
+# -------------------------------------------------------------------------
+
+MIX_EPOCH_REPEATS: dict[str, tuple[int, int]] = {
+    "src0": (1, 2),   # 0.5x
+    "src1": (1, 1),   # 1x
+    "src2": (5, 2),   # 2.5x
+}
+
+
+def mix_epochs(
+    sf_dir: str, repeats: dict[str, tuple[int, int]] = MIX_EPOCH_REPEATS
+) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        h = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:4], "big"
+                )
+                for t in texts
+            ],
+            np.int64,
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_src, out_ep = [], [], []
+        for src, (num, den) in repeats.items():
+            rows = np.flatnonzero(np.array([s == src for s in srcs]))
+            if rows.size == 0:
+                continue
+            n_ep = -(-num // den)
+            for ep in range(n_ep):
+                keep = rows[h[rows] * den < ((num - ep * den) << 32)]
+                out_id.append(ids[keep])
+                out_src.extend([src] * keep.size)
+                out_ep.append(np.full(keep.size, ep, np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "epoch": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "source": pa.array(out_src, pa.string()),
+                "epoch": pa.array(np.concatenate(out_ep)),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -318,3 +318,47 @@ def test_incremental_new_docs_planted_both_paths(ray_session, tmp_path):
 
     out_exch = _run(incremental_new_docs, str(d), broadcast_limit=0)
     _assert_match(out_exch, exp)
+
+
+def test_mix_epochs_planted_semantics(ray_session, tmp_path):
+    """2.5x source: epochs 0 and 1 contain every doc, epoch 2 a ~half
+    deterministic subset; 0.5x source gets a single ~half epoch; the
+    emitted set bit-matches the oracle."""
+    from pdf_extractor_ray.functions.textops import mix_epochs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for src, n in [("src0", 800), ("src1", 400), ("src2", 600)]:
+        for i in range(n):
+            rows.append((src, f"{src} epoch doc {i} " + " ".join(
+                str(x) for x in rng.integers(0, 99, 5))))
+    d = tmp_path / "epochs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "source": pa.array([r[0] for r in rows]),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = _run(mix_epochs, str(d))
+    exp = _oracle(str(d), "mix_epochs").sort_values(
+        ["doc_id", "epoch"]).reset_index(drop=True)
+    out = out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    _assert_match(out, exp)
+
+    s2 = out[out["source"] == "src2"]
+    assert (s2["epoch"] == 0).sum() == 600
+    assert (s2["epoch"] == 1).sum() == 600
+    frac = (s2["epoch"] == 2).sum()
+    assert abs(frac - 300) <= 5 * int(np.sqrt(300))
+    s0 = out[out["source"] == "src0"]
+    assert set(s0["epoch"]) <= {0}
+    assert abs(len(s0) - 400) <= 5 * int(np.sqrt(400))
+    # full epochs of the same source repeat the same doc set
+    e0 = set(s2[s2["epoch"] == 0]["doc_id"])
+    e1 = set(s2[s2["epoch"] == 1]["doc_id"])
+    assert e0 == e1
