@@ -2723,63 +2723,81 @@ def collocations_topk(sf_dir: str, k: int = 50) -> pa.Table:
 
     ds = _read_docs(sf_dir, ["text"])
 
-    def bigram_partial(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
-        bgs: list[str] = []
-        for lst in words.to_pylist():
-            ws = [w for w in lst if w]
-            bgs.extend(
-                f"{a} {b}" for a, b in zip(ws, ws[1:])
-            )
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        # one tokenize pass emits BOTH unigram and bigram count partials
+        # into a single exchange: unigrams never contain a space, bigrams
+        # always do, so one key column carries both kinds (the previous
+        # two-pass layout paid the read + tokenize + shuffle twice).
+        # Bigram construction is fully vectorized: flatten tokens, drop
+        # the splitter's empty boundary tokens, pair adjacent words that
+        # share a parent doc, join with one Arrow concat kernel.
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        mask = pc.not_equal(flat, "")
+        fw = flat.filter(mask)
+        if isinstance(fw, pa.ChunkedArray):
+            fw = fw.combine_chunks()
+        pw = parent[mask.to_numpy(zero_copy_only=False)]
+        if len(fw) >= 2:
+            same = pa.array(pw[:-1] == pw[1:])
+            a = fw.slice(0, len(fw) - 1).filter(same)
+            b = fw.slice(1).filter(same)
+            bg = pc.binary_join_element_wise(a, b, " ")
+            gram = pa.concat_arrays([fw, bg])
+        else:
+            gram = fw
         t = pa.table(
             {
-                "bigram": pa.array(bgs, pa.string()),
-                "cnt": pa.array(np.ones(len(bgs), dtype=np.int64)),
+                "gram": gram,
+                "cnt": pa.array(np.ones(len(gram), dtype=np.int64)),
             }
         )
-        return partial_group_agg(t, keys=["bigram"], aggs=[("cnt", "sum")])
+        return partial_group_agg(t, keys=["gram"], aggs=[("cnt", "sum")])
 
+    # materialize the REDUCED counts (vocab + bigram-vocab cardinality,
+    # block-distributed and spillable — never the raw token stream) so the
+    # top-k scan and the k-sized unigram lookup reuse one execution
     counts = grouped_sum(
-        ds, keys=["bigram"], partial=bigram_partial, sum_cols=["cnt"]
-    )
+        ds, keys=["gram"], partial=gram_partial, sum_cols=["cnt"]
+    ).materialize()
+
     top = topk(
-        counts, k=k, sort_keys=[("cnt", "descending"), ("bigram", "ascending")]
+        counts.map_batches(
+            lambda b: b.filter(pc.match_substring(b["gram"], " ")),
+            batch_format="pyarrow",
+        ),
+        k=k,
+        sort_keys=[("cnt", "descending"), ("gram", "ascending")],
     )
     # unigram totals for exactly the words the surviving bigrams mention
     need = sorted(
-        {w for bg in top["bigram"].to_pylist() for w in bg.split(" ")}
+        {w for bg in top["gram"].to_pylist() for w in bg.split(" ")}
     )
     need_arr = pa.array(need, pa.string())
-
-    def uni_partial(batch: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(
-            pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
-        )
-        flat = flat.filter(pc.is_in(flat, value_set=need_arr))
-        t = pa.table(
-            {
-                "term": flat,
-                "cnt": pa.array(np.ones(len(flat), dtype=np.int64)),
-            }
-        )
-        return partial_group_agg(t, keys=["term"], aggs=[("cnt", "sum")])
-
     uni = collect(
-        grouped_sum(ds, keys=["term"], partial=uni_partial, sum_cols=["cnt"])
+        counts.map_batches(
+            lambda b: b.filter(pc.is_in(b["gram"], value_set=need_arr)),
+            batch_format="pyarrow",
+        )
     )
     lut = (
-        dict(zip(uni["term"].to_pylist(), uni["cnt"].to_pylist()))
+        dict(zip(uni["gram"].to_pylist(), uni["cnt"].to_pylist()))
         if uni is not None
         else {}
     )
     lefts, rights = [], []
-    for bg in top["bigram"].to_pylist():
+    for bg in top["gram"].to_pylist():
         a, b = bg.split(" ")
         lefts.append(int(lut.get(a, 0)))
         rights.append(int(lut.get(b, 0)))
     return pa.table(
         {
-            "bigram": top["bigram"],
+            "bigram": top["gram"],
             "cnt": top["cnt"],
             "left_cnt": pa.array(lefts, pa.int64()),
             "right_cnt": pa.array(rights, pa.int64()),
