@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_new_docs": T.incremental_new_docs,
         "bm25_search": T.bm25_search,
         "mix_epochs": T.mix_epochs,
+        "prepare_training": T.prepare_training,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
         "redact_pii": T.redact_pii,
@@ -668,6 +669,45 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
+        """,
+        "prepare_training": """
+            -- composed training-data pipeline: quality gate -> exact dedup
+            -- (min doc_id per md5 key) -> deterministic shuffle order
+            -- (ORDER BY md5 key) -> packing (exclusive token prefix // 512)
+            WITH kept AS (
+                SELECT doc_id, text, md5(text) AS k FROM documents
+                WHERE LENGTH(text) BETWEEN 100 AND 20000
+                  AND (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 100
+                      >= 5 * LENGTH(text)
+                  AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 100
+                      <= 20 * LENGTH(text)
+            ),
+            win AS (
+                SELECT k, MIN(doc_id) AS doc_id FROM kept GROUP BY k
+            ),
+            tok AS (
+                SELECT w.doc_id, w.k,
+                       CASE WHEN trim(d.text, ' ' || chr(9) || chr(10)
+                                       || chr(13) || chr(12) || chr(11)) = ''
+                            THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 trim(d.text, ' ' || chr(9) || chr(10)
+                                      || chr(13) || chr(12) || chr(11)),
+                                 '[ ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11) || ']+'))
+                       END AS n_tokens
+                FROM win w JOIN kept d ON w.doc_id = d.doc_id
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1
+                        AS BIGINT) AS pos,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 512 AS BIGINT)
+                       AS seq_id
+            FROM tok
         """,
         "mix_epochs": """
             -- repetition mixing at 0.5x/1x/2.5x: doc appears in epoch e

@@ -334,6 +334,7 @@ def main() -> None:
                     help="write the stream pipeline's ds.stats() to BENCH/")
     ap.add_argument("--levels", default=None, help="two comma-separated cpu counts for --scaling")
     ap.add_argument("--_scale-child", dest="scale_child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--_bench-inner", dest="bench_inner", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.stats:
@@ -346,8 +347,32 @@ def main() -> None:
         print(json.dumps(run_scaling(args.sf_dir, levels)))
     elif args.scale_child:
         print(json.dumps(bench_checkpoint_child(args.sf_dir, args.cpus)))
-    else:
+    elif args.bench_inner:
         print(json.dumps(main_bench(args.sf_dir, args.cpus)))
+    else:
+        # run the measurement in a child process and retry once: a long
+        # single session driving ~150 datasets occasionally trips Ray-core
+        # fatal checks (task_manager.cc/reference_count.cc races) that kill
+        # the raylet outright — unrecoverable in-process, clean on retry
+        for attempt in (1, 2):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--sf-dir", args.sf_dir, "--cpus", str(args.cpus),
+                 "--_bench-inner"],
+                stdout=subprocess.PIPE, text=True,
+            )
+            lines = [
+                ln for ln in p.stdout.splitlines()
+                if ln.startswith('{"metric"')
+            ]
+            if p.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            print(
+                f"bench child crashed (rc={p.returncode}, attempt {attempt})",
+                file=sys.stderr,
+            )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

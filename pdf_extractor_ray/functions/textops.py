@@ -3212,3 +3212,147 @@ def mix_epochs(
         )
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# prepare_training — the composed end-to-end TRAINING-DATA pipeline in one
+# distributed flow: quality gate (same integer predicate as
+# quality_filter) -> exact dedup (min doc_id per md5 text key) ->
+# deterministic global shuffle (training order = md5-key order, i.e. the
+# dedup key doubles as the shuffle key) -> sequence packing (seq_id =
+# exclusive token prefix sum // budget). This is the "prepare a pretraining
+# corpus" product shape; every step is integer/hash math shared bit-exactly
+# with one SQL oracle (ROW_NUMBER + windowed SUM over the same order).
+#
+# Physical plan: the md5 key's 32-bit prefix buckets the exchange ORDER-
+# PRESERVINGLY (identical keys share a prefix, so dup groups never
+# straddle buckets; bucket order == key order). Pass 1 reduces each bucket
+# to ONE (rows, tokens) summary row after in-bucket dedup — the driver
+# sees n_parts rows, exclusive-scans them into row/token base offsets.
+# Pass 2 repeats the deterministic in-bucket dedup and emits winners with
+# pos = row_base + local rank and seq_id = (token_base + local exclusive
+# cumsum) // budget. No text bytes cross either exchange (doc_id, 32-hex
+# key, token count only); both passes are single keyed exchanges with
+# buckets sized by scaled_partitions.
+# -------------------------------------------------------------------------
+
+
+def prepare_training(sf_dir: str, budget: int = 512) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    from .agg import scaled_partitions
+
+    path = f"{sf_dir}/documents.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    n_parts = scaled_partitions(n_rows)
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n, spaces, digits, _ = _quality_counters(batch["text"])
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n, 100),
+                    pc.less_equal(n, 20000),
+                ),
+                pc.greater_equal(
+                    pc.multiply(spaces, pa.scalar(100, pa.int64())),
+                    pc.multiply(n, pa.scalar(5, pa.int64())),
+                ),
+            ),
+            pc.less_equal(
+                pc.multiply(digits, pa.scalar(100, pa.int64())),
+                pc.multiply(n, pa.scalar(20, pa.int64())),
+            ),
+        )
+        kept = batch.filter(keep)
+        ks = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in kept["text"].to_pylist()
+        ]
+        pref = np.array([int(k[:8], 16) for k in ks], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "k": pa.array(ks, pa.string()),
+                "n_tokens": _ws_tokens(kept["text"]),
+                "__pp": pa.array(pref * n_parts // (1 << 32)),
+            }
+        )
+
+    def dedup_sorted(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("k", "ascending"), ("doc_id", "ascending")])
+        ks = np.asarray(t["k"].to_numpy(zero_copy_only=False))
+        first = np.ones(len(ks), bool)
+        if len(ks) > 1:
+            first[1:] = ks[1:] != ks[:-1]
+        return t.filter(pa.array(first))
+
+    tagged = ds.map_batches(flag, batch_format="pyarrow")
+
+    # pass 1: one summary row per bucket after in-bucket dedup
+    def bucket_summary(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        w = dedup_sorted(group)
+        return pa.table(
+            {
+                "b": pa.array([int(w["__pp"][0].as_py())], pa.int64()),
+                "n": pa.array([w.num_rows], pa.int64()),
+                "tok": pa.array(
+                    [int(pc.sum(w["n_tokens"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    totals = (
+        tagged.groupby("__pp")
+        .map_groups(bucket_summary, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("b")
+    )
+    per_rows = np.zeros(n_parts, dtype=np.int64)
+    per_toks = np.zeros(n_parts, dtype=np.int64)
+    if len(totals):
+        per_rows[totals["b"].to_numpy()] = totals["n"].to_numpy()
+        per_toks[totals["b"].to_numpy()] = totals["tok"].to_numpy()
+    row_base = np.zeros(n_parts + 1, dtype=np.int64)
+    tok_base = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(per_rows, out=row_base[1:])
+    np.cumsum(per_toks, out=tok_base[1:])
+
+    # pass 2: winners with global shuffle rank + packed sequence id
+    def assign(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "seq_id": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        w = dedup_sorted(group)
+        b = int(w["__pp"][0].as_py())
+        ntok = w["n_tokens"].to_numpy(zero_copy_only=False)
+        pos = row_base[b] + np.arange(w.num_rows, dtype=np.int64)
+        excl = tok_base[b] + np.cumsum(ntok) - ntok
+        return pa.table(
+            {
+                "doc_id": w["doc_id"],
+                "pos": pa.array(pos, pa.int64()),
+                "n_tokens": w["n_tokens"],
+                "seq_id": pa.array(excl // budget, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("__pp").map_groups(assign, batch_format="pyarrow")
