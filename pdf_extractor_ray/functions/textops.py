@@ -469,111 +469,123 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
     # explode); candidate-sized (a few % of corpus rows), never the corpus
     candidates = candidates.materialize()
 
-    # distinct candidate doc ids; only these 8-byte ids are collected, to be
-    # broadcast as the semi-join filter (ids number ~2x candidate pairs —
-    # bounded by the near-dup rate, not the corpus)
-    def _explode_ids(b: pa.Table) -> pa.Table:
-        ids = pa.concat_arrays(
-            [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
-        )
-        return pa.table({"doc_id": ids})
-
-    # Dataset.unique returns None (not []) when the dataset is empty —
-    # i.e. a corpus with no band collisions at all
-    uniq = candidates.map_batches(_explode_ids, batch_format="pyarrow").unique(
-        "doc_id"
-    )
-    if not uniq:
+    # distinct candidate doc ids, deduped on the DRIVER: the ids are
+    # collected here regardless (they become the broadcast semi-join
+    # filter), so a cluster-side Dataset.unique exchange before the collect
+    # only added a full keyed shuffle (~2 s fixed cost on this host) for
+    # data the driver holds anyway — candidate volume is bounded by the
+    # near-dup rate, not the corpus
+    id_cols = [
+        ray.get(ref)
+        for ref in candidates.select_columns(["doc_a", "doc_b"]).to_arrow_refs()
+    ]
+    if not id_cols or sum(t.num_rows for t in id_cols) == 0:
         return empty
-    need = sorted(uniq)
-    need_ref = ray.put(pa.array(need, pa.int64()))
+    need_np = np.unique(
+        np.concatenate(
+            [
+                np.concatenate(
+                    [
+                        t["doc_a"].to_numpy(zero_copy_only=False),
+                        t["doc_b"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+                for t in id_cols
+            ]
+        )
+    )
+    need_ref = ray.put(pa.array(need_np, pa.int64()))
 
-    # shingle sets for candidate docs only, computed inside the cluster
-    # (broadcast-filter semi-join: the corpus streams, never shuffles)
-    def _shingle_stage(b: pa.Table) -> pa.Table:
+    # distinct pairs (the band shuffle emits the same pair from up to 16
+    # bands; the old design collapsed that inside a hash join's groupby —
+    # driver-side np.unique over the already-collected ids is free) and a
+    # CSR doc->pair-membership map. Both are near-dup-rate-bounded like
+    # ``need`` itself (16 B per pair + 17 B per side row): the driver and
+    # broadcast hold candidate IDS only, never texts or shingles.
+    pairs_np = np.unique(
+        np.stack(
+            [
+                np.concatenate([t["doc_a"].to_numpy(zero_copy_only=False) for t in id_cols]),
+                np.concatenate([t["doc_b"].to_numpy(zero_copy_only=False) for t in id_cols]),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+    n_pairs = len(pairs_np)
+    side_docs = np.concatenate([pairs_np[:, 0], pairs_np[:, 1]])
+    side_pidx = np.concatenate([np.arange(n_pairs), np.arange(n_pairs)]).astype(np.int64)
+    side_flag = np.concatenate(
+        [np.zeros(n_pairs, np.int8), np.ones(n_pairs, np.int8)]
+    )
+    order = np.argsort(side_docs, kind="stable")
+    docs_sorted = side_docs[order]
+    indptr = np.searchsorted(docs_sorted, need_np, side="left")
+    indptr = np.append(indptr, len(docs_sorted))
+    csr_ref = ray.put((need_np, indptr, side_pidx[order], side_flag[order]))
+    pairs_ref = ray.put(pairs_np)
+
+    n_ver_buckets = max(256, scaled_partitions(2 * n_pairs))
+
+    # shingle sets for candidate docs only, computed inside the cluster and
+    # emitted once per pair membership, keyed by a coarse PAIR bucket
+    # (broadcast-filter semi-join: the corpus streams, never shuffles).
+    # This replaces the previous pairs-x-shingles distributed hash join —
+    # the join moved every shingle set through two exchanges to meet its
+    # pair rows, while the CSR broadcast routes each shingle set straight
+    # to its pair buckets in ONE exchange. Only verified pairs return.
+    def _shingle_emit(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(b["doc_id"], value_set=ray.get(need_ref)))
-        # packed uint64 LE bytes, not list<uint64>: Acero hash joins reject
-        # nested payload columns but pass binary through untouched
+        docs_u, iptr, pidx_s, side_s = ray.get(csr_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(docs_u, ids)
+        lo, hi = iptr[pos], iptr[pos + 1]
+        lens = (hi - lo).astype(np.int64)
+        take = np.concatenate(
+            [np.arange(l, h) for l, h in zip(lo.tolist(), hi.tolist())]
+        ) if len(ids) else np.empty(0, np.int64)
+        pidx = pidx_s[take]
         sh = [_shingles(t).tobytes() for t in b["text"].to_pylist()]
         return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "sh": pa.array(sh, pa.large_binary()),
+                "__pb": pa.array(pidx % n_ver_buckets),
+                "pidx": pa.array(pidx),
+                "side": pa.array(side_s[take]),
+                "sh": pa.array(
+                    np.repeat(np.asarray(sh, dtype=object), lens).tolist(),
+                    pa.large_binary(),
+                ),
             }
         )
 
-    sh_tbl = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _shingle_stage, batch_format="pyarrow"
+    emitted = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _shingle_emit, batch_format="pyarrow"
     )
 
-    # ONE distributed hash join attaches each pair side's shingle set: pairs
-    # explode into per-side half-rows keyed by that side's doc_id, join
-    # against the shingle table, then a single groupby(doc_a, doc_b) both
-    # collapses the <=16x band duplication AND verifies true Jaccard — only
-    # VERIFIED pairs ever reach the driver (round-1 pulled all candidate
-    # texts into a driver dict; that is a driver OOM at corpus scale)
-    def _halves(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].combine_chunks()
-        bb = b["doc_b"].combine_chunks()
-        return pa.table(
-            {
-                "doc_a": pa.concat_arrays([a, a]),
-                "doc_b": pa.concat_arrays([bb, bb]),
-                "side_id": pa.concat_arrays([a, bb]),
-            }
-        )
-
-    # join parallelism scales with the candidate volume, like the band
-    # shuffle above (fixed counts bottleneck big clusters; CPU-scaled
-    # counts pay aggregator spin-up on small ones)
-    join_parts = max(4, min(2 * cpus, 2 * len(need) // 1_000_000 + 1))
-    joined = candidates.map_batches(_halves, batch_format="pyarrow").join(
-        sh_tbl,
-        join_type="inner",
-        num_partitions=join_parts,
-        on=("side_id",),
-        right_on=("doc_id",),
-    )
-
-    # verification is bucketed by pair hash — NOT groupby(doc_a, doc_b),
-    # which pays one Python map_groups call per pair (the per-group killer:
-    # millions of verified candidates at corpus scale = millions of Ray
-    # group calls). One coarse bucket verifies all its pair runs with
-    # numpy set intersections on the packed shingle buffers.
-    n_ver_buckets = max(256, scaled_partitions(2 * len(need)))
-
-    def _tag_pairs(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False)
-        pb = ((a * np.int64(1_000_003)) ^ bb) % n_ver_buckets
-        return b.append_column("__pb", pa.array(pb))
-
+    # verification is bucketed by pair hash — NOT groupby(pair), which pays
+    # one Python map_groups call per pair (the per-group killer: millions of
+    # verified candidates at corpus scale = millions of Ray group calls).
+    # One coarse bucket verifies all its pair runs with numpy set
+    # intersections on the packed shingle buffers.
     def _verify_bucket(group: pa.Table) -> pa.Table:
-        t = group.sort_by(
-            [("doc_a", "ascending"), ("doc_b", "ascending")]
-        )
-        A = t["doc_a"].to_numpy(zero_copy_only=False)
-        B = t["doc_b"].to_numpy(zero_copy_only=False)
-        S = t["side_id"].to_numpy(zero_copy_only=False)
+        t = group.sort_by([("pidx", "ascending"), ("side", "ascending")])
+        P = t["pidx"].to_numpy(zero_copy_only=False)
+        S = t["side"].to_numpy(zero_copy_only=False)
         sh = t["sh"].to_pylist()
-        n = len(A)
-        newpair = np.concatenate(
-            [[True], (A[1:] != A[:-1]) | (B[1:] != B[:-1])]
-        )
-        starts = np.flatnonzero(newpair)
+        pairs = ray.get(pairs_ref)
+        n = len(P)
+        starts = np.flatnonzero(np.concatenate([[True], P[1:] != P[:-1]]))
         ends = np.append(starts[1:], n)
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[int] = []
         for s, e in zip(starts.tolist(), ends.tolist()):
-            a, b = int(A[s]), int(B[s])
-            sa = sb = None
-            for i in range(s, e):
-                if S[i] == a and sa is None:
-                    sa = sh[i]
-                elif S[i] == b and sb is None:
-                    sb = sh[i]
-            if not sa or not sb:  # missing side or empty shingle set
+            # exactly one row per existing side (doc_ids are unique in the
+            # corpus); sides sorted, so a-side first
+            if e - s != 2 or S[s] != 0 or S[s + 1] != 1:
+                continue
+            sa, sb = sh[s], sh[s + 1]
+            if not sa or not sb:  # empty shingle set
                 continue
             va = np.frombuffer(sa, dtype=np.uint64)
             vb = np.frombuffer(sb, dtype=np.uint64)
@@ -581,8 +593,9 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
             j = inter / (va.size + vb.size - inter)
             if j < jaccard_threshold:
                 continue
-            out_a.append(a)
-            out_b.append(b)
+            p = int(P[s])
+            out_a.append(int(pairs[p, 0]))
+            out_b.append(int(pairs[p, 1]))
             out_j.append(int(round(j * 100)))
         return pa.table(
             {
@@ -592,10 +605,8 @@ def minhash_dedup_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pa.Table
             }
         )
 
-    verified = (
-        joined.map_batches(_tag_pairs, batch_format="pyarrow")
-        .groupby("__pb")
-        .map_groups(_verify_bucket, batch_format="pyarrow")
+    verified = emitted.groupby("__pb").map_groups(
+        _verify_bucket, batch_format="pyarrow"
     )
     tables = [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
     if not tables:
