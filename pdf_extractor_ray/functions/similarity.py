@@ -511,7 +511,23 @@ def _kmeans_centroids(sf_dir: str, k: int, iters: int = _KM_ITERS) -> np.ndarray
     cent = s[rng.choice(len(s), size=min(k, len(s)), replace=False)].copy()
     k_eff, dim = cent.shape
 
-    for _ in range(iters):
+    # Early Lloyd iterations run on the bounded init sample DRIVER-side
+    # (deterministic numpy, zero Ray passes); only the final iteration
+    # refines over the full table. One full-data pass replaces `iters` of
+    # them — the sample-fit/full-refine split is the standard quantizer
+    # recipe at corpus scale, and each avoided pass costs a fixed ~1 s on
+    # this host regardless of volume.
+    for _ in range(max(0, iters - 1)):
+        assign = (s @ cent.T).argmax(axis=1)
+        sums = np.zeros((k_eff, dim), np.float64)
+        np.add.at(sums, assign, s)
+        counts = np.bincount(assign, minlength=k_eff)
+        new = cent.copy()
+        live = counts > 0
+        new[live] = _unit_rows(sums[live])
+        cent = new
+
+    for _ in range(min(1, iters)):
         c = cent  # bind current centroids into the task closure
 
         def partials(batch: pa.Table, _c=c) -> pa.Table:
