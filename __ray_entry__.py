@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_new_docs": T.incremental_new_docs,
         "bm25_search": T.bm25_search,
         "mix_epochs": T.mix_epochs,
+        "dsir_weights": T.dsir_weights,
         "prepare_training": T.prepare_training,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
@@ -669,6 +670,69 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25
+        """,
+        "dsir_weights": """
+            -- DSIR importance log-weights: unigram log-likelihood ratio
+            -- between the lang='en' target model and the raw corpus over
+            -- the top-1000 vocabulary + one pooled OOV bucket, add-one
+            -- smoothed; per-token weight floor(1e6*ln(((c_tgt+1)*
+            -- (tot_all+V+1)) / ((c_all+1)*(tot_tgt+V+1))))
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS t
+                FROM documents
+            ),
+            cnt AS (
+                SELECT t,
+                       CAST(COUNT(*) AS BIGINT) AS c_all,
+                       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_tgt
+                FROM tok GROUP BY t
+            ),
+            tot AS (
+                SELECT CAST(SUM(c_all) AS BIGINT) AS tot_all,
+                       CAST(SUM(c_tgt) AS BIGINT) AS tot_tgt
+                FROM cnt
+            ),
+            vocab AS (
+                SELECT t, c_all, c_tgt FROM cnt
+                QUALIFY ROW_NUMBER() OVER (ORDER BY c_all DESC, t ASC)
+                        <= 1000
+            ),
+            vtot AS (
+                SELECT CAST(SUM(c_all) AS BIGINT) AS v_all,
+                       CAST(SUM(c_tgt) AS BIGINT) AS v_tgt,
+                       CAST(COUNT(*) + 1 AS BIGINT) AS v1
+                FROM vocab
+            ),
+            w AS (
+                SELECT t,
+                       CAST(FLOOR(1e6 * LN(
+                           CAST((c_tgt + 1) * (tot_all + v1) AS DOUBLE) /
+                           CAST((c_all + 1) * (tot_tgt + v1) AS DOUBLE)))
+                       AS BIGINT) AS wt
+                FROM vocab, tot, vtot
+            ),
+            oov AS (
+                SELECT CAST(FLOOR(1e6 * LN(
+                           CAST((tot_tgt - v_tgt + 1) * (tot_all + v1)
+                                AS DOUBLE) /
+                           CAST((tot_all - v_all + 1) * (tot_tgt + v1)
+                                AS DOUBLE)))
+                       AS BIGINT) AS wt
+                FROM tot, vtot
+            ),
+            docw AS (
+                SELECT tok.doc_id,
+                       CAST(SUM(COALESCE(w.wt, (SELECT wt FROM oov)))
+                            AS BIGINT) AS logw
+                FROM tok LEFT JOIN w ON tok.t = w.t
+                GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(docw.logw, 0) AS BIGINT) AS logw
+            FROM documents d LEFT JOIN docw USING (doc_id)
         """,
         "prepare_training": """
             -- composed training-data pipeline: quality gate -> exact dedup

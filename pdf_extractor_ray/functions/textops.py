@@ -3367,3 +3367,130 @@ def prepare_training(sf_dir: str, budget: int = 512) -> rd.Dataset:
         )
 
     return tagged.groupby("__pp").map_groups(assign, batch_format="pyarrow")
+
+# -------------------------------------------------------------------------
+# dsir_weights — Data Selection via Importance Resampling (DSIR, Xie et
+# al. 2023, arXiv:2302.03169): per-document importance log-weight
+# ln(p_target(x) / p_raw(x)) under bag-of-words unigram models over a
+# BOUNDED feature space — the top-V corpus vocabulary plus one pooled OOV
+# bucket, add-one smoothing — the standard recipe for selecting raw web
+# text that matches a target distribution (select by logw desc). Target
+# model: documents with lang == target_lang; raw model: the whole corpus.
+#
+# Exact integer math shared with the SQL oracle: per-token weight
+#   floor(1e6 * ln(((c_tgt+1) * (tot_all+V+1)) /
+#                  ((c_all+1) * (tot_tgt+V+1))))
+# with both operands converted to double BEFORE the divide (mirroring
+# DuckDB's `/`); per-doc logw = int64 sum of its tokens' weights, 0 for
+# token-less documents.
+#
+# Physical plan: ONE keyed exchange total. The vocabulary pass is the
+# two-phase grouped_sum of per-batch-distinct (term, cnt_all, cnt_tgt)
+# partials (Zipf: distinct terms grow ~O(sqrt(tokens)) — raw token
+# streams never cross the wire); top-V via distributed exact topk and
+# corpus totals via per-batch partial sums off the SAME materialized
+# counts. The driver holds only the V+1-entry weight LUT, shipped once in
+# the scoring task's closure; scoring is an embarrassingly-parallel map
+# (vectorized tokenize -> pc.index_in hash lookup -> per-doc np.add.at).
+# -------------------------------------------------------------------------
+
+
+def dsir_weights(
+    sf_dir: str, vocab_size: int = 1000, target_lang: str = "en"
+) -> rd.Dataset:
+    import math
+
+    from .agg import collect, topk
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def _tok_flat(batch: pa.Table):
+        """(flat tokens as arrow array, parent row indices as numpy)."""
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        return (
+            flat.filter(keep),
+            parent.filter(keep).to_numpy(zero_copy_only=False),
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok_flat(batch)
+        is_tgt = pc.equal(batch["lang"], target_lang).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "term": flat,
+                "cnt_all": pa.array(np.ones(len(flat), np.int64)),
+                "cnt_tgt": pa.array(
+                    np.asarray(is_tgt, bool)[parent].astype(np.int64)
+                ),
+            }
+        )
+        return partial_group_agg(
+            t, keys=["term"], aggs=[("cnt_all", "sum"), ("cnt_tgt", "sum")]
+        )
+
+    counts = grouped_sum(
+        ds,
+        keys=["term"],
+        partial=count_partial,
+        sum_cols=["cnt_all", "cnt_tgt"],
+    ).materialize()
+
+    vocab = topk(
+        counts,
+        k=vocab_size,
+        sort_keys=[("cnt_all", "descending"), ("term", "ascending")],
+    )
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tot_all": pa.array(
+                    [int(pc.sum(batch["cnt_all"]).as_py() or 0)], pa.int64()
+                ),
+                "tot_tgt": pa.array(
+                    [int(pc.sum(batch["cnt_tgt"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    tot = collect(counts.map_batches(total_partial, batch_format="pyarrow"))
+    tot_all = int(pc.sum(tot["tot_all"]).as_py() or 0) if tot is not None else 0
+    tot_tgt = int(pc.sum(tot["tot_tgt"]).as_py() or 0) if tot is not None else 0
+
+    v1 = vocab.num_rows + 1  # smoothing buckets: vocab + pooled OOV
+
+    def _w(c_tgt: int, c_all: int) -> int:
+        num = (c_tgt + 1) * (tot_all + v1)
+        den = (c_all + 1) * (tot_tgt + v1)
+        return math.floor(1e6 * math.log(float(num) / float(den)))
+
+    v_all = vocab["cnt_all"].to_numpy(zero_copy_only=False)
+    v_tgt = vocab["cnt_tgt"].to_numpy(zero_copy_only=False)
+    vocab_terms = vocab["term"].combine_chunks()
+    w_arr = np.array(
+        [_w(int(g), int(a)) for a, g in zip(v_all, v_tgt)], np.int64
+    )
+    oov_w = np.int64(
+        _w(tot_tgt - int(v_tgt.sum()), tot_all - int(v_all.sum()))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok_flat(batch)
+        logw = np.zeros(batch.num_rows, np.int64)
+        if len(flat) and len(w_arr):
+            pos = pc.fill_null(
+                pc.index_in(flat, value_set=vocab_terms), -1
+            ).to_numpy(zero_copy_only=False)
+            w = np.where(pos >= 0, w_arr[np.maximum(pos, 0)], oov_w)
+            np.add.at(logw, parent, w)
+        elif len(flat):
+            np.add.at(logw, parent, np.full(len(flat), oov_w))
+        return pa.table({"doc_id": batch["doc_id"], "logw": pa.array(logw)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
