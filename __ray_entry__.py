@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": T.bm25_search,
         "mix_epochs": T.mix_epochs,
         "dsir_weights": T.dsir_weights,
+        "nb_lang_classify": T.nb_lang_classify,
         "prepare_training": T.prepare_training,
         "doc_top_terms": T.doc_top_terms,
         "remove_boilerplate": T.remove_boilerplate_lines,
@@ -733,6 +734,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(docw.logw, 0) AS BIGINT) AS logw
             FROM documents d LEFT JOIN docw USING (doc_id)
+        """,
+        "nb_lang_classify": """
+            -- multinomial Naive Bayes trained on the corpus's own lang
+            -- labels: per-class unigram models over the top-1000 vocab +
+            -- pooled OOV bucket, add-one smoothing; score = int64 prior +
+            -- sum of floor(1e6*ln((c+1)/(tot_class+V+1))) token weights;
+            -- prediction = argmax, ties to the smallest class
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS t
+                FROM documents
+            ),
+            classes AS (SELECT DISTINCT lang AS cand FROM documents),
+            nd AS (
+                SELECT lang AS cand, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            ),
+            ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            cnt AS (
+                SELECT t, lang, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY t, lang
+            ),
+            ttot AS (
+                SELECT t, CAST(SUM(c) AS BIGINT) AS c_tot
+                FROM cnt GROUP BY t
+            ),
+            vocab AS (
+                SELECT t FROM ttot
+                QUALIFY ROW_NUMBER() OVER (ORDER BY c_tot DESC, t ASC)
+                        <= 1000
+            ),
+            vsz AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS v1 FROM vocab),
+            ltot AS (
+                SELECT c1.cand, CAST(COALESCE(SUM(cnt.c), 0) AS BIGINT)
+                           AS tot
+                FROM classes c1 LEFT JOIN cnt ON cnt.lang = c1.cand
+                GROUP BY c1.cand
+            ),
+            vl AS (
+                SELECT c1.cand, CAST(COALESCE(SUM(vc0.c), 0) AS BIGINT)
+                           AS vc
+                FROM classes c1
+                LEFT JOIN (SELECT cnt.lang, cnt.c
+                           FROM cnt JOIN vocab USING (t)) vc0
+                       ON vc0.lang = c1.cand
+                GROUP BY c1.cand
+            ),
+            w AS (
+                SELECT v.t, c1.cand,
+                       CAST(FLOOR(1e6 * LN(
+                           CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE) /
+                           CAST(ltot.tot + vsz.v1 AS DOUBLE)))
+                       AS BIGINT) AS wt
+                FROM vocab v
+                CROSS JOIN classes c1
+                LEFT JOIN cnt ON cnt.t = v.t AND cnt.lang = c1.cand
+                JOIN ltot ON ltot.cand = c1.cand
+                CROSS JOIN vsz
+            ),
+            oov AS (
+                SELECT ltot.cand,
+                       CAST(FLOOR(1e6 * LN(
+                           CAST(ltot.tot - vl.vc + 1 AS DOUBLE) /
+                           CAST(ltot.tot + vsz.v1 AS DOUBLE)))
+                       AS BIGINT) AS wt
+                FROM ltot JOIN vl ON vl.cand = ltot.cand CROSS JOIN vsz
+            ),
+            prior AS (
+                SELECT nd.cand,
+                       CAST(FLOOR(1e6 * LN(
+                           CAST(nd.n AS DOUBLE) / CAST(ntot.n AS DOUBLE)))
+                       AS BIGINT) AS wt
+                FROM nd CROSS JOIN ntot
+            ),
+            contrib AS (
+                SELECT tok.doc_id, c1.cand, COALESCE(w.wt, oov.wt) AS wt
+                FROM tok
+                CROSS JOIN classes c1
+                LEFT JOIN w ON w.t = tok.t AND w.cand = c1.cand
+                JOIN oov ON oov.cand = c1.cand
+            ),
+            sc AS (
+                SELECT d.doc_id, d.lang, c1.cand,
+                       prior.wt + COALESCE(s.sw, 0) AS s
+                FROM documents d
+                CROSS JOIN classes c1
+                JOIN prior ON prior.cand = c1.cand
+                LEFT JOIN (SELECT doc_id, cand,
+                                  CAST(SUM(wt) AS BIGINT) AS sw
+                           FROM contrib GROUP BY doc_id, cand) s
+                       ON s.doc_id = d.doc_id AND s.cand = c1.cand
+            )
+            SELECT doc_id, lang, cand AS pred_lang
+            FROM sc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, cand ASC) = 1
         """,
         "prepare_training": """
             -- composed training-data pipeline: quality gate -> exact dedup

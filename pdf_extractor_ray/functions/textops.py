@@ -3494,3 +3494,197 @@ def dsir_weights(
         return pa.table({"doc_id": batch["doc_id"], "logw": pa.array(logw)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+# -------------------------------------------------------------------------
+# nb_lang_classify — trained multinomial Naive-Bayes text classifier (the
+# fastText-style quality/domain classifier slot of a curation pipeline,
+# here trained on the corpus's own lang labels): per-class unigram models
+# over the top-V vocabulary + pooled OOV bucket, add-one smoothing, doc
+# score = log prior + sum of token log-likelihoods, prediction = argmax
+# (ties -> lexicographically smallest class). All weights are exact int64
+# floor(1e6*ln(num/den)) with both operands through double division, so
+# the per-doc argmax is bit-reproducible and SQL-checkable.
+#
+# Physical plan: counts keyed (term, class) in ONE two-phase grouped_sum
+# exchange (per-batch-distinct partials; raw tokens never cross the
+# wire); per-term totals for the vocab top-V are a SECOND exchange over
+# the already-reduced vocab-sized counts; class token totals and doc
+# priors are driver-combined per-batch partials (no exchange — #classes
+# rows each). Scoring is an embarrassingly-parallel map over a broadcast
+# (V+1) x L weight matrix: pc.index_in -> 2-D np.add.at -> row argmax.
+# -------------------------------------------------------------------------
+
+
+def nb_lang_classify(sf_dir: str, vocab_size: int = 1000) -> rd.Dataset:
+    import math
+
+    from .agg import collect, topk
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def _tok_flat(batch: pa.Table):
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        return (
+            flat.filter(keep),
+            parent.filter(keep).to_numpy(zero_copy_only=False),
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok_flat(batch)
+        langs = batch["lang"].take(pa.array(parent, pa.int64()))
+        t = pa.table(
+            {
+                "term": flat,
+                "lang": langs,
+                "c": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        return partial_group_agg(
+            t, keys=["term", "lang"], aggs=[("c", "sum")]
+        )
+
+    counts = grouped_sum(
+        ds, keys=["term", "lang"], partial=count_partial, sum_cols=["c"]
+    ).materialize()
+
+    # vocab: top-V terms by TOTAL count — second (vocab-sized) exchange
+    def term_partial(batch: pa.Table) -> pa.Table:
+        return partial_group_agg(
+            batch.select(["term", "c"]), keys=["term"], aggs=[("c", "sum")]
+        )
+
+    term_tot = grouped_sum(
+        counts, keys=["term"], partial=term_partial, sum_cols=["c"]
+    )
+    vocab = topk(
+        term_tot,
+        k=vocab_size,
+        sort_keys=[("c", "descending"), ("term", "ascending")],
+    )
+    vocab_terms = vocab["term"].combine_chunks()
+
+    # class priors (doc counts) — per-batch partials, driver-combined
+    def prior_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["lang"])
+            .group_by(["lang"])
+            .aggregate([("lang", "count")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "n": pc.cast(g["lang_count"], pa.int64())}
+        )
+
+    pri = collect(ds.map_batches(prior_partial, batch_format="pyarrow"))
+    pri = pri.group_by(["lang"]).aggregate([("n", "sum")])
+    classes = sorted(pri["lang"].to_pylist())
+    n_docs_by = dict(zip(pri["lang"].to_pylist(), pri["n_sum"].to_pylist()))
+    n_total = sum(n_docs_by.values())
+    cls_idx = {c: j for j, c in enumerate(classes)}
+    n_cls = len(classes)
+
+    # per-class token totals + vocab-restricted (term, class) counts: one
+    # streaming pass over the materialized counts, driver receives
+    # #classes totals rows and V x L vocab rows
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"]).aggregate([("c", "sum")])
+        tot_rows = pa.table(
+            {
+                "term": pa.nulls(g.num_rows, pa.string()),
+                "lang": g["lang"],
+                "c": g["c_sum"],
+            }
+        )
+        vrows = batch.filter(
+            pc.is_in(batch["term"], value_set=vocab_terms)
+        ).select(["term", "lang", "c"])
+        return pa.concat_tables([tot_rows, vrows])
+
+    vc = collect(counts.map_batches(vc_partial, batch_format="pyarrow"))
+    tot_by = np.zeros(n_cls, np.int64)
+    v_by = np.zeros(n_cls, np.int64)  # vocab-covered tokens per class
+    v1 = vocab.num_rows + 1
+    w_mat = None
+    if vc is not None:
+        is_tot = pc.is_null(vc["term"])
+        tots = vc.filter(is_tot)
+        for lang, c in zip(tots["lang"].to_pylist(), tots["c"].to_pylist()):
+            tot_by[cls_idx[lang]] += int(c)
+        vrows = vc.filter(pc.invert(is_tot))
+        # combine per-partition partial rows of the same (term, lang)
+        vrows = vrows.group_by(["term", "lang"]).aggregate([("c", "sum")])
+        term_pos = pc.fill_null(
+            pc.index_in(vrows["term"], value_set=vocab_terms), -1
+        ).to_numpy(zero_copy_only=False)
+        c_mat = np.zeros((vocab.num_rows, n_cls), np.int64)
+        for p, lang, c in zip(
+            term_pos, vrows["lang"].to_pylist(), vrows["c_sum"].to_pylist()
+        ):
+            c_mat[int(p), cls_idx[lang]] = int(c)
+        v_by = c_mat.sum(axis=0)
+
+        def _w(c: int, tot: int) -> int:
+            return math.floor(
+                1e6 * math.log(float(c + 1) / float(tot + v1))
+            )
+
+        w_mat = np.array(
+            [
+                [_w(int(c_mat[i, j]), int(tot_by[j])) for j in range(n_cls)]
+                for i in range(vocab.num_rows)
+            ],
+            np.int64,
+        )
+    oov_w = np.array(
+        [
+            math.floor(
+                1e6
+                * math.log(
+                    float(int(tot_by[j]) - int(v_by[j]) + 1)
+                    / float(int(tot_by[j]) + v1)
+                )
+            )
+            for j in range(n_cls)
+        ],
+        np.int64,
+    )
+    prior_w = np.array(
+        [
+            math.floor(
+                1e6 * math.log(float(n_docs_by[c]) / float(n_total))
+            )
+            for c in classes
+        ],
+        np.int64,
+    )
+    cls_arr = np.array(classes)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok_flat(batch)
+        s = np.tile(prior_w, (batch.num_rows, 1))
+        if len(flat):
+            if w_mat is not None and len(w_mat):
+                pos = pc.fill_null(
+                    pc.index_in(flat, value_set=vocab_terms), -1
+                ).to_numpy(zero_copy_only=False)
+                contrib = np.where(
+                    (pos >= 0)[:, None],
+                    w_mat[np.maximum(pos, 0), :],
+                    oov_w[None, :],
+                )
+            else:
+                contrib = np.tile(oov_w, (len(flat), 1))
+            np.add.at(s, parent, contrib)
+        pred = cls_arr[s.argmax(axis=1)]  # first max = smallest class
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": pa.array(pred, pa.string()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
