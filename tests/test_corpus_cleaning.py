@@ -411,3 +411,72 @@ def test_prepare_training_planted(ray_session, tmp_path):
     toks = by_pos["n_tokens"].to_numpy()
     excl2 = np.concatenate([[0], np.cumsum(toks)[:-1]])
     assert (by_pos["seq_id"].to_numpy() == excl2 // 40).all()
+
+
+def _docs_dir_lang(tmp_path, rows, name="docs_lang"):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array([t for t, _ in rows]),
+                "lang": pa.array([l for _, l in rows]),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_dsir_weights_planted(ray_session, tmp_path):
+    """Docs made of target-model words must out-weigh off-target docs,
+    and the engine must match the DuckDB oracle on the planted table."""
+    from pdf_extractor_ray.functions.textops import dsir_weights
+
+    rows = [
+        ("alpha beta alpha beta alpha", "en"),
+        ("alpha beta beta alpha alpha", "en"),
+        ("omega sigma omega sigma omega", "de"),
+        ("omega omega sigma sigma omega", "de"),
+        ("alpha beta alpha beta beta", "fr"),   # target-like words, not en
+        ("omega sigma sigma omega sigma", "fr"),  # raw-like words
+    ]
+    d = _docs_dir_lang(tmp_path, rows)
+    res = (
+        dsir_weights(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    gold = _oracle(d, "dsir_weights")
+    pd.testing.assert_frame_equal(res, gold, check_dtype=True)
+    w = dict(zip(res["doc_id"], res["logw"]))
+    # en-model words (alpha/beta) score above de words (omega/sigma),
+    # regardless of the doc's own label (doc 4 vs doc 5)
+    assert w[0] > w[2] and w[1] > w[3] and w[4] > w[5]
+
+
+def test_nb_lang_classify_planted(ray_session, tmp_path):
+    """Class-exclusive vocabularies must classify perfectly; engine
+    matches the DuckDB oracle bit-exactly on the planted table."""
+    from pdf_extractor_ray.functions.textops import nb_lang_classify
+
+    rows = [
+        ("alpha beta alpha beta", "en"),
+        ("beta alpha beta beta", "en"),
+        ("omega sigma omega sigma", "de"),
+        ("sigma omega sigma sigma", "de"),
+        ("alpha alpha beta alpha", "en"),
+        ("omega omega sigma omega", "de"),
+    ]
+    d = _docs_dir_lang(tmp_path, rows)
+    res = (
+        nb_lang_classify(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    gold = _oracle(d, "nb_lang_classify")
+    pd.testing.assert_frame_equal(res, gold, check_dtype=True)
+    assert (res["lang"] == res["pred_lang"]).all()
