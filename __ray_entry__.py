@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_page": R.orders_page,
         "lang_histogram": R.lang_histogram,
         "orders_asof": R.orders_asof,
+        "orders_events_window": R.orders_events_window,
+        "order_ntile": R.order_ntile,
+        "user_event_path": R.user_event_path,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -394,6 +397,42 @@ def oracle_sql() -> dict[str, str]:
                    o.o_totalprice AS last_totalprice
             FROM events e ASOF LEFT JOIN o1 o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "orders_events_window": """
+            -- RANGE join + per-left aggregate: events of the order's
+            -- customer with ts in [o_orderdate, o_orderdate + 7 days);
+            -- LEFT semantics (no-match orders emit 0/0), exact int64 cents.
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   CAST(COUNT(e.ts) AS BIGINT) AS n_events,
+                   CAST(COALESCE(SUM(CAST(ROUND(e.value*100) AS BIGINT)), 0)
+                        AS BIGINT) AS sum_value_c
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+        """,
+        "order_ntile": """
+            -- NTILE(10) over the global (totalprice-cents, orderkey) order;
+            -- ranking on exact cents so engine and oracle agree when two
+            -- distinct floats round to the same cent value.
+            SELECT o_orderkey,
+                   CAST(NTILE(10) OVER (
+                       ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT),
+                                o_orderkey) AS BIGINT) AS tile
+            FROM orders
+        """,
+        "user_event_path": """
+            -- per-user ordered collect of the FIRST five event types
+            WITH r AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
+            FROM r WHERE rn <= 5 GROUP BY user_id
         """,
         "user_rolling_window": """
             SELECT event_id, user_id, ts,

@@ -2374,3 +2374,316 @@ def user_last3_sum(sf_dir: str) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# orders_events_window — RANGE JOIN + per-left aggregate: for every order,
+# the count and exact-cents sum of the matching user's events with
+# ts in [o_orderdate, o_orderdate + 7 days). The reference has no interval
+# joins (SURVEY §2.4: "no range/as-of joins") — like orders_asof this is a
+# custom-operator composition: tag-union both tables into ONE dataset keyed
+# by the join key (user_id = o_custkey), ONE hash exchange, and a fully
+# vectorized interval probe inside map_groups: both window bounds are
+# searchsorted probes on a composite key_rank * OFFSET + relative_ts axis
+# (OFFSET > ts span + window, so a window can never straddle two keys), and
+# the windowed sum is a prefix-sum difference on int64 cents. LEFT
+# semantics: orders with no events in window emit count 0 / sum 0.
+# Partitioning assumption: one hash bucket of rows fits a worker
+# (n_parts scaled to the two tables via _raw_parts).
+# -------------------------------------------------------------------------
+
+_RANGE_WINDOW_US = 7 * 24 * 3_600_000_000  # 7 days
+
+
+def orders_events_window(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    n_parts = _raw_parts(sf_dir, "events", "orders")
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(batch["user_id"], pa.int64()),
+                "t": batch["ts"],
+                "kind": pa.array([1] * n, pa.int8()),
+                "v_c": cents(batch["value"]),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": pc.cast(batch["o_custkey"], pa.int64()),
+                "t": batch["o_orderdate"],
+                "kind": pa.array([0] * n, pa.int8()),
+                "v_c": pa.nulls(n, pa.int64()),
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            }
+        )
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["key"], n_parts)
+
+    tagged = (
+        events.map_batches(tag_events, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .map_batches(add_pp, batch_format="pyarrow")
+    )
+
+    def combine(group: pa.Table) -> pa.Table:
+        kind = group["kind"]
+        od = group.filter(pc.equal(kind, 0)).sort_by(
+            [("key", "ascending"), ("t", "ascending"), ("o_orderkey", "ascending")]
+        )
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value_c": pa.array([], pa.int64()),
+            }
+        )
+        if od.num_rows == 0:
+            return empty
+        ev = group.filter(pc.equal(kind, 1)).sort_by(
+            [("key", "ascending"), ("t", "ascending")]
+        )
+        o_key = od["key"].to_numpy(zero_copy_only=False)
+        o_ts = pc.cast(od["t"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_o = len(o_key)
+        if ev.num_rows:
+            e_key = ev["key"].to_numpy(zero_copy_only=False)
+            e_ts = pc.cast(ev["t"], pa.int64()).to_numpy(zero_copy_only=False)
+            e_vc = ev["v_c"].to_numpy(zero_copy_only=False)
+            uniq = np.unique(np.concatenate([e_key, o_key]))
+            e_r = np.searchsorted(uniq, e_key)
+            o_r = np.searchsorted(uniq, o_key)
+            t_min = min(int(e_ts.min()), int(o_ts.min()))
+            t_max = max(int(e_ts.max()), int(o_ts.max()))
+            offset = (t_max - t_min) + _RANGE_WINDOW_US + 2
+            cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(e_vc)])
+            if len(uniq) * offset < 1 << 62:
+                e_comp = e_r * np.int64(offset) + (e_ts - t_min)
+                base = o_r * np.int64(offset) + (o_ts - t_min)
+                lo = np.searchsorted(e_comp, base, side="left")
+                hi = np.searchsorted(e_comp, base + _RANGE_WINDOW_US, side="left")
+            else:  # composite would overflow int64: per-key-run fallback
+                lo = np.zeros(n_o, dtype=np.int64)
+                hi = np.zeros(n_o, dtype=np.int64)
+                for k in range(len(uniq)):
+                    os_ = np.searchsorted(o_r, k, side="left")
+                    oe = np.searchsorted(o_r, k, side="right")
+                    if oe == os_:
+                        continue
+                    es = np.searchsorted(e_r, k, side="left")
+                    ee = np.searchsorted(e_r, k, side="right")
+                    lo[os_:oe] = es + np.searchsorted(
+                        e_ts[es:ee], o_ts[os_:oe], side="left"
+                    )
+                    hi[os_:oe] = es + np.searchsorted(
+                        e_ts[es:ee], o_ts[os_:oe] + _RANGE_WINDOW_US, side="left"
+                    )
+            n_events = hi - lo
+            sum_c = cum[hi] - cum[lo]
+        else:
+            n_events = np.zeros(n_o, dtype=np.int64)
+            sum_c = np.zeros(n_o, dtype=np.int64)
+        return pa.table(
+            {
+                "o_orderkey": od["o_orderkey"],
+                "o_custkey": od["key"],
+                "o_orderdate": od["t"],
+                "n_events": pa.array(n_events, pa.int64()),
+                "sum_value_c": pa.array(sum_c, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("__pp").map_groups(combine, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# order_ntile — NTILE(10) distributed global rank: every order assigned to
+# a decile of the global (totalprice-cents, orderkey) order. No reference
+# analog (SURVEY §2.6 covers ORDER BY/LIMIT only) — this is the "global
+# rank without a global sort bottleneck" composition: (1) exact cents
+# min/max from parquet row-group stats (metadata only), (2) one streaming
+# pass of per-value-range-bin counts -> exclusive base offsets on the
+# driver (n_parts ints), (3) order-preserving bin exchange where each bin
+# sorts locally and adds its base offset = exact global rank, then NTILE
+# arithmetic (first n%K tiles one row larger — SQL NTILE semantics) per
+# row. Bins are uniform over the cents range — at corpus scale with skewed
+# value distributions the splits would come from a sample quantile sketch
+# instead, same two-pass shape.
+# -------------------------------------------------------------------------
+
+
+def order_ntile(sf_dir: str, k: int = 10) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import partial_group_agg, scaled_partitions
+
+    path = f"{sf_dir}/orders.parquet"
+    md = pq.read_metadata(path)
+    n_rows = md.num_rows
+    n_parts = scaled_partitions(n_rows)
+    # exact cents bounds from row-group float stats (round matches cents())
+    f_min = min(
+        md.row_group(i).column(
+            next(
+                j
+                for j in range(md.row_group(i).num_columns)
+                if md.row_group(i).column(j).path_in_schema == "o_totalprice"
+            )
+        ).statistics.min
+        for i in range(md.num_row_groups)
+    )
+    f_max = max(
+        md.row_group(i).column(
+            next(
+                j
+                for j in range(md.row_group(i).num_columns)
+                if md.row_group(i).column(j).path_in_schema == "o_totalprice"
+            )
+        ).statistics.max
+        for i in range(md.num_row_groups)
+    )
+    c_min = int(np.floor(f_min * 100)) - 1
+    c_max = int(np.ceil(f_max * 100)) + 1
+    span = c_max - c_min + 1
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def bin_of(c: "np.ndarray") -> "np.ndarray":
+        return (c - c_min) * n_parts // span
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        c = cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "b": pa.array(bin_of(c)),
+                "n": pa.array(np.ones(len(c), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["b"], aggs=[("n", "sum")])
+
+    totals = (
+        ds.map_batches(bin_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("n")
+        .to_pandas()
+    )
+    per_bin = np.zeros(n_parts, dtype=np.int64)
+    per_bin[totals["b"].to_numpy()] = totals["sum(n)"].to_numpy()
+    base = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(per_bin, out=base[1:])
+    n_total = int(base[-1])
+    q, rem = divmod(n_total, k)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "c": pa.array(c, pa.int64()),
+                "__pp": pa.array(bin_of(c)),
+            }
+        )
+
+    def rank(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("c", "ascending"), ("o_orderkey", "ascending")])
+        b = int(t["__pp"][0].as_py())
+        r = base[b] + np.arange(t.num_rows, dtype=np.int64)
+        big = rem * (q + 1)
+        tile = np.where(r < big, r // max(q + 1, 1), rem + (r - big) // max(q, 1))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "tile": pa.array(tile + 1, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+# -------------------------------------------------------------------------
+# user_event_path — per-key ordered collect: the '>'-joined sequence of
+# each user's FIRST five event types in (ts, event_id) order. The
+# reference's closest surface is the per-job ordered page list
+# (backend/src/main.py:1135-1156); this is its keyed-sequence analog. One
+# hash exchange of (user, type, ts) rows; inside a group everything is
+# vectorized: run-position via maximum.accumulate, the first-5 restriction
+# is a positional mask, and the join itself is a single
+# binary_join_element_wise over 5 rank-scattered columns with null-skip —
+# no per-key Python, so millions of users cost one arrow kernel each
+# per bucket.
+# -------------------------------------------------------------------------
+
+
+def user_event_path(sf_dir: str, k: int = 5) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = _raw_parts(sf_dir, "events")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["user_id"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "path5": pa.array([], pa.string()),
+                }
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        i = np.arange(n, dtype=np.int64)
+        is_start = np.concatenate([[True], u[1:] != u[:-1]])
+        run_start = np.maximum.accumulate(np.where(is_start, i, 0))
+        pos = i - run_start
+        starts = i[is_start]  # first row index of each user run
+        et = t["event_type"]
+        # rank-scatter: column j holds the user's j-th event type (or null)
+        cols = []
+        for j in range(k):
+            sel = pos == j
+            idx = np.full(len(starts), -1, dtype=np.int64)
+            # row index of rank-j per run: starts + j where the run is long
+            # enough (pos==j at starts+j by construction)
+            has = sel[np.minimum(starts + j, n - 1)] & (starts + j < n)
+            idx[has] = starts[has] + j
+            taken = et.take(pa.array(np.where(idx < 0, 0, idx)))
+            cols.append(
+                pc.if_else(pa.array(idx >= 0), taken, pa.nulls(len(starts), pa.string()))
+            )
+        path = pc.binary_join_element_wise(*cols, ">", null_handling="skip")
+        return pa.table(
+            {
+                "user_id": pa.array(u[is_start], pa.int64()),
+                "path5": path,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )

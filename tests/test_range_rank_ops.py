@@ -1,0 +1,105 @@
+"""Planted-structure coverage for the range-join / global-rank /
+ordered-collect additions (orders_events_window, order_ntile,
+user_event_path) beyond the synthetic-table oracle parametrization in
+test_queries.py — exercises the window-boundary, NTILE-remainder and
+tie-order semantics the uniform synthetic tables cannot pin down."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+US_7D = 7 * 24 * 3_600_000_000
+
+
+def _dir(tmp_path, name, **tables):
+    d = tmp_path / name
+    d.mkdir()
+    for t, rows in tables.items():
+        pq.write_table(pa.table(rows), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _ts(us):
+    return pd.Timestamp(1700000000_000000 + us, unit="us")
+
+
+def test_orders_events_window_boundaries(ray_session, tmp_path):
+    """Half-open [orderdate, orderdate+7d): the orderdate instant and
+    7d-1us are in; the exact 7d instant and 1us-before are out; other
+    users' events never match; no-match orders emit 0/0 (LEFT)."""
+    from pdf_extractor_ray.functions.relational import orders_events_window
+
+    t0 = 0
+    orders = {
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 99], pa.int64()),
+        "o_orderdate": pa.array([_ts(t0), _ts(t0)], pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+    }
+    ev_ts = [t0 - 1, t0, t0 + US_7D - 1, t0 + US_7D, t0 + 1]
+    ev_user = [10, 10, 10, 10, 777]  # last event: unrelated user
+    events = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array(ev_user, pa.int64()),
+        "ts": pa.array([_ts(u) for u in ev_ts], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+    }
+    sf = _dir(tmp_path, "rj", orders=orders, events=events)
+    df = orders_events_window(sf).to_pandas().set_index("o_orderkey")
+    # order 1: events at t0 (200c) and t0+7d-1us (400c) only
+    assert df.loc[1, "n_events"] == 2
+    assert df.loc[1, "sum_value_c"] == 600
+    # order 2: customer 99 has no events at all
+    assert df.loc[2, "n_events"] == 0
+    assert df.loc[2, "sum_value_c"] == 0
+
+
+def test_order_ntile_remainder_and_ties(ray_session, tmp_path):
+    """SQL NTILE semantics with n=23, k=10: first 3 tiles get 3 rows, the
+    rest 2 — and rows whose prices round to the SAME cent value are
+    ordered by orderkey."""
+    from pdf_extractor_ray.functions.relational import order_ntile
+
+    n = 23
+    # two floats that round to the same cents (1005) — tie broken by key
+    prices = [10.0 + i for i in range(n - 2)] + [10.049, 10.051]
+    keys = list(range(1, n + 1))
+    orders = {
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_custkey": pa.array([1] * n, pa.int64()),
+        "o_orderdate": pa.array([_ts(0)] * n, pa.timestamp("us")),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    }
+    sf = _dir(tmp_path, "nt", orders=orders)
+    df = order_ntile(sf).to_pandas()
+    sizes = df["tile"].value_counts().sort_index()
+    assert list(sizes) == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    # the two 1005-cent ties are the global minimum prices; key order puts
+    # orderkey 22 before 23, both in tile 1 alongside price 10.0 (key 1)
+    tile1 = set(df[df["tile"] == 1]["o_orderkey"])
+    assert tile1 == {1, 22, 23}
+
+
+def test_user_event_path_order_and_truncation(ray_session, tmp_path):
+    """First-5 truncation in (ts, event_id) order; equal-ts rows fall back
+    to event_id; single-event users emit the bare type."""
+    from pdf_extractor_ray.functions.relational import user_event_path
+
+    rows = [
+        # user 1: seven events, two sharing ts (ids 12 < 13 break the tie)
+        (10, 1, 5, "a"), (11, 1, 4, "b"), (12, 1, 4, "c"), (14, 1, 6, "d"),
+        (15, 1, 7, "e"), (16, 1, 8, "f"), (13, 1, 9, "g"),
+        # user 2: one event
+        (20, 2, 1, "solo"),
+    ]
+    events = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([_ts(r[2]) for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }
+    sf = _dir(tmp_path, "pp", events=events)
+    df = user_event_path(sf).to_pandas().set_index("user_id")
+    assert df.loc[1, "path5"] == "b>c>a>d>e"
+    assert df.loc[2, "path5"] == "solo"
