@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_events_window": R.orders_events_window,
         "order_ntile": R.order_ntile,
         "user_event_path": R.user_event_path,
+        "event_transitions": R.event_transitions,
+        "user_retention": R.user_retention,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -433,6 +435,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "event_transitions": """
+            -- per-user consecutive (prev -> next) event-type transition
+            -- counts in (ts, event_id) order, summed globally
+            WITH s AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "user_retention": """
+            -- cohort retention: users by first-event day, counted per
+            -- whole-day offset of later activity (distinct user-days)
+            WITH f AS (
+                SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS cohort_day
+                FROM events GROUP BY user_id
+            ),
+            a AS (
+                SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+                FROM events
+            )
+            SELECT f.cohort_day,
+                   CAST(DATEDIFF('day', f.cohort_day, a.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY f.cohort_day, day_offset
         """,
         "user_rolling_window": """
             SELECT event_id, user_id, ts,

@@ -2687,3 +2687,146 @@ def user_event_path(sf_dir: str, k: int = 5) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# event_transitions — sequence mining: global counts of consecutive
+# (prev_type -> next_type) transitions within each user's (ts, event_id)
+# ordered stream. The per-user adjacency is computed with ONE hash
+# exchange (groupby user bucket) and a vectorized shift inside the group
+# (run starts masked out, so pairs never cross users), then the tiny
+# (type x type) partial counts reduce through the standard
+# partial-then-combine aggregate — the second exchange moves at most
+# |types|^2 rows per bucket regardless of corpus size.
+# -------------------------------------------------------------------------
+
+
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = _raw_parts(sf_dir, "events")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["user_id"], n_parts)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        same = u[1:] == u[:-1]  # row i-1 -> i is a within-user transition
+        if not same.any():
+            return empty
+        idx = np.nonzero(same)[0] + 1
+        et = t["event_type"]
+        pt = pa.table(
+            {
+                "prev_type": et.take(pa.array(idx - 1)),
+                "next_type": et.take(pa.array(idx)),
+                "n_pairs": pa.array(np.ones(len(idx), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(
+            pt, keys=["prev_type", "next_type"], aggs=[("n_pairs", "sum")]
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return grouped_sum(
+        partials,
+        keys=["prev_type", "next_type"],
+        partial=lambda b: b,
+        sum_cols=["n_pairs"],
+    )
+
+
+# -------------------------------------------------------------------------
+# user_retention — cohort retention matrix: users grouped by their FIRST
+# event day (cohort), counted per whole-day offset at which they were
+# active again. Classic product-analytics rollup the reference's event
+# endpoints (SURVEY §2.5 per-user breakdowns) never reach. ONE hash
+# exchange by user: inside a group each user's first day and distinct
+# active-day offsets are vectorized (sorted runs + np.unique on packed
+# day|offset), emitting one partial row per (cohort_day, day_offset,
+# bucket) — the distinct-per-user dedup happens where the user's rows are
+# co-located, so the final combine only sums tiny partials.
+# -------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def user_retention(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    n_parts = _raw_parts(sf_dir, "events")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["user_id"], n_parts)
+
+    def partial(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.timestamp("us")),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        day = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        i = np.arange(n, dtype=np.int64)
+        is_start = np.concatenate([[True], u[1:] != u[:-1]])
+        run_start = np.maximum.accumulate(np.where(is_start, i, 0))
+        first_day = day[run_start]  # per-row: its user's cohort day
+        offset = day - first_day
+        # distinct (user, offset): pack into one int64 axis per user run
+        packed = run_start * np.int64(1 << 20) + offset  # offsets < 2^20 days
+        uniq = np.unique(packed)
+        rs = (uniq // (1 << 20)).astype(np.int64)  # run-start row index
+        cohort = day[rs]
+        off = (uniq % (1 << 20)).astype(np.int64)
+        pt = pa.table(
+            {
+                "cohort_day": pa.array(cohort * _DAY_US, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "day_offset": pa.array(off, pa.int64()),
+                "n_users": pa.array(np.ones(len(off), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(
+            pt, keys=["cohort_day", "day_offset"], aggs=[("n_users", "sum")]
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(partial, batch_format="pyarrow")
+    )
+    return grouped_sum(
+        partials,
+        keys=["cohort_day", "day_offset"],
+        partial=lambda b: b,
+        sum_cols=["n_users"],
+    )

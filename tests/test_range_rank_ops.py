@@ -103,3 +103,61 @@ def test_user_event_path_order_and_truncation(ray_session, tmp_path):
     df = user_event_path(sf).to_pandas().set_index("user_id")
     assert df.loc[1, "path5"] == "b>c>a>d>e"
     assert df.loc[2, "path5"] == "solo"
+
+
+def test_event_transitions_user_isolation(ray_session, tmp_path):
+    """Transitions never cross users; counts aggregate globally over
+    (prev, next) pairs in (ts, event_id) order."""
+    from pdf_extractor_ray.functions.relational import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a
+        (1, 1, 1, "a"), (2, 1, 2, "b"), (3, 1, 3, "a"),
+        # user 2: a -> b   (so a->b occurs twice globally)
+        (4, 2, 1, "a"), (5, 2, 2, "b"),
+        # user 3: single event — no pairs
+        (6, 3, 9, "z"),
+    ]
+    events = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([_ts(r[2]) for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }
+    sf = _dir(tmp_path, "tr", events=events)
+    df = (
+        event_transitions(sf)
+        .to_pandas()
+        .set_index(["prev_type", "next_type"])["n_pairs"]
+    )
+    assert df.to_dict() == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_user_retention_distinct_days(ray_session, tmp_path):
+    """Multiple events on one day count once; offsets are whole UTC days
+    from each user's first event day."""
+    from pdf_extractor_ray.functions.relational import user_retention
+
+    D = 86_400_000_000
+    rows = [
+        # user 1: day 0 (twice), day 2 -> offsets {0, 2}, cohort day 0
+        (1, 0), (1, 1000), (1, 2 * D),
+        # user 2: day 2, day 3 -> offsets {0, 1}, cohort day 2
+        (2, 2 * D), (2, 3 * D),
+    ]
+    events = {
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([_ts(r[1]) for r in rows], pa.timestamp("us")),
+    }
+    sf = _dir(tmp_path, "ret", events=events)
+    df = user_retention(sf).to_pandas()
+    # cohort day number relative to the base timestamp's UTC day (the base
+    # is mid-day, so cohort_day truncates to before it)
+    day0 = 1700000000_000000 // D
+    got = {
+        (int(r.cohort_day.value // 1000 // D - day0), int(r.day_offset)): int(
+            r.n_users
+        )
+        for r in df.itertuples()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (2, 0): 1, (2, 1): 1}
