@@ -161,3 +161,51 @@ def test_user_retention_distinct_days(ray_session, tmp_path):
         for r in df.itertuples()
     }
     assert got == {(0, 0): 1, (0, 2): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_orders_events_window_random_bruteforce(ray_session, tmp_path):
+    """Randomized brute-force equivalence: the composite-searchsorted range
+    join equals a per-order pandas filter on a scatter with duplicate
+    timestamps, boundary-exact events and orders without events."""
+    rng = np.random.RandomState(11)
+    n_e, n_o = 400, 120
+    e_user = rng.randint(0, 25, n_e)
+    e_us = rng.randint(0, 20 * 86_400_000_000, n_e)  # 20-day span, us
+    e_val = np.round(rng.uniform(-50, 50, n_e), 2)
+    o_cust = rng.randint(0, 30, n_o)  # some custs have no events
+    o_us = rng.randint(0, 20 * 86_400_000_000, n_o)
+    # plant exact boundary hits: event at order date and at +7d exactly
+    o_us[0], e_us[0], e_user[0] = 0, 0, 99
+    o_cust[0] = 99
+    e_us[1], e_user[1] = US_7D, 99
+
+    events = {
+        "event_id": pa.array(range(n_e), pa.int64()),
+        "user_id": pa.array(e_user, pa.int64()),
+        "ts": pa.array([_ts(int(u)) for u in e_us], pa.timestamp("us")),
+        "value": pa.array(e_val, pa.float64()),
+    }
+    orders = {
+        "o_orderkey": pa.array(range(n_o), pa.int64()),
+        "o_custkey": pa.array(o_cust, pa.int64()),
+        "o_orderdate": pa.array([_ts(int(u)) for u in o_us], pa.timestamp("us")),
+        "o_totalprice": pa.array(np.ones(n_o), pa.float64()),
+    }
+    from pdf_extractor_ray.functions.relational import orders_events_window
+
+    sf = _dir(tmp_path, "rjp", orders=orders, events=events)
+    got = (
+        orders_events_window(sf)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    cents = np.round(e_val * 100).astype(np.int64)
+    for i in range(n_o):
+        m = (
+            (e_user == o_cust[i])
+            & (e_us >= o_us[i])
+            & (e_us < o_us[i] + US_7D)
+        )
+        assert got.loc[i, "n_events"] == int(m.sum()), f"order {i} count"
+        assert got.loc[i, "sum_value_c"] == int(cents[m].sum()), f"order {i} sum"
