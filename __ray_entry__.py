@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": R.user_event_path,
         "event_transitions": R.event_transitions,
         "user_retention": R.user_retention,
+        "trade_components": R.trade_components,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -435,6 +436,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "trade_components": """
+            -- connected components of the high-volume trade graph
+            -- (customer—supplier edges via l_quantity >= 50 lineitems);
+            -- component id = min customer key reachable. The recursive
+            -- CTE closes customer-customer adjacency (shared supplier);
+            -- isolated customers are their own component.
+            WITH RECURSIVE cs AS (
+                SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_quantity >= 50
+            ),
+            cc AS (
+                SELECT DISTINCT a.c AS x, b.c AS y
+                FROM cs a JOIN cs b ON a.s = b.s
+            ),
+            reach(x, y) AS (
+                SELECT c_custkey, c_custkey FROM customer
+                UNION
+                SELECT r.x, c.y FROM reach r JOIN cc c ON r.y = c.x
+            )
+            SELECT x AS c_custkey, CAST(MIN(y) AS BIGINT) AS component
+            FROM reach GROUP BY x
         """,
         "event_transitions": """
             -- per-user consecutive (prev -> next) event-type transition

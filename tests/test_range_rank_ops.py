@@ -209,3 +209,38 @@ def test_orders_events_window_random_bruteforce(ray_session, tmp_path):
         )
         assert got.loc[i, "n_events"] == int(m.sum()), f"order {i} count"
         assert got.loc[i, "sum_value_c"] == int(cents[m].sum()), f"order {i} sum"
+
+
+def test_trade_components_planted_graph(ray_session, tmp_path):
+    """Known component structure: two chains bridged by shared suppliers,
+    an isolated customer, and below-threshold lineitems that must not
+    create edges."""
+    from pdf_extractor_ray.functions.relational import trade_components
+
+    # orders: orderkey -> custkey
+    o = [(1, 10), (2, 20), (3, 30), (4, 40)]
+    orders = {
+        "o_orderkey": pa.array([r[0] for r in o], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in o], pa.int64()),
+    }
+    # lineitems: (orderkey, suppkey, qty). qty<50 rows are ignored.
+    li = [
+        (1, 7, 50),   # cust 10 — supp 7
+        (2, 7, 50),   # cust 20 — supp 7  => {10,20} share supp 7
+        (2, 8, 50),   # cust 20 — supp 8
+        (3, 8, 50),   # cust 30 — supp 8  => chain 10-20-30
+        (4, 9, 10),   # BELOW threshold: cust 40 stays isolated
+    ]
+    lineitem = {
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in li], pa.int64()),
+        "l_quantity": pa.array([float(r[2]) for r in li], pa.float64()),
+    }
+    customer = {"c_custkey": pa.array([10, 20, 30, 40, 50], pa.int64())}
+    supplier = {"s_suppkey": pa.array([7, 8, 9], pa.int64())}
+    sf = _dir(
+        tmp_path, "cc",
+        orders=orders, lineitem=lineitem, customer=customer, supplier=supplier,
+    )
+    df = trade_components(sf).to_pandas().set_index("c_custkey")["component"]
+    assert df.to_dict() == {10: 10, 20: 10, 30: 10, 40: 40, 50: 50}
