@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": R.event_transitions,
         "user_retention": R.user_retention,
         "trade_components": R.trade_components,
+        "pareto_orders": R.pareto_orders,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -436,6 +437,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "pareto_orders": """
+            -- 2-D skyline on (totalprice cents, orderdate): a row is kept
+            -- iff no other row is >= on both axes and > on one. Windowed
+            -- O(n log n) formulation: per-cents-group max date, running
+            -- strict-prefix max over higher-cents groups.
+            WITH s AS (
+                SELECT o_orderkey,
+                       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+                       o_orderdate
+                FROM orders
+            ),
+            g AS (
+                SELECT price_c, MAX(o_orderdate) AS gd
+                FROM s GROUP BY price_c
+            ),
+            m AS (
+                SELECT price_c, gd,
+                       MAX(gd) OVER (ORDER BY price_c DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS md
+                FROM g
+            )
+            SELECT s.o_orderkey, s.price_c, s.o_orderdate
+            FROM s JOIN m ON s.price_c = m.price_c
+            WHERE s.o_orderdate = m.gd
+              AND (m.md IS NULL OR s.o_orderdate > m.md)
         """,
         "trade_components": """
             -- connected components of the high-volume trade graph

@@ -2534,32 +2534,32 @@ def order_ntile(sf_dir: str, k: int = 10) -> rd.Dataset:
     md = pq.read_metadata(path)
     n_rows = md.num_rows
     n_parts = scaled_partitions(n_rows)
-    # exact cents bounds from row-group float stats (round matches cents())
-    f_min = min(
-        md.row_group(i).column(
-            next(
-                j
-                for j in range(md.row_group(i).num_columns)
-                if md.row_group(i).column(j).path_in_schema == "o_totalprice"
-            )
-        ).statistics.min
-        for i in range(md.num_row_groups)
-    )
-    f_max = max(
-        md.row_group(i).column(
-            next(
-                j
-                for j in range(md.row_group(i).num_columns)
-                if md.row_group(i).column(j).path_in_schema == "o_totalprice"
-            )
-        ).statistics.max
-        for i in range(md.num_row_groups)
-    )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    # exact cents bounds from row-group float stats (metadata only; round
+    # matches cents()); files written without column statistics fall back
+    # to one distributed min/max pass
+    def _rg_stats(i: int):
+        rg = md.row_group(i)
+        col = next(
+            rg.column(j)
+            for j in range(rg.num_columns)
+            if rg.column(j).path_in_schema == "o_totalprice"
+        )
+        s = col.statistics
+        return s if s is not None and s.has_min_max else None
+
+    stats = [_rg_stats(i) for i in range(md.num_row_groups)]
+    if all(s is not None for s in stats):
+        f_min = min(s.min for s in stats)
+        f_max = max(s.max for s in stats)
+    else:
+        f_min = ds.min("o_totalprice")
+        f_max = ds.max("o_totalprice")
     c_min = int(np.floor(f_min * 100)) - 1
     c_max = int(np.ceil(f_max * 100)) + 1
     span = c_max - c_min + 1
-
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def bin_of(c: "np.ndarray") -> "np.ndarray":
         return (c - c_min) * n_parts // span
@@ -2980,3 +2980,70 @@ def trade_components(sf_dir: str, min_qty: int = 50, max_iters: int = 64) -> pa.
             "component": pa.array(lab_c, pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# pareto_orders — SKYLINE (dominance) query: orders not dominated on the
+# (totalprice, orderdate) plane — another order dominates if it is >= on
+# both axes and > on at least one. A dominance query is its own operator
+# family (no groupby/sort composition computes it); the distributed plan
+# exploits the skyline's combine property: every globally dominated row is
+# dominated by SOME row that survives its own batch's local skyline
+# (dominance is transitive and the order finite), so
+# map_batches(local skyline) -> skyline of the union is exact. Local
+# skylines of web-scale batches are tiny (O(log n) expected on
+# independent axes), so the final combine sees #batches x |skyline| rows.
+# Dominance compares exact int64 cents (ties on both axes survive
+# together — neither dominates). Vectorized per batch: sort by cents
+# desc, per-cents-group max date via reduceat, strict-prefix running max.
+# -------------------------------------------------------------------------
+
+
+def _skyline_2d(p: "object", d: "object", keys: "object"):
+    """Indices of the (p, d) skyline: no other point is >= on both and >
+    on one. Vectorized: one sort + segment maxima."""
+    import numpy as np
+
+    order = np.lexsort((keys, -d, -p))  # p desc, d desc, key asc
+    ps, ds = p[order], d[order]
+    starts = np.concatenate([[0], np.nonzero(ps[1:] != ps[:-1])[0] + 1])
+    gmax = np.maximum.reduceat(ds, starts)  # max d per equal-p group
+    # strict-prefix max of group maxima (groups of strictly higher p)
+    prev = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]])
+    gid = np.searchsorted(starts, np.arange(len(ps)), side="right") - 1
+    keep = (ds == gmax[gid]) & (ds > prev[gid])
+    return order[keep]
+
+
+def pareto_orders(sf_dir: str) -> pa.Table:
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        p = cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        d = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = _skyline_2d(p, d, k)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[idx], pa.int64()),
+                "price_c": pa.array(p[idx], pa.int64()),
+                "o_orderdate": batch["o_orderdate"].take(pa.array(idx)),
+            }
+        )
+
+    cand = collect(ds.map_batches(local, batch_format="pyarrow"))
+    if cand is None or cand.num_rows == 0:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "price_c": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+            }
+        )
+    p = cand["price_c"].to_numpy(zero_copy_only=False)
+    d = pc.cast(cand["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+    k = cand["o_orderkey"].to_numpy(zero_copy_only=False)
+    idx = np.sort(_skyline_2d(p, d, k))
+    return cand.take(pa.array(idx))

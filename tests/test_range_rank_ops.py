@@ -244,3 +244,35 @@ def test_trade_components_planted_graph(ray_session, tmp_path):
     )
     df = trade_components(sf).to_pandas().set_index("c_custkey")["component"]
     assert df.to_dict() == {10: 10, 20: 10, 30: 10, 40: 40, 50: 50}
+
+
+def test_pareto_orders_planted(ray_session, tmp_path):
+    """Skyline semantics: equal-point twins survive together; a point
+    dominated only across batches is still removed (32 batches force the
+    two-level local/global combine); brute force is the oracle."""
+    rng = np.random.RandomState(3)
+    n = 4000
+    price = np.round(rng.uniform(1, 1000, n), 2)
+    date_us = rng.randint(0, 10**12, n)
+    # planted: identical twin points at the top-right corner
+    price[0] = price[1] = 999.99
+    date_us[0] = date_us[1] = 10**12 - 1
+    orders = {
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array(np.ones(n, np.int64), pa.int64()),
+        "o_orderdate": pa.array([_ts(int(u)) for u in date_us], pa.timestamp("us")),
+        "o_totalprice": pa.array(price, pa.float64()),
+    }
+    from pdf_extractor_ray.functions.relational import pareto_orders
+
+    sf = _dir(tmp_path, "sky", orders=orders)
+    got = set(pareto_orders(sf).to_pandas()["o_orderkey"])
+    p = np.round(price * 100).astype(np.int64)
+    d = date_us
+    bf = {
+        i
+        for i in range(n)
+        if not ((p >= p[i]) & (d >= d[i]) & ((p > p[i]) | (d > d[i]))).any()
+    }
+    assert got == bf
+    assert {0, 1} <= got  # twins both survive
