@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": R.user_retention,
         "trade_components": R.trade_components,
         "pareto_orders": R.pareto_orders,
+        "order_percent_rank": R.order_percent_rank,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -437,6 +438,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "order_percent_rank": """
+            -- PERCENT_RANK over the global (cents, orderkey) order; the
+            -- unique total order makes RANK == ROW_NUMBER, so the double
+            -- is one (rank-1)/(n-1) division of exact ints on both sides.
+            SELECT o_orderkey,
+                   PERCENT_RANK() OVER (
+                       ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT),
+                                o_orderkey) AS pct_rank
+            FROM orders
         """,
         "pareto_orders": """
             -- 2-D skyline on (totalprice cents, orderdate): a row is kept

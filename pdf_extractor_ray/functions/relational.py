@@ -2525,7 +2525,10 @@ def orders_events_window(sf_dir: str) -> rd.Dataset:
 # -------------------------------------------------------------------------
 
 
-def order_ntile(sf_dir: str, k: int = 10) -> rd.Dataset:
+def _order_global_rank(sf_dir: str, finalize) -> rd.Dataset:
+    """Shared two-pass exact-global-rank machinery (see order_ntile doc
+    comment above): ``finalize(r, n_total)`` maps the 0-based global rank
+    array of one bin to the output column ``(name, pa.Array)``."""
     import numpy as np
 
     from .agg import partial_group_agg, scaled_partitions
@@ -2585,7 +2588,6 @@ def order_ntile(sf_dir: str, k: int = 10) -> rd.Dataset:
     base = np.zeros(n_parts + 1, dtype=np.int64)
     np.cumsum(per_bin, out=base[1:])
     n_total = int(base[-1])
-    q, rem = divmod(n_total, k)
 
     def tag(batch: pa.Table) -> pa.Table:
         c = cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
@@ -2601,20 +2603,40 @@ def order_ntile(sf_dir: str, k: int = 10) -> rd.Dataset:
         t = group.sort_by([("c", "ascending"), ("o_orderkey", "ascending")])
         b = int(t["__pp"][0].as_py())
         r = base[b] + np.arange(t.num_rows, dtype=np.int64)
-        big = rem * (q + 1)
-        tile = np.where(r < big, r // max(q + 1, 1), rem + (r - big) // max(q, 1))
-        return pa.table(
-            {
-                "o_orderkey": t["o_orderkey"],
-                "tile": pa.array(tile + 1, pa.int64()),
-            }
-        )
+        name, col = finalize(r, n_total)
+        return pa.table({"o_orderkey": t["o_orderkey"], name: col})
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__pp")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+def order_ntile(sf_dir: str, k: int = 10) -> rd.Dataset:
+    import numpy as np
+
+    def finalize(r, n_total):
+        q, rem = divmod(n_total, k)
+        big = rem * (q + 1)
+        tile = np.where(r < big, r // max(q + 1, 1), rem + (r - big) // max(q, 1))
+        return "tile", pa.array(tile + 1, pa.int64())
+
+    return _order_global_rank(sf_dir, finalize)
+
+
+def order_percent_rank(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK over the same global (cents, orderkey) order: the
+    unique total order makes RANK == ROW_NUMBER, so the value is exactly
+    (rank-1)/(n-1) — one float64 division of exact ints, bit-identical to
+    the SQL window function."""
+    import numpy as np
+
+    def finalize(r, n_total):
+        denom = max(n_total - 1, 1)
+        return "pct_rank", pa.array(r.astype(np.float64) / denom, pa.float64())
+
+    return _order_global_rank(sf_dir, finalize)
 
 
 # -------------------------------------------------------------------------
