@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_components": R.trade_components,
         "pareto_orders": R.pareto_orders,
         "order_percent_rank": R.order_percent_rank,
+        "fuzzy_name_pairs": R.fuzzy_name_pairs,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -438,6 +439,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "fuzzy_name_pairs": """
+            -- fuzzy join: same-nation customer pairs with names within
+            -- Levenshtein distance 1 (k1 < k2)
+            SELECT a.c_custkey AS k1, b.c_custkey AS k2
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "order_percent_rank": """
             -- PERCENT_RANK over the global (cents, orderkey) order; the

@@ -3069,3 +3069,135 @@ def pareto_orders(sf_dir: str) -> pa.Table:
     k = cand["o_orderkey"].to_numpy(zero_copy_only=False)
     idx = np.sort(_skyline_2d(p, d, k))
     return cand.take(pa.array(idx))
+
+
+# -------------------------------------------------------------------------
+# fuzzy_name_pairs — FUZZY JOIN (data cleaning): pairs of same-nation
+# customers whose names are within Levenshtein distance 1. The scalable
+# plan is deletion-neighborhood blocking (Mann & al.'s 1-deletion
+# signatures): two strings within distance 1 — equal, one substitution,
+# one insert/delete — always share at least one member of
+# {s} U {s minus position i}, so each row emits len(s)+1 signature keys
+# (built VECTORIZED: per position one pandas slice-concat pass over the
+# whole column), ONE hash exchange on (nation, signature) co-locates all
+# candidates, tiny signature groups emit candidate pairs, and an exact
+# early-exit distance-<=1 check verifies them (candidates are rare and
+# already co-located — the verify loop touches only candidate pairs,
+# never the cross product). Verified pairs dedup via one arrow group_by.
+# Scale note: the exchange moves ~(len+1) x rows signature rows (8-byte
+# md5-half keys), linear in the corpus; the all-pairs product never
+# materializes.
+# -------------------------------------------------------------------------
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 via two-pointer early exit."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_name"])
+    n_parts = _raw_parts(sf_dir, "customer")
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        s = batch["c_name"].to_pandas()
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        nat = pc.cast(batch["c_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        max_len = int(s.str.len().max()) if len(s) else 0
+        sig_parts, idx_parts = [], []
+        # the identity signature, then one vectorized pass per deletion pos
+        sig_parts.append(s)
+        idx_parts.append(np.arange(len(s)))
+        for i in range(max_len):
+            has = s.str.len() > i
+            if not has.any():
+                break
+            sub = s[has]
+            sig_parts.append(sub.str.slice(0, i) + sub.str.slice(i + 1))
+            idx_parts.append(np.nonzero(has.to_numpy())[0])
+        sig = pd.concat(sig_parts, ignore_index=True)
+        idx = np.concatenate(idx_parts)
+        return pa.table(
+            {
+                "sig": pa.array(sig, pa.string()),
+                "nat": pa.array(nat[idx], pa.int64()),
+                "k": pa.array(key[idx], pa.int64()),
+                "name": pa.array(np.asarray(s, dtype=object)[idx], pa.string()),
+            }
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["nat", "sig"], n_parts)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("nat", "ascending"), ("sig", "ascending"), ("k", "ascending")]
+        )
+        empty = pa.table(
+            {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
+        )
+        n = t.num_rows
+        if n < 2:
+            return empty
+        import numpy as np
+
+        nat = t["nat"].to_numpy(zero_copy_only=False)
+        sig = t["sig"].to_pylist()
+        k = t["k"].to_numpy(zero_copy_only=False)
+        names = t["name"].to_pylist()
+        out1, out2 = [], []
+        seen: set = set()
+        start = 0
+        for i in range(1, n + 1):
+            if i == n or nat[i] != nat[start] or sig[i] != sig[start]:
+                for a in range(start, i):
+                    for b in range(a + 1, i):
+                        if k[a] == k[b]:
+                            continue
+                        p = (k[a], k[b]) if k[a] < k[b] else (k[b], k[a])
+                        if p in seen:
+                            continue
+                        seen.add(p)
+                        if _lev_le1(names[a], names[b]):
+                            out1.append(p[0])
+                            out2.append(p[1])
+                start = i
+        return pa.table(
+            {"k1": pa.array(out1, pa.int64()), "k2": pa.array(out2, pa.int64())}
+        )
+
+    verified = (
+        ds.map_batches(signatures, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    t = collect(verified)
+    if t is None or t.num_rows == 0:
+        return pa.table(
+            {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64())}
+        )
+    # a pair can surface in several signature buckets: global distinct
+    return t.group_by(["k1", "k2"]).aggregate([]).sort_by(
+        [("k1", "ascending"), ("k2", "ascending")]
+    )

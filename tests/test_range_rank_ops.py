@@ -276,3 +276,30 @@ def test_pareto_orders_planted(ray_session, tmp_path):
     }
     assert got == bf
     assert {0, 1} <= got  # twins both survive
+
+
+def test_fuzzy_name_pairs_planted(ray_session, tmp_path):
+    """Substitution / insertion / deletion at distance 1 match; distance 2
+    and cross-nation near-names never match."""
+    from pdf_extractor_ray.functions.relational import fuzzy_name_pairs
+
+    names = [
+        (1, 0, "alpha"),   # base
+        (2, 0, "alpho"),   # substitution -> pairs with 1
+        (3, 0, "alphas"),  # insertion    -> pairs with 1
+        (4, 0, "alph"),    # deletion     -> pairs with 1
+        (5, 0, "alXho"),   # distance 2 from alpha; distance 1 from alpho
+        (6, 1, "alpha"),   # other nation: no pair with 1
+        (7, 1, "alpha!"),  # pairs with 6 within nation 1
+    ]
+    customer = {
+        "c_custkey": pa.array([r[0] for r in names], pa.int64()),
+        "c_nationkey": pa.array([r[1] for r in names], pa.int32()),
+        "c_name": pa.array([r[2] for r in names], pa.string()),
+    }
+    sf = _dir(tmp_path, "fz", customer=customer)
+    t = fuzzy_name_pairs(sf)
+    got = set(zip(t["k1"].to_pylist(), t["k2"].to_pylist()))
+    # "alphas"(3) vs "alph"(4) is distance 2; "alpho"(2) vs "alph"(4) is
+    # distance 1 (delete o); "alpho"(2) vs "alXho"(5) one substitution
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 4), (2, 5), (6, 7)}
