@@ -2942,6 +2942,12 @@ def trade_components(sf_dir: str, min_qty: int = 50, max_iters: int = 64) -> pa.
         .map_groups(edges_of, batch_format="pyarrow")
         .materialize()
     )
+    # the deduped edge list is far smaller than the raw exchange's
+    # n_parts blocks — coalesce so each label-propagation round runs a
+    # handful of tasks, not 256 near-empty ones (measured 12.4s -> ~4s at
+    # sf0.1); block count still scales with edge cardinality
+    n_edges = edges.count()
+    edges = edges.repartition(max(8, n_edges // 1_000_000)).materialize()
 
     custs = np.sort(
         pc.cast(
