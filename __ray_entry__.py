@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": R.pareto_orders,
         "order_percent_rank": R.order_percent_rank,
         "fuzzy_name_pairs": R.fuzzy_name_pairs,
+        "orders_cube": R.orders_cube,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -439,6 +440,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "orders_cube": """
+            -- full CUBE lattice over (status, priority), exact cents
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_totalprice_c
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "fuzzy_name_pairs": """
             -- fuzzy join: same-nation customer pairs with names within

@@ -3207,3 +3207,93 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
     return t.group_by(["k1", "k2"]).aggregate([]).sort_by(
         [("k1", "ascending"), ("k2", "ascending")]
     )
+
+
+# -------------------------------------------------------------------------
+# orders_cube — GROUP BY CUBE(status, priority): all four grouping sets
+# with SQL NULL markers on aggregated dimensions. One
+# partial-then-combine exchange computes the FINEST (status, priority)
+# table — its cardinality is |status| x |priority|, independent of corpus
+# size — and the three coarser sets are exact int64 re-sums of that tiny
+# result on the driver (the same pattern as region_rollup, completed to
+# the full cube lattice).
+# -------------------------------------------------------------------------
+
+
+def orders_cube(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_totalprice_c": cents(batch["o_totalprice"]),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["o_orderstatus", "o_orderpriority"],
+            aggs=[("n_orders", "sum"), ("sum_totalprice_c", "sum")],
+        )
+
+    fine = collect(
+        grouped_sum(
+            ds,
+            keys=["o_orderstatus", "o_orderpriority"],
+            partial=partial,
+            sum_cols=["n_orders", "sum_totalprice_c"],
+        )
+    )
+    if fine is None:
+        fine = pa.table(
+            {
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+                "sum_totalprice_c": pa.array([], pa.int64()),
+            }
+        )
+
+    def roll(keys: list[str]) -> pa.Table:
+        kept = [k for k in ["o_orderstatus", "o_orderpriority"] if k in keys]
+        if kept:
+            g = (
+                fine.select(kept + ["n_orders", "sum_totalprice_c"])
+                .group_by(kept)
+                .aggregate([("n_orders", "sum"), ("sum_totalprice_c", "sum")])
+            )
+            g = g.rename_columns(
+                [
+                    {"n_orders_sum": "n_orders", "sum_totalprice_c_sum": "sum_totalprice_c"}.get(c, c)
+                    for c in g.column_names
+                ]
+            )
+        else:
+            g = pa.table(
+                {
+                    "n_orders": pa.array(
+                        [pc.sum(fine["n_orders"]).as_py() or 0], pa.int64()
+                    ),
+                    "sum_totalprice_c": pa.array(
+                        [pc.sum(fine["sum_totalprice_c"]).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
+        n = g.num_rows
+        cols = {}
+        for k in ["o_orderstatus", "o_orderpriority"]:
+            cols[k] = g[k] if k in kept else pa.nulls(n, pa.string())
+        cols["n_orders"] = g["n_orders"]
+        cols["sum_totalprice_c"] = g["sum_totalprice_c"]
+        return pa.table(cols)
+
+    return pa.concat_tables(
+        [
+            roll(["o_orderstatus", "o_orderpriority"]),
+            roll(["o_orderstatus"]),
+            roll(["o_orderpriority"]),
+            roll([]),
+        ]
+    )

@@ -303,3 +303,29 @@ def test_fuzzy_name_pairs_planted(ray_session, tmp_path):
     # "alphas"(3) vs "alph"(4) is distance 2; "alpho"(2) vs "alph"(4) is
     # distance 1 (delete o); "alpho"(2) vs "alXho"(5) one substitution
     assert got == {(1, 2), (1, 3), (1, 4), (2, 4), (2, 5), (6, 7)}
+
+
+def test_lev_le1_property():
+    """_lev_le1 equals full DP Levenshtein <= 1 on random short strings."""
+    from pdf_extractor_ray.functions.relational import _lev_le1
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    rng = np.random.RandomState(5)
+    alpha = "abc"
+    for _ in range(3000):
+        a = "".join(alpha[i] for i in rng.randint(0, 3, rng.randint(0, 6)))
+        b = "".join(alpha[i] for i in rng.randint(0, 3, rng.randint(0, 6)))
+        assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
