@@ -144,3 +144,26 @@ def test_pages_jsonl_malformed_base64_yields_null(ray_session, tmp_path):
     df = read_pages_jsonl(str(jl)).to_pandas().sort_values("url")
     assert df["html"].iloc[0] is None or pd.isna(df["html"].iloc[0])
     assert df["html"].iloc[1] == b"<html>"
+
+
+def test_ipc_roundtrip(ray_session, tmp_path):
+    """documents -> IPC sink -> IPC source reproduces the table exactly;
+    the manifest accounts for every row; re-running the sink is
+    idempotent (content-hash filenames)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_extractor_ray.sources.ipc import read_docs_ipc, write_docs_ipc
+
+    src = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "ipc")
+    manifest = write_docs_ipc(src, out)
+    assert manifest["rows"].to_pandas().sum() == src.count()
+    files_before = sorted((tmp_path / "ipc").glob("part-*.arrow"))
+    # idempotent re-run: same content hashes, no new files
+    write_docs_ipc(rd.read_parquet("/root/testdata/sf0.001/documents.parquet"), out)
+    assert sorted((tmp_path / "ipc").glob("part-*.arrow")) == files_before
+
+    back = read_docs_ipc(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[sorted(back.columns)], orig[sorted(orig.columns)])
