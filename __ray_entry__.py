@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_percent_rank": R.order_percent_rank,
         "fuzzy_name_pairs": R.fuzzy_name_pairs,
         "orders_cube": R.orders_cube,
+        "event_value_delta": R.event_value_delta,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,
@@ -440,6 +441,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "event_value_delta": """
+            -- LAG deltas per user in (ts, event_id) order; first event
+            -- per user is NULL on both columns
+            SELECT event_id, user_id, ts,
+                   CAST(ROUND(value*100) AS BIGINT)
+                     - LAG(CAST(ROUND(value*100) AS BIGINT)) OVER w
+                     AS delta_c,
+                   CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT)
+                     AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "orders_cube": """
             -- full CUBE lattice over (status, priority), exact cents

@@ -3297,3 +3297,63 @@ def orders_cube(sf_dir: str) -> pa.Table:
             roll([]),
         ]
     )
+
+
+# -------------------------------------------------------------------------
+# event_value_delta — LAG window: per event, the exact-cents value delta
+# and microsecond gap vs the same user's PREVIOUS event in (ts, event_id)
+# order; each user's first event emits NULLs (SQL LAG semantics). One
+# keyed exchange; inside a bucket the previous row is a vectorized
+# shift-by-one with run-start masking — the same run-boundary machinery
+# as event_transitions, surfaced as per-row columns instead of pair
+# counts.
+# -------------------------------------------------------------------------
+
+
+def event_value_delta(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_parts = _raw_parts(sf_dir, "events")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["user_id"], n_parts)
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "delta_c": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v_c = cents(t["value"]).to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        prev_v = np.concatenate([[0], v_c[:-1]])
+        prev_t = np.concatenate([[0], ts[:-1]])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "delta_c": pa.array(v_c - prev_v, mask=first),
+                "gap_us": pa.array(ts - prev_t, mask=first),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
