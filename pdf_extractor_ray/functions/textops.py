@@ -3688,3 +3688,78 @@ def nb_lang_classify(sf_dir: str, vocab_size: int = 1000) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# train_bpe_merges — tokenizer TRAINING (the step before token_count_bpe
+# can tokenize): learn the first n byte-pair merges from the corpus.
+# Standard BPE-trainer decomposition (Sennrich et al. 2016; how HF
+# tokenizers trains): the ONLY corpus-scale pass is the word-frequency
+# exchange (identical shape to vocab_topk — per-batch arrow group_by
+# partials, one bucketed combine; raw token streams never cross the
+# wire), because merge selection depends only on the word-frequency
+# table. The merge loop then runs driver-side over that Zipf-bounded
+# vocabulary (the same node-vector assumption as vocab/DSIR/NB ops),
+# deterministic: argmax pair by (count desc, pair lexicographic asc).
+# Iterative — no SQL oracle (rows-only); semantics pinned by a planted
+# pytest with hand-computed merges.
+# -------------------------------------------------------------------------
+
+
+def train_bpe_merges(sf_dir: str, n_merges: int = 20) -> pa.Table:
+    from .agg import collect, grouped_sum, partial_group_agg
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table(
+            {
+                "term": flat,
+                "cnt": pa.array(np.ones(len(flat), dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["term"], aggs=[("cnt", "sum")])
+
+    vocab = collect(grouped_sum(ds, keys=["term"], partial=partial, sum_cols=["cnt"]))
+    out_rank: list[int] = []
+    out_left: list[str] = []
+    out_right: list[str] = []
+    out_count: list[int] = []
+    if vocab is not None and vocab.num_rows:
+        words = [
+            (list(w), int(c))
+            for w, c in zip(vocab["term"].to_pylist(), vocab["cnt"].to_pylist())
+        ]
+        for rank in range(n_merges):
+            pairs: dict = {}
+            for sym, c in words:
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            if not pairs:
+                break
+            (left, right), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out_rank.append(rank)
+            out_left.append(left)
+            out_right.append(right)
+            out_count.append(cnt)
+            merged = left + right
+            for sym, _ in words:
+                i = 0
+                while i < len(sym) - 1:
+                    if sym[i] == left and sym[i + 1] == right:
+                        sym[i : i + 2] = [merged]
+                    else:
+                        i += 1
+    return pa.table(
+        {
+            "merge_rank": pa.array(out_rank, pa.int64()),
+            "left": pa.array(out_left, pa.string()),
+            "right": pa.array(out_right, pa.string()),
+            "pair_count": pa.array(out_count, pa.int64()),
+        }
+    )

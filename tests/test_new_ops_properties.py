@@ -444,3 +444,26 @@ def test_host_pagerank_single_host_corpus(ray_session):
     got = host_pagerank("/root/testdata/sf0.001", iters=5).to_pandas()
     assert list(got["host"]) == ["testdata.local"]
     assert got["rank_ppm"].iloc[0] == 1_000_000
+
+
+def test_train_bpe_merges_planted(ray_session, tmp_path):
+    """Hand-computed first merges: corpus 'aaab' x3 + 'aab' x2 gives
+    (a,a)=8 first; after merging, (aa,a)=3 ties (a,b)=3 and the
+    lexicographic tie-break picks (a,b)."""
+    from pdf_extractor_ray.functions.textops import train_bpe_merges
+
+    texts = ["aaab aaab", "aaab aab", "aab"]
+    sf = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        },
+    )
+    t = train_bpe_merges(sf, n_merges=3).to_pandas()
+    got = list(zip(t["left"], t["right"], t["pair_count"]))
+    assert got[0] == ("a", "a", 8)
+    assert got[1] == ("a", "b", 3)
+    # after (a,a) and (a,b): 'aaab' = [aa, ab], 'aab' = [aa, b]
+    # pairs: (aa,ab)=3, (aa,b)=2 -> third merge (aa, ab)
+    assert got[2] == ("aa", "ab", 3)
