@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": R.orders_cube,
         "event_value_delta": R.event_value_delta,
         "train_bpe_merges": T.train_bpe_merges,
+        "bpe_token_count": T.bpe_token_count,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,

@@ -3763,3 +3763,85 @@ def train_bpe_merges(sf_dir: str, n_merges: int = 20) -> pa.Table:
             "pair_count": pa.array(out_count, pa.int64()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# bpe_token_count — apply the TRAINED merges (train_bpe_merges above) and
+# count tokens per document: the train -> apply composition of a real
+# tokenizer pipeline. The merge table is learned once (one vocab
+# exchange), broadcast in the task closure, and applied per batch over
+# the batch's UNIQUE words only (Zipf: unique words << tokens), with a
+# per-worker word->count cache that persists across batches
+# (instance_stage semantics — state deserialized once per worker
+# process). Per-doc totals are a vectorized index_in lookup + reduceat
+# over the list offsets; the only Python loop touches cache-miss words.
+# Rows-only (the merge ranks come from an iterative trainer — no SQL
+# oracle); pinned by a planted hand-applied-merges test.
+# -------------------------------------------------------------------------
+
+
+class _BpeCounter:
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.rank = {p: i for i, p in enumerate(merges)}
+        self.cache: dict = {}
+
+    def _count(self, word: str) -> int:
+        hit = self.cache.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word)
+        while len(sym) > 1:
+            best_rank, best_pair = None, None
+            for p in zip(sym, sym[1:]):
+                r = self.rank.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, p
+            if best_pair is None:
+                break
+            a, b = best_pair
+            merged = a + b
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i : i + 2] = [merged]
+                else:
+                    i += 1
+        n = len(sym)
+        self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        words = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(words).combine_chunks()
+        offsets = np.zeros(batch.num_rows + 1, dtype=np.int64)
+        np.cumsum(pc.list_value_length(words).to_numpy(zero_copy_only=False), out=offsets[1:])
+        uniq = pc.unique(flat)
+        per_uniq = np.array(
+            [0 if w == "" else self._count(w) for w in uniq.to_pylist()],
+            dtype=np.int64,
+        )
+        idx = pc.index_in(flat, uniq).to_numpy(zero_copy_only=False)
+        per_word = per_uniq[idx]
+        totals = np.add.reduceat(
+            np.concatenate([per_word, [0]]), np.minimum(offsets[:-1], len(per_word))
+        )
+        # reduceat quirk: empty trailing slices repeat the last element —
+        # zero out docs with no words
+        empty = offsets[:-1] == offsets[1:]
+        totals = np.where(empty, 0, totals[: batch.num_rows])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens_bpe": pa.array(totals, pa.int64()),
+            }
+        )
+
+
+def bpe_token_count(sf_dir: str, n_merges: int = 20) -> rd.Dataset:
+    from .agg import instance_stage
+
+    merges_t = train_bpe_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_t["left"].to_pylist(), merges_t["right"].to_pylist()))
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return instance_stage(ds, _BpeCounter, merges=merges)

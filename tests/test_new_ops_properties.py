@@ -467,3 +467,25 @@ def test_train_bpe_merges_planted(ray_session, tmp_path):
     # after (a,a) and (a,b): 'aaab' = [aa, ab], 'aab' = [aa, b]
     # pairs: (aa,ab)=3, (aa,b)=2 -> third merge (aa, ab)
     assert got[2] == ("aa", "ab", 3)
+
+
+def test_bpe_token_count_planted(ray_session, tmp_path):
+    """Hand-applied merges on the trainer-test corpus: with merges
+    (a,a),(a,b),(aa,ab) the word 'aaab' collapses to 1 token and 'aab'
+    to 2 ([aa, b] — no (a,b) pair survives the first merge)."""
+    from pdf_extractor_ray.functions.textops import bpe_token_count
+
+    texts = ["aaab aaab", "aaab aab", "aab", ""]
+    sf = _docs_dir(
+        tmp_path,
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        },
+    )
+    df = (
+        bpe_token_count(sf, n_merges=3)
+        .to_pandas()
+        .set_index("doc_id")["n_tokens_bpe"]
+    )
+    assert df.to_dict() == {0: 2, 1: 3, 2: 2, 3: 0}
