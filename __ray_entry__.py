@@ -33,7 +33,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.functions import textops as T
     from pdf_extractor_ray.functions import similarity as S
     from pdf_extractor_ray.functions import links as L
-    from pdf_extractor_ray.pipelines.webpages import extract_from_documents
+    from pdf_extractor_ray.pipelines.webpages import (
+        extract_from_documents,
+        web_to_training as _web_to_training,
+    )
     from pdf_extractor_ray.pipelines.fanout import fanout_extract
 
     return {
@@ -71,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_delta": R.event_value_delta,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
+        "web_to_training": _web_to_training,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
         "user_last3_sum": R.user_last3_sum,

@@ -3251,13 +3251,22 @@ def mix_epochs(
 def prepare_training(sf_dir: str, budget: int = 512) -> rd.Dataset:
     import pyarrow.parquet as pq
 
-    from .agg import scaled_partitions
-
     path = f"{sf_dir}/documents.parquet"
     n_rows = pq.read_metadata(path).num_rows
-    n_parts = scaled_partitions(n_rows)
+    return prepare_training_ds(
+        _read_docs(sf_dir, ["doc_id", "text"]), n_rows, budget=budget
+    )
 
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+def prepare_training_ds(
+    ds: rd.Dataset, n_rows: int, budget: int = 512
+) -> rd.Dataset:
+    """Dataset-generic core of ``prepare_training`` — also the tail of the
+    end-to-end web->training composition (pipelines/webpages.py
+    ``web_to_training``): input any (doc_id, text) Dataset."""
+    from .agg import scaled_partitions
+
+    n_parts = scaled_partitions(n_rows)
 
     def flag(batch: pa.Table) -> pa.Table:
         n, spaces, digits, _ = _quality_counters(batch["text"])

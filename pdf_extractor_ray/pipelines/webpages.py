@@ -73,3 +73,38 @@ def extract_from_documents(sf_dir: str, *, n_partitions: int = 16) -> rd.Dataset
     return instance_stage(
         pages, DocumentExtractor, batch_size=64, emit_pages=False
     )
+
+
+def web_to_training(sf_dir: str, *, budget: int = 512) -> rd.Dataset:
+    """The END-TO-END composition the engine exists for: web pages ->
+    sniff -> extract -> quality gate -> exact dedup -> deterministic
+    global shuffle order -> packed training sequences, one streaming
+    dataflow (extraction feeds prepare_training_ds without ever
+    materializing an intermediate corpus). Only rows the extractor
+    marked ok enter curation; doc ids are recovered from the
+    deterministic page urls so the output joins back to the source
+    table."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.textops import prepare_training_ds
+
+    extracted = extract_from_documents(sf_dir)
+    prefix_len = len("https://testdata.local/doc/")
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch["status"], "ok"))
+        doc_id = pc.cast(
+            pc.utf8_slice_codeunits(ok["url"], prefix_len, prefix_len + 8),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "text": pc.cast(ok["extracted_text"], pa.string()),
+            }
+        )
+
+    docs = extracted.map_batches(to_docs, batch_format="pyarrow")
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return prepare_training_ds(docs, n_rows, budget=budget)

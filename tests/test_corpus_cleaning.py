@@ -480,3 +480,30 @@ def test_nb_lang_classify_planted(ray_session, tmp_path):
     gold = _oracle(d, "nb_lang_classify")
     pd.testing.assert_frame_equal(res, gold, check_dtype=True)
     assert (res["lang"] == res["pred_lang"]).all()
+
+
+def test_web_to_training_composition(ray_session):
+    """End-to-end pages -> extract -> curate -> pack: output doc ids are
+    real source ids, shuffle positions are a contiguous 0..n-1 range, and
+    every packed sequence stays within a token budget except where one
+    long doc overflows alone."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.webpages import web_to_training
+
+    sf = "/root/testdata/sf0.001"
+    budget = 512
+    df = web_to_training(sf, budget=budget).to_pandas()
+    src_ids = set(
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_pylist()
+    )
+    assert set(df["doc_id"]) <= src_ids
+    assert 0 < len(df) < len(src_ids)  # the quality gate dropped some rows
+    assert sorted(df["pos"]) == list(range(len(df)))
+    # each sequence's token START honors the budget boundary (a doc longer
+    # than the budget may overflow its own sequence, never a neighbour's)
+    d = df.sort_values("pos")
+    starts = d["n_tokens"].cumsum().shift(fill_value=0)
+    assert ((starts // budget) == d["seq_id"]).all()
