@@ -159,6 +159,27 @@ def bench_checkpoint(corpus_path: str) -> dict:
     }
 
 
+def bench_training(corpus_path: str) -> dict:
+    """Time the end-to-end corpus -> extract -> curate -> pack
+    composition (pipelines/webpages.corpus_to_training) — the full
+    training-data story over the same corpus the extraction benches use."""
+    from pdf_extractor_ray.pipelines.webpages import corpus_to_training
+
+    frag_bytes = corpus_bytes(corpus_path)
+    t0 = time.perf_counter()
+    ds = corpus_to_training(corpus_path)
+    rows = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        rows += b.num_rows
+    wall = time.perf_counter() - t0
+    return {
+        "rows": rows,
+        "wall_s": round(wall, 3),
+        "docs_per_s": round(rows / wall, 1),
+        "mb_per_s": round(frag_bytes / wall / 1e6, 2),
+    }
+
+
 def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     import ray
 
@@ -173,8 +194,14 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     corpus = ensure_corpus(sf)
     extract = bench_extract(corpus, num_cpus)
     ckpt = bench_checkpoint(corpus)
+    training = bench_training(corpus)
     queries = {} if skip_queries else run_queries(sf_dir)
-    total = extract["wall_s"] + ckpt["wall_s"] + sum(queries.values())
+    total = (
+        extract["wall_s"]
+        + ckpt["wall_s"]
+        + training["wall_s"]
+        + sum(queries.values())
+    )
     result = {
         "metric": "extraction+operator wall time",
         "value": round(total, 3),
@@ -182,12 +209,14 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
         "queries": {
             "extract_corpus_stream": extract["wall_s"],
             "extract_corpus_checkpoint": ckpt["wall_s"],
+            "corpus_to_training": training["wall_s"],
             **queries,
         },
         "sf": sf,
         "num_cpus": num_cpus,
         "extract": extract,
         "extract_checkpoint": ckpt,
+        "corpus_training": training,
     }
     ray.shutdown()
     return result

@@ -108,3 +108,48 @@ def web_to_training(sf_dir: str, *, budget: int = 512) -> rd.Dataset:
     docs = extracted.map_batches(to_docs, batch_format="pyarrow")
     n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     return prepare_training_ds(docs, n_rows, budget=budget)
+
+
+def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
+    """web_to_training over a REAL pages corpus directory (url, warc_ts,
+    html shards — the Common-Crawl-shaped input of the flagship): the
+    streaming extractor (sniff -> dedup filter -> extract) feeds the
+    curation/packing exchange directly. Doc ids are the first 60 bits of
+    md5(url) (the same deterministic keying shuffle_docs uses), so output
+    rows join back to urls without carrying strings through the pack
+    exchange."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.textops import prepare_training_ds
+    from ..sources.pages import list_shards
+    from .extract import extracted_dataset
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    extracted = extracted_dataset(
+        input_path,
+        n_partitions=max(64, 4 * cpus),
+        batch_size=128,
+        concurrency=max(2, cpus - 2),
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch["status"], "ok"))
+        ids = [
+            int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+            for u in ok["url"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pc.cast(ok["extracted_text"], pa.string()),
+            }
+        )
+
+    docs = extracted.map_batches(to_docs, batch_format="pyarrow")
+    n_rows = sum(pq.read_metadata(f).num_rows for f in list_shards(input_path))
+    return prepare_training_ds(docs, n_rows, budget=budget)
