@@ -128,6 +128,12 @@ def pagerank_edges(
     from .agg import collect
 
     edges = edges.materialize()
+    # the reduced host-edge list is far smaller than its upstream
+    # exchange's block count — coalesce so each power-iteration round runs
+    # a handful of tasks, not hundreds of near-empty ones (same fix as
+    # trade_components); block count still scales with edge cardinality
+    n_edges = edges.count()
+    edges = edges.repartition(max(8, n_edges // 1_000_000)).materialize()
     # pass 1 (distributed): host universe + per-src out-weights, both
     # host-cardinality reductions over tiny per-batch partials
     def host_partial(batch: pa.Table) -> pa.Table:
