@@ -153,3 +153,50 @@ def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
     docs = extracted.map_batches(to_docs, batch_format="pyarrow")
     n_rows = sum(pq.read_metadata(f).num_rows for f in list_shards(input_path))
     return prepare_training_ds(docs, n_rows, budget=budget)
+
+
+def checkpointed_training(
+    input_path: str, workdir: str, *, budget: int = 512, n_partitions: int = 32
+) -> rd.Dataset:
+    """Production variant of ``corpus_to_training``: the extraction leg
+    runs in CHECKPOINT mode (per-partition atomic parquet + lineage
+    manifests under ``workdir``), so a failed training-data build resumes
+    by skipping finished extraction partitions; the curation/packing
+    exchange then streams from the checkpoint instead of re-extracting.
+    Output is identical to corpus_to_training over the same corpus (the
+    two extraction modes are golden-equivalent and packing depends only
+    on the (doc_id, text) set)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.textops import prepare_training_ds
+    from ..sources.pages import list_shards
+    from .extract import read_extracted, run_checkpoint
+
+    run_checkpoint(
+        input_path,
+        workdir,
+        n_partitions=n_partitions,
+        resume=True,
+        emit_pages=False,
+    )
+    extracted = read_extracted(workdir)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ok = batch.filter(pc.equal(batch["status"], "ok"))
+        ids = [
+            int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+            for u in ok["url"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pc.cast(ok["extracted_text"], pa.string()),
+            }
+        )
+
+    docs = extracted.map_batches(to_docs, batch_format="pyarrow")
+    n_rows = sum(pq.read_metadata(f).num_rows for f in list_shards(input_path))
+    return prepare_training_ds(docs, n_rows, budget=budget)

@@ -141,3 +141,32 @@ def test_checkpoint_emit_links_product(ray_session, tmp_path):
     )
     html_urls = set(ext[ext["content_type"] == "html"]["url"])
     assert set(links["url"]) <= html_urls
+
+
+def test_checkpointed_training_matches_stream_and_resumes(
+    ray_session, small_corpus, tmp_path
+):
+    """The checkpoint-backed training build equals the stream composition
+    row-for-row, and a re-run after losing extraction partitions resumes
+    (recomputes only the missing ones) to the identical packed output."""
+    import pandas as pd
+
+    from pdf_extractor_ray.pipelines.webpages import (
+        checkpointed_training,
+        corpus_to_training,
+    )
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values("pos").reset_index(drop=True)
+
+    stream = canon(corpus_to_training(small_corpus["corpus"]))
+    work = str(tmp_path / "ckpt")
+    ckpt = canon(checkpointed_training(small_corpus["corpus"], work, n_partitions=8))
+    pd.testing.assert_frame_equal(stream, ckpt)
+
+    # crash-and-resume: drop two extraction partitions, rebuild
+    for pid in (2, 5):
+        shutil.rmtree(os.path.join(work, f"part-{pid}"))
+    again = canon(checkpointed_training(small_corpus["corpus"], work, n_partitions=8))
+    pd.testing.assert_frame_equal(stream, again)
