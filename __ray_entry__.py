@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": R.fuzzy_name_pairs,
         "orders_cube": R.orders_cube,
         "event_value_delta": R.event_value_delta,
+        "value_trimmed_mean": R.value_trimmed_mean,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "web_to_training": _web_to_training,
@@ -447,6 +448,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "value_trimmed_mean": """
+            -- robust 5%-two-sided trimmed mean per event type on exact
+            -- cents; rank ties at a cut are value-invariant
+            WITH c AS (
+                SELECT event_type,
+                       CAST(ROUND(value*100) AS BIGINT) AS v
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, v,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY v) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM c
+            )
+            SELECT event_type,
+                   CAST(SUM(v) AS BIGINT) AS trim_sum_c,
+                   CAST(COUNT(*) AS BIGINT) AS trim_n,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS trim_avg_c
+            FROM r
+            WHERE rn > (n*5)//100 AND rn <= n - (n*5)//100
+            GROUP BY event_type
         """,
         "event_value_delta": """
             -- LAG deltas per user in (ts, event_id) order; first event

@@ -3357,3 +3357,56 @@ def event_value_delta(sf_dir: str) -> rd.Dataset:
         .groupby("__pp")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# value_trimmed_mean — ROBUST aggregate: per event type, the mean of the
+# central 90% of values (drop the k = floor(5n/100) lowest and highest
+# ranks; ties at a cut are value-invariant, so rank-tie order cannot
+# change the sum). Same physical plan as value_p95_by_type: per-batch
+# (type, cents)-histogram partials — the exchange moves distinct values,
+# not rows — then one vectorized overlap computation per type: cumulative
+# counts vs the kept-rank interval [k+1, n-k]. Exact int64 sums; the mean
+# is one double division of exact ints on both sides.
+# -------------------------------------------------------------------------
+
+
+def value_trimmed_mean(sf_dir: str, pct: int = 5) -> rd.Dataset:
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "c": cents(batch["value"]),
+                "cnt": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["event_type", "c"], aggs=[("cnt", "sum")])
+
+    def trim(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("c", "ascending")])
+        v = g["c"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        n = int(cnt.sum())
+        k = n * pct // 100
+        lo_rank, hi_rank = k + 1, n - k  # kept rank interval, 1-based
+        cum = np.cumsum(cnt)
+        start = cum - cnt + 1  # first rank of each distinct value
+        kept = np.minimum(cum, hi_rank) - np.maximum(start, lo_rank) + 1
+        kept = np.maximum(kept, 0)
+        s = int((v * kept).sum())
+        m = int(kept.sum())
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
+                "trim_sum_c": pa.array([s], pa.int64()),
+                "trim_n": pa.array([m], pa.int64()),
+                "trim_avg_c": pa.array([s / m if m else 0.0], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("event_type").map_groups(trim, batch_format="pyarrow")

@@ -329,3 +329,21 @@ def test_lev_le1_property():
         a = "".join(alpha[i] for i in rng.randint(0, 3, rng.randint(0, 6)))
         b = "".join(alpha[i] for i in rng.randint(0, 3, rng.randint(0, 6)))
         assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_value_trimmed_mean_tie_at_cut(ray_session, tmp_path):
+    """n=20, k=1: drop exactly one lowest and one highest rank even when
+    the cut lands inside a run of equal values (rank-tie invariance)."""
+    from pdf_extractor_ray.functions.relational import value_trimmed_mean
+
+    vals = [1.0, 1.0, 1.0] + [2.0] * 14 + [9.0, 9.0, 9.0]
+    events = {
+        "event_type": pa.array(["x"] * 20, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    }
+    sf = _dir(tmp_path, "tm", events=events)
+    df = value_trimmed_mean(sf).to_pandas()
+    # kept ranks 2..19: two 100c, fourteen 200c, two 900c
+    assert df.loc[0, "trim_n"] == 18
+    assert df.loc[0, "trim_sum_c"] == 2 * 100 + 14 * 200 + 2 * 900
+    assert df.loc[0, "trim_avg_c"] == df.loc[0, "trim_sum_c"] / 18
