@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": R.orders_cube,
         "event_value_delta": R.event_value_delta,
         "value_trimmed_mean": R.value_trimmed_mean,
+        "value_mad_by_type": R.value_mad_by_type,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "web_to_training": _web_to_training,
@@ -448,6 +449,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "value_mad_by_type": """
+            -- median absolute deviation per type on exact cents; DuckDB
+            -- MEDIAN interpolates halves/quarters, which are exact in
+            -- binary floating point
+            WITH c AS (
+                SELECT event_type,
+                       CAST(ROUND(value*100) AS BIGINT) AS v
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, MEDIAN(v) AS med
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, MEDIAN(ABS(c.v - m.med)) AS mad_c
+            FROM c JOIN m ON c.event_type = m.event_type
+            GROUP BY c.event_type
         """,
         "value_trimmed_mean": """
             -- robust 5%-two-sided trimmed mean per event type on exact

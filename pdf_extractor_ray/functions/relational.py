@@ -3410,3 +3410,98 @@ def value_trimmed_mean(sf_dir: str, pct: int = 5) -> rd.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("event_type").map_groups(trim, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# value_mad_by_type — MEDIAN ABSOLUTE DEVIATION per event type, the
+# classic robust dispersion statistic. Two histogram exchanges in the
+# value_p95_by_type plan: (1) per-type cents histogram -> exact median
+# carried as 2*median int (odd n: twice the middle; even: sum of the two
+# middles — interpolation without floats); (2) the medians broadcast in
+# the task closure, per-batch histograms of |2v - med2| -> exact median
+# of deviations the same way. The final double (mad_c) divides exact
+# ints by 4 — bit-identical to DuckDB's quantile_cont interpolation
+# because halves and quarters are exact in binary floating point.
+# -------------------------------------------------------------------------
+
+
+def _hist_median2(v: "object", cnt: "object") -> int:
+    """2*median of a sorted value histogram, exact (no floats)."""
+    import numpy as np
+
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    if n % 2:
+        m = int(v[np.searchsorted(cum, n // 2 + 1)])
+        return 2 * m
+    a = int(v[np.searchsorted(cum, n // 2)])
+    b = int(v[np.searchsorted(cum, n // 2 + 1)])
+    return a + b
+
+
+def value_mad_by_type(sf_dir: str) -> pa.Table:
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "c": cents(batch["value"]),
+                "cnt": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["event_type", "c"], aggs=[("cnt", "sum")])
+
+    def median2_of(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("c", "ascending")])
+        m2 = _hist_median2(
+            g["c"].to_numpy(zero_copy_only=False),
+            g["cnt"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
+                "med2": pa.array([m2], pa.int64()),
+            }
+        )
+
+    hists = ds.map_batches(partial, batch_format="pyarrow")
+    med_t = collect(
+        hists.groupby("event_type").map_groups(median2_of, batch_format="pyarrow")
+    )
+    med2 = dict(zip(med_t["event_type"].to_pylist(), med_t["med2"].to_pylist()))
+
+    def dev_partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        c = cents(batch["value"]).to_numpy(zero_copy_only=False)
+        m2 = np.array([med2[t] for t in et.to_pylist()], dtype=np.int64)
+        t = pa.table(
+            {
+                "event_type": et,
+                "d2": pa.array(np.abs(2 * c - m2), pa.int64()),
+                "cnt": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["event_type", "d2"], aggs=[("cnt", "sum")])
+
+    def mad_of(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("d2", "ascending")])
+        m4 = _hist_median2(
+            g["d2"].to_numpy(zero_copy_only=False),
+            g["cnt"].to_numpy(zero_copy_only=False),
+        )  # 2 * median-of-deviations, deviations in half-cents
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
+                "mad_c": pa.array([m4 / 4.0], pa.float64()),
+            }
+        )
+
+    out = collect(
+        ds.map_batches(dev_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(mad_of, batch_format="pyarrow")
+    )
+    return out.sort_by([("event_type", "ascending")])

@@ -347,3 +347,20 @@ def test_value_trimmed_mean_tie_at_cut(ray_session, tmp_path):
     assert df.loc[0, "trim_n"] == 18
     assert df.loc[0, "trim_sum_c"] == 2 * 100 + 14 * 200 + 2 * 900
     assert df.loc[0, "trim_avg_c"] == df.loc[0, "trim_sum_c"] / 18
+
+
+def test_value_mad_interpolation(ray_session, tmp_path):
+    """Even-count median interpolates (x.5 cents); MAD of [1,2,3,10] is
+    median(|v-2.5|) = median([1.5,0.5,0.5,7.5]) = 1.0 — halves and
+    quarters must come out exact."""
+    from pdf_extractor_ray.functions.relational import value_mad_by_type
+
+    events = {
+        "event_type": pa.array(["x"] * 4 + ["y"] * 3, pa.string()),
+        "value": pa.array([0.01, 0.02, 0.03, 0.10, 1.0, 2.0, 6.0], pa.float64()),
+    }
+    sf = _dir(tmp_path, "mad", events=events)
+    df = value_mad_by_type(sf).to_pandas().set_index("event_type")["mad_c"]
+    assert df["x"] == 1.0
+    # y: odd count, median 200c, deviations [100, 0, 400] -> MAD 100
+    assert df["y"] == 100.0
