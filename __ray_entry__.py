@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_delta": R.event_value_delta,
         "value_trimmed_mean": R.value_trimmed_mean,
         "value_mad_by_type": R.value_mad_by_type,
+        "pattern_users": R.pattern_users,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "web_to_training": _web_to_training,
@@ -449,6 +450,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "pattern_users": """
+            -- users with a CONTIGUOUS (view, click, purchase) run in
+            -- (ts, event_id) order — strict-adjacency pattern match
+            WITH s AS (
+                SELECT user_id, event_type,
+                       LAG(event_type, 1) OVER w AS p1,
+                       LAG(event_type, 2) OVER w AS p2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT DISTINCT user_id
+            FROM s
+            WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
         """,
         "value_mad_by_type": """
             -- median absolute deviation per type on exact cents; DuckDB

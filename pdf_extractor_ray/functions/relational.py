@@ -3505,3 +3505,54 @@ def value_mad_by_type(sf_dir: str) -> pa.Table:
         .map_groups(mad_of, batch_format="pyarrow")
     )
     return out.sort_by([("event_type", "ascending")])
+
+
+# -------------------------------------------------------------------------
+# pattern_users — sequence PATTERN MATCH (MATCH_RECOGNIZE-lite): users
+# whose event stream contains a CONTIGUOUS (view, click, purchase) run in
+# (ts, event_id) order — the strict-adjacency counterpart of the
+# first-touch funnel (funnel_counts allows gaps). One keyed exchange;
+# inside a bucket the triple test is three aligned vectorized comparisons
+# with run-boundary masking (a run can never span users), then a unique
+# over the matching rows' users.
+# -------------------------------------------------------------------------
+
+
+def pattern_users(
+    sf_dir: str, pattern: tuple = ("view", "click", "purchase")
+) -> rd.Dataset:
+    import numpy as np
+
+    from .agg import tag_partition
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = _raw_parts(sf_dir, "events")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["user_id"], n_parts)
+
+    a, b, c = pattern
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        if n < 3:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        hit = (
+            (et[2:] == c)
+            & (et[1:-1] == b)
+            & (et[:-2] == a)
+            & (u[2:] == u[1:-1])
+            & (u[1:-1] == u[:-2])
+        )
+        return pa.table({"user_id": pa.array(np.unique(u[2:][hit]), pa.int64())})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
