@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trimmed_mean": R.value_trimmed_mean,
         "value_mad_by_type": R.value_mad_by_type,
         "pattern_users": R.pattern_users,
+        "embedding_int_stats": S.embedding_int_stats,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "web_to_training": _web_to_training,
@@ -450,6 +451,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "embedding_int_stats": """
+            -- list-column parity: per vector, dims + exact sums of
+            -- milli-quantized components (quantize BEFORE summing, so no
+            -- float accumulation order can diverge)
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   CAST(COALESCE(list_aggregate(
+                       list_transform(embedding,
+                           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)),
+                       'sum'), 0) AS BIGINT) AS sum_milli,
+                   CAST(COALESCE(list_aggregate(
+                       list_transform(embedding,
+                           x -> ABS(CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT))),
+                       'sum'), 0) AS BIGINT) AS l1_milli
+            FROM embeddings
         """,
         "pattern_users": """
             -- users with a CONTIGUOUS (view, click, purchase) run in

@@ -791,3 +791,50 @@ def knn_classify(
             "pred_label": pa.array(out_l, pa.int32()),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# embedding_int_stats — LIST-column parity proof: per vector, dimension
+# count plus exact sum and L1 norm of the components quantized to
+# milli-units (ROUND(CAST(x AS DOUBLE)*1000), half-away — both sides
+# quantize BEFORE summing, so no float accumulation order can diverge).
+# Map-only and fully vectorized: list_flatten + reduceat over offsets;
+# the only exchange is the parquet read. This is the oracle-checked
+# anchor for the embeddings table (the ANN/near-dup ops are approximate
+# and rows-only by nature).
+# -------------------------------------------------------------------------
+
+
+def embedding_int_stats(sf_dir: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    from .agg import round_half_away
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        lengths = pc.list_value_length(emb).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(emb)
+        milli = round_half_away(
+            pc.multiply(pc.cast(flat, pa.float64()), pa.scalar(1000.0))
+        ).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        guard = np.concatenate([milli, [0]])
+        starts = np.minimum(offsets[:-1], len(milli))
+        sums = np.add.reduceat(guard, starts)[: len(lengths)]
+        l1 = np.add.reduceat(np.abs(guard), starts)[: len(lengths)]
+        empty = lengths == 0
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "n_dims": pa.array(lengths, pa.int64()),
+                "sum_milli": pa.array(np.where(empty, 0, sums), pa.int64()),
+                "l1_milli": pa.array(np.where(empty, 0, l1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
