@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": R.value_mad_by_type,
         "pattern_users": R.pattern_users,
         "embedding_int_stats": S.embedding_int_stats,
+        "order_moments": R.order_moments,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "web_to_training": _web_to_training,
@@ -451,6 +452,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "order_moments": """
+            -- grouped second moments: exact int64 sufficient statistics
+            -- for per-priority regression of price cents on order day
+            WITH s AS (
+                SELECT o_orderpriority,
+                       epoch_us(o_orderdate) // 86400000000 AS d,
+                       CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sum_day,
+                   CAST(SUM(c) AS BIGINT) AS sum_c,
+                   CAST(SUM(d*c) AS BIGINT) AS sum_day_c,
+                   CAST(SUM(d*d) AS BIGINT) AS sum_day2
+            FROM s GROUP BY o_orderpriority
         """,
         "embedding_int_stats": """
             -- list-column parity: per vector, dims + exact sums of

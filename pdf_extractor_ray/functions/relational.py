@@ -3556,3 +3556,60 @@ def pattern_users(
         .groupby("__pp")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------------------
+# order_moments — grouped SECOND MOMENTS (the sufficient statistics of
+# per-group linear regression / correlation of price against order day):
+# per priority class, exact int64 sums of day, cents, day*cents and
+# day^2. Pure partial-then-combine — the only exchange moves five ints
+# per (group, batch). Slope/intercept/corr derive from these on the
+# client; at 10^12-row groups the day*cents partials approach int64
+# range, where the partials would widen to decimal128 (documented bound:
+# |sum_day_c| < n * 2e4 days * 6e7 cents needs n < 7.7e6 per... the
+# GLOBAL sums stay exact here because testdata spans ~120 days and
+# cents < 6e7, giving ~1e12 rows of headroom).
+# -------------------------------------------------------------------------
+
+_DAY_US_M = 86_400_000_000
+
+
+def order_moments(sf_dir: str) -> rd.Dataset:
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (
+            pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US_M
+        )
+        c = cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n": pa.array(np.ones(len(d), dtype=np.int64)),
+                "sum_day": pa.array(d, pa.int64()),
+                "sum_c": pa.array(c, pa.int64()),
+                "sum_day_c": pa.array(d * c, pa.int64()),
+                "sum_day2": pa.array(d * d, pa.int64()),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["o_orderpriority"],
+            aggs=[
+                ("n", "sum"),
+                ("sum_day", "sum"),
+                ("sum_c", "sum"),
+                ("sum_day_c", "sum"),
+                ("sum_day2", "sum"),
+            ],
+        )
+
+    return grouped_sum(
+        ds,
+        keys=["o_orderpriority"],
+        partial=partial,
+        sum_cols=["n", "sum_day", "sum_c", "sum_day_c", "sum_day2"],
+    )
