@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_users": R.pattern_users,
         "embedding_int_stats": S.embedding_int_stats,
         "order_moments": R.order_moments,
+        "value_log_moments": R.value_log_moments,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "web_to_training": _web_to_training,
@@ -452,6 +453,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "value_log_moments": """
+            -- geometric-mean sufficient statistics: exact int64 sum of
+            -- floor(1e6*ln(cents)) over positive values per type
+            WITH s AS (
+                SELECT event_type,
+                       CAST(ROUND(value*100) AS BIGINT) AS c
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos,
+                   CAST(SUM(CAST(FLOOR(1000000 * LN(c)) AS BIGINT))
+                        AS BIGINT) AS log_sum_1e6
+            FROM s WHERE c > 0
+            GROUP BY event_type
         """,
         "order_moments": """
             -- grouped second moments: exact int64 sufficient statistics

@@ -3613,3 +3613,51 @@ def order_moments(sf_dir: str) -> rd.Dataset:
         partial=partial,
         sum_cols=["n", "sum_day", "sum_c", "sum_day_c", "sum_day2"],
     )
+
+
+# -------------------------------------------------------------------------
+# value_log_moments — grouped LOG moments (geometric-mean sufficient
+# statistics): per event type over positive cents, the count and the
+# exact int64 sum of floor(1e6 * ln(cents)) — the dsir_weights integer-ln
+# technique surfaced as a grouped aggregate. The exchange is the
+# (type, cents) histogram (distinct values on the wire); ln runs once per
+# DISTINCT value through libm (math.log — bit-identical to DuckDB's LN,
+# both call the platform libm on the same exactly-converted double),
+# never per row, then the sum is a vectorized cnt*logw dot product.
+# -------------------------------------------------------------------------
+
+
+def value_log_moments(sf_dir: str) -> rd.Dataset:
+    import math
+
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = cents(batch["value"])
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "c": c,
+                "cnt": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        ).filter(pc.greater(c, 0))
+        return partial_group_agg(t, keys=["event_type", "c"], aggs=[("cnt", "sum")])
+
+    def logsum(group: pa.Table) -> pa.Table:
+        v = group["c"].to_numpy(zero_copy_only=False)
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        logw = np.array(
+            [math.floor(1_000_000 * math.log(int(x))) for x in v], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "event_type": pa.array([group["event_type"][0].as_py()], pa.string()),
+                "n_pos": pa.array([int(cnt.sum())], pa.int64()),
+                "log_sum_1e6": pa.array([int((cnt * logw).sum())], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("event_type").map_groups(logsum, batch_format="pyarrow")
