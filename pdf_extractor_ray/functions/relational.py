@@ -2983,6 +2983,7 @@ def trade_components(sf_dir: str, min_qty: int = 50, max_iters: int = 64) -> pa.
         )
         return t.group_by(["side", "i"]).aggregate([("lab", "min")])
 
+    converged = False
     for _ in range(max_iters):
         ref = ray.put((lab_c, lab_s, custs, supps))
         parts = collect(
@@ -2991,6 +2992,7 @@ def trade_components(sf_dir: str, min_qty: int = 50, max_iters: int = 64) -> pa.
             )
         )
         if parts is None:
+            converged = True
             break
         side = parts["side"].to_numpy(zero_copy_only=False)
         i = parts["i"].to_numpy(zero_copy_only=False)
@@ -2999,8 +3001,16 @@ def trade_components(sf_dir: str, min_qty: int = 50, max_iters: int = 64) -> pa.
         np.minimum.at(new_c, i[side == 0], lab[side == 0])
         np.minimum.at(new_s, i[side == 1], lab[side == 1])
         if np.array_equal(new_c, lab_c) and np.array_equal(new_s, lab_s):
+            converged = True
             break
         lab_c, lab_s = new_c, new_s
+    if not converged:
+        # label propagation needs ~component-diameter rounds; a silently
+        # truncated fixpoint would return WRONG components
+        raise RuntimeError(
+            f"trade_components: no fixpoint after {max_iters} rounds "
+            "(graph diameter exceeds max_iters — raise it)"
+        )
 
     return pa.table(
         {
