@@ -59,7 +59,9 @@ def write_docs_ipc(ds: rd.Dataset, output_path: str) -> pa.Table:
             w.write_table(batch)
         data = sink.getvalue().to_pybytes()
         name = hashlib.md5(data).hexdigest()[:16]
-        tmp = os.path.join(output_path, f".part-{name}.tmp")
+        # pid-scoped tmp name: two tasks holding IDENTICAL blocks would
+        # otherwise interleave writes into one tmp file before the rename
+        tmp = os.path.join(output_path, f".part-{name}.{os.getpid()}.tmp")
         final = os.path.join(output_path, f"part-{name}.arrow")
         with open(tmp, "wb") as f:
             f.write(data)
