@@ -117,7 +117,10 @@ def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
     curation/packing exchange directly. Doc ids are the first 60 bits of
     md5(url) (the same deterministic keying shuffle_docs uses), so output
     rows join back to urls without carrying strings through the pack
-    exchange."""
+    exchange. Scale bound, stated: 60-bit ids pass the birthday bound to
+    ~10^8 docs; beyond that (the 10^12 target) production assigns
+    collision-free (input_shard << 40 | row_in_shard) ids at read time —
+    the id scheme, not the dataflow, is what changes."""
     import hashlib
 
     import pyarrow.compute as pc
