@@ -354,15 +354,84 @@ def dump_stream_stats(sf_dir: str, num_cpus: int) -> str:
     return out
 
 
+def bench_training_child(sf_dir: str, num_cpus: int) -> dict:
+    """One scaling-level measurement of the END-TO-END training
+    composition (pages -> extract -> curate -> pack)."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    corpus = ensure_corpus(sf_of(sf_dir))
+    r = bench_training(corpus)
+    ray.shutdown()
+    return r
+
+
+def run_scaling_training(
+    sf_dir: str, levels: tuple[int, int] = SCALING_LEVELS
+) -> dict:
+    """--scaling for the full training composition: same two-fresh-process
+    best-of-2 protocol as the extraction scaling run."""
+    sf = sf_of(sf_dir)
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    ensure_corpus(sf)
+    ray.shutdown()
+
+    results: dict[int, dict] = {}
+    for cpus in (*levels, *levels):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--_scale-child-training",
+             "--sf-dir", sf_dir, "--cpus", str(cpus)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"training-scaling child (cpus={cpus}) failed "
+                f"rc={proc.returncode}\n{proc.stderr[-2000:]}"
+            )
+        r = json.loads(json_lines[-1])
+        if cpus not in results or r["docs_per_s"] > results[cpus]["docs_per_s"]:
+            results[cpus] = r
+    lo, hi = levels
+    eff = results[hi]["docs_per_s"] / ((hi / lo) * results[lo]["docs_per_s"])
+    report = {
+        "metric": f"training-composition scaling {lo}->{hi} cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "levels": {str(k): v for k, v in results.items()},
+        "sf": sf,
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "SCALING.md"), "a") as f:
+        f.write(
+            f"\n- sf={sf} TRAINING COMPOSITION: {lo}cpu "
+            f"{results[lo]['docs_per_s']} docs/s, {hi}cpu "
+            f"{results[hi]['docs_per_s']} docs/s, efficiency={eff:.3f} "
+            f"(best-of-2 interleaved fresh processes)\n"
+        )
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-training", dest="scaling_training",
+                    action="store_true",
+                    help="scale the end-to-end training composition")
     ap.add_argument("--stats", action="store_true",
                     help="write the stream pipeline's ds.stats() to BENCH/")
     ap.add_argument("--levels", default=None, help="two comma-separated cpu counts for --scaling")
     ap.add_argument("--_scale-child", dest="scale_child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--_scale-child-training", dest="scale_child_training", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--_bench-inner", dest="bench_inner", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -374,8 +443,13 @@ def main() -> None:
         if len(levels) != 2 or levels[0] >= levels[1]:
             ap.error("--levels must be two increasing cpu counts, e.g. 4,16")
         print(json.dumps(run_scaling(args.sf_dir, levels)))
+    elif args.scaling_training:
+        levels = tuple(int(x) for x in args.levels.split(",")) if args.levels else SCALING_LEVELS
+        print(json.dumps(run_scaling_training(args.sf_dir, levels)))
     elif args.scale_child:
         print(json.dumps(bench_checkpoint_child(args.sf_dir, args.cpus)))
+    elif args.scale_child_training:
+        print(json.dumps(bench_training_child(args.sf_dir, args.cpus)))
     elif args.bench_inner:
         print(json.dumps(main_bench(args.sf_dir, args.cpus)))
     else:
