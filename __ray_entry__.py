@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_log_moments": R.value_log_moments,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
+        "validate_docs": T.validate_docs,
         "web_to_training": _web_to_training,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
@@ -453,6 +454,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "validate_docs": """
+            -- expectations-style data-quality rules with violation counts
+            SELECT 'null_text' AS rule,
+                   CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT)
+                       AS violations FROM documents
+            UNION ALL
+            SELECT 'bad_n_chars',
+                   CAST(COUNT(*) FILTER (WHERE n_chars != length(text))
+                        AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'unknown_lang',
+                   CAST(COUNT(*) FILTER (WHERE lang NOT IN
+                        ('de','en','es','fr','zh')) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'dup_doc_id', CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT doc_id FROM documents
+                GROUP BY doc_id HAVING COUNT(*) > 1
+            )
         """,
         "value_log_moments": """
             -- geometric-mean sufficient statistics: exact int64 sum of

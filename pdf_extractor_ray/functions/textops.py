@@ -3861,3 +3861,120 @@ def bpe_token_count(sf_dir: str, n_merges: int = 20) -> rd.Dataset:
     merges = list(zip(merges_t["left"].to_pylist(), merges_t["right"].to_pylist()))
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     return instance_stage(ds, _BpeCounter, merges=merges)
+
+
+# -------------------------------------------------------------------------
+# validate_docs — DATA-QUALITY VALIDATION (expectations-style): one row
+# per rule with its violation count over the documents table — the
+# ingest-gate check a production pipeline runs before curation. Three
+# row-local rules (null text, n_chars != length(text), lang outside the
+# allowed set) are vectorized per-batch partial sums (ONE tiny row per
+# batch crosses the wire); doc_id uniqueness needs a keyed exchange and
+# uses the standard two-phase count (per-batch arrow group_by partials,
+# bucketed combine, count of keys with total > 1 — key cardinality never
+# lands on the driver).
+# -------------------------------------------------------------------------
+
+_ALLOWED_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def validate_docs(sf_dir: str) -> pa.Table:
+    import numpy as np
+
+    from .agg import collect, grouped_sum, partial_group_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def row_rules(batch: pa.Table) -> pa.Table:
+        null_text = pc.sum(
+            pc.cast(pc.is_null(batch["text"]), pa.int64())
+        ).as_py() or 0
+        bad_n = pc.sum(
+            pc.cast(
+                pc.not_equal(
+                    pc.cast(batch["n_chars"], pa.int64()),
+                    pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        unknown = pc.sum(
+            pc.cast(
+                pc.invert(pc.is_in(batch["lang"], value_set=pa.array(_ALLOWED_LANGS))),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["null_text", "bad_n_chars", "unknown_lang"], pa.string()
+                ),
+                "violations": pa.array([null_text, bad_n, unknown], pa.int64()),
+            }
+        )
+
+    rules = collect(
+        grouped_sum(
+            ds.map_batches(row_rules, batch_format="pyarrow"),
+            keys=["rule"],
+            partial=lambda b: b,
+            sum_cols=["violations"],
+        )
+    )
+
+    def id_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["doc_id"], aggs=[("cnt", "sum")])
+
+    def dup_count(group: pa.Table) -> pa.Table:
+        g = group.select(["doc_id", "cnt"]).group_by(["doc_id"]).aggregate(
+            [("cnt", "sum")]
+        )
+        n_dup = int(
+            pc.sum(pc.cast(pc.greater(g["cnt_sum"], 1), pa.int64())).as_py() or 0
+        )
+        return pa.table(
+            {
+                "rule": pa.array(["dup_doc_id"], pa.string()),
+                "violations": pa.array([n_dup], pa.int64()),
+            }
+        )
+
+    from .agg import tag_partition
+
+    dups = collect(
+        ds.map_batches(id_partial, batch_format="pyarrow")
+        .map_batches(lambda b: tag_partition(b, ["doc_id"]), batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(dup_count, batch_format="pyarrow")
+    )
+    total_dups = int(pc.sum(dups["violations"]).as_py() or 0) if dups is not None else 0
+    out = pa.table(
+        {
+            "rule": pa.array(
+                ["null_text", "bad_n_chars", "unknown_lang", "dup_doc_id"],
+                pa.string(),
+            ),
+            "violations": pa.array(
+                [
+                    *(
+                        dict(
+                            zip(
+                                rules["rule"].to_pylist(),
+                                rules["violations"].to_pylist(),
+                            )
+                        ).get(r, 0)
+                        for r in ["null_text", "bad_n_chars", "unknown_lang"]
+                    ),
+                    total_dups,
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    return out

@@ -489,3 +489,24 @@ def test_bpe_token_count_planted(ray_session, tmp_path):
         .set_index("doc_id")["n_tokens_bpe"]
     )
     assert df.to_dict() == {0: 2, 1: 3, 2: 2, 3: 0}
+
+
+def test_validate_docs_planted_violations(ray_session, tmp_path):
+    """Each rule fires on its planted row: a null text, a wrong n_chars,
+    an unknown lang, and a duplicated doc_id."""
+    from pdf_extractor_ray.functions.textops import validate_docs
+
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        "text": pa.array(["ok", None, "abc", "x", "y"], pa.string()),
+        "lang": pa.array(["en", "de", "xx", "fr", "es"], pa.string()),
+        "n_chars": pa.array([2, 0, 99, 1, 1], pa.int64()),
+    }
+    sf = _docs_dir(tmp_path, rows)
+    df = validate_docs(sf).to_pandas().set_index("rule")["violations"]
+    assert df["null_text"] == 1
+    # doc 2's null text: length(NULL) is null -> n_chars != null is null,
+    # FILTER drops it; doc 3 has 99 != 3
+    assert df["bad_n_chars"] == 1
+    assert df["unknown_lang"] == 1
+    assert df["dup_doc_id"] == 1
