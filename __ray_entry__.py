@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int_stats": S.embedding_int_stats,
         "order_moments": R.order_moments,
         "value_log_moments": R.value_log_moments,
+        "events_dow_profile": R.events_dow_profile,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "validate_docs": T.validate_docs,
@@ -454,6 +455,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "events_dow_profile": """
+            -- counts per (type, ISO day-of-week); isodow (Mon=1) matches
+            -- arrow day_of_week (Mon=0) + 1
+            SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, dow
         """,
         "validate_docs": """
             -- expectations-style data-quality rules with violation counts

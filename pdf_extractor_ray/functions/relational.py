@@ -3671,3 +3671,33 @@ def value_log_moments(sf_dir: str) -> rd.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("event_type").map_groups(logsum, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
+# events_dow_profile — calendar profile: counts per (event type, ISO day
+# of week). Arrow's day_of_week (Monday=0) + 1 equals DuckDB's isodow
+# (Monday=1) — the dow-convention trap (DuckDB's plain dayofweek is
+# Sunday=0) pinned by the oracle. Standard partial-then-combine; the
+# exchange moves at most |types| x 7 rows per batch.
+# -------------------------------------------------------------------------
+
+
+def events_dow_profile(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "dow": pc.add(
+                    pc.cast(pc.day_of_week(batch["ts"]), pa.int64()),
+                    pa.scalar(1, pa.int64()),
+                ),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["event_type", "dow"], aggs=[("n", "sum")])
+
+    return grouped_sum(
+        ds, keys=["event_type", "dow"], partial=partial, sum_cols=["n"]
+    )
