@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_moments": R.order_moments,
         "value_log_moments": R.value_log_moments,
         "events_dow_profile": R.events_dow_profile,
+        "validate_refs": R.validate_refs,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "validate_docs": T.validate_docs,
@@ -455,6 +456,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path5
             FROM r WHERE rn <= 5 GROUP BY user_id
+        """,
+        "validate_refs": """
+            -- referential-integrity rules with orphan counts
+            SELECT 'orphan_order_cust' AS rule,
+                   CAST(COUNT(*) AS BIGINT) AS violations
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'orphan_lineitem_order', CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
         """,
         "events_dow_profile": """
             -- counts per (type, ISO day-of-week); isodow (Mon=1) matches

@@ -3701,3 +3701,77 @@ def events_dow_profile(sf_dir: str) -> rd.Dataset:
     return grouped_sum(
         ds, keys=["event_type", "dow"], partial=partial, sum_cols=["n"]
     )
+
+
+# -------------------------------------------------------------------------
+# validate_refs — referential-integrity validation (the cross-table
+# companion of textops.validate_docs): counts of orders whose customer
+# key has no customer row and lineitems whose order key has no order
+# row. Both checks broadcast the referenced key set (ray.put once, read
+# per task) and count misses with a vectorized is_in per batch — one
+# tiny partial row per batch on the wire. Above broadcast size the
+# check swaps to the bucketed anti-join exchange incremental_new_docs
+# already implements (same semantics, keys never on the driver); the
+# broadcast cut-over mirrors stages/dedup.py's documented limit.
+# -------------------------------------------------------------------------
+
+
+def validate_refs(sf_dir: str) -> pa.Table:
+    import numpy as np
+    import ray
+
+    from .agg import partial_group_agg
+
+    cust_keys = pc.cast(
+        collect(_read(sf_dir, "customer", ["c_custkey"]))["c_custkey"], pa.int64()
+    ).combine_chunks()
+    order_keys = pc.cast(
+        collect(_read(sf_dir, "orders", ["o_orderkey"]))["o_orderkey"], pa.int64()
+    ).combine_chunks()
+    cust_ref = ray.put(cust_keys)
+    order_ref = ray.put(order_keys)
+
+    def miss_counter(key_col: str, ref):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            miss = pc.sum(
+                pc.cast(
+                    pc.invert(
+                        pc.is_in(
+                            pc.cast(batch[key_col], pa.int64()), value_set=keys
+                        )
+                    ),
+                    pa.int64(),
+                )
+            ).as_py() or 0
+            return pa.table(
+                {
+                    "one": pa.array([0], pa.int64()),
+                    "violations": pa.array([miss], pa.int64()),
+                }
+            )
+
+        return f
+
+    def total(ds) -> int:
+        t = collect(ds)
+        return int(pc.sum(t["violations"]).as_py() or 0) if t is not None else 0
+
+    orphan_orders = total(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            miss_counter("o_custkey", cust_ref), batch_format="pyarrow"
+        )
+    )
+    orphan_li = total(
+        _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            miss_counter("l_orderkey", order_ref), batch_format="pyarrow"
+        )
+    )
+    return pa.table(
+        {
+            "rule": pa.array(
+                ["orphan_order_cust", "orphan_lineitem_order"], pa.string()
+            ),
+            "violations": pa.array([orphan_orders, orphan_li], pa.int64()),
+        }
+    )

@@ -510,3 +510,37 @@ def test_validate_docs_planted_violations(ray_session, tmp_path):
     assert df["bad_n_chars"] == 1
     assert df["unknown_lang"] == 1
     assert df["dup_doc_id"] == 1
+
+
+def test_validate_refs_planted_orphans(ray_session, tmp_path):
+    """Orphaned FK rows are counted exactly; intact rows are not."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.relational import validate_refs
+
+    d = tmp_path / "fk"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64())}),
+        str(d / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 2, 99], pa.int64()),  # 99 orphan
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 77, 88], pa.int64()),  # 2 orphans
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    df = validate_refs(str(d)).to_pandas().set_index("rule")["violations"]
+    assert df["orphan_order_cust"] == 1
+    assert df["orphan_lineitem_order"] == 2
