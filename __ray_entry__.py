@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_log_moments": R.value_log_moments,
         "events_dow_profile": R.events_dow_profile,
         "validate_refs": R.validate_refs,
+        "distinct_users_hll_by_type": R.distinct_users_hll_by_type,
         "train_bpe_merges": T.train_bpe_merges,
         "bpe_token_count": T.bpe_token_count,
         "validate_docs": T.validate_docs,

@@ -1348,26 +1348,44 @@ def _splitmix64(x: "np.ndarray") -> "np.ndarray":
     return z ^ (z >> np.uint64(31))
 
 
+def _hll_regs(values: "np.ndarray") -> "np.ndarray":
+    """HLL register array (uint8[_HLL_M]) of an int-valued sample."""
+    import numpy as np
+
+    h = _splitmix64(values.astype(np.uint64))
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = h << np.uint64(_HLL_P)
+    # rank = leading zeros of the remaining 64-p bits, +1 (cap 64-p+1)
+    nbits = 64 - _HLL_P
+    rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+    for b in range(1, nbits + 1):
+        mask = (rest >> np.uint64(64 - b)) & np.uint64(1)
+        hit = (mask == 1) & (rank == nbits + 1)
+        rank[hit] = b
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: "np.ndarray") -> int:
+    import numpy as np
+
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
 def distinct_users_hll(sf_dir: str) -> pa.Table:
     import numpy as np
 
     ds = _read(sf_dir, "events", ["user_id"])
 
     def sketch(batch: pa.Table) -> pa.Table:
-        h = _splitmix64(
-            batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        rest = h << np.uint64(_HLL_P)
-        # rank = leading zeros of the remaining 64-p bits, +1 (cap 64-p+1)
-        nbits = 64 - _HLL_P
-        rank = np.full(len(h), nbits + 1, dtype=np.uint8)
-        for b in range(1, nbits + 1):
-            mask = (rest >> np.uint64(64 - b)) & np.uint64(1)
-            hit = (mask == 1) & (rank == nbits + 1)
-            rank[hit] = b
-        regs = np.zeros(_HLL_M, dtype=np.uint8)
-        np.maximum.at(regs, idx, rank)
+        regs = _hll_regs(batch["user_id"].to_numpy(zero_copy_only=False))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
 
     parts = collect(ds.map_batches(sketch, batch_size=65536, batch_format="pyarrow"))
@@ -1375,14 +1393,51 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
     if parts is not None:
         for b in parts["regs"].to_pylist():
             regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
-    # standard HLL estimator with linear-counting small-range correction
-    m = float(_HLL_M)
-    alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    return pa.table({"distinct_users_est": pa.array([int(round(est))], pa.int64())})
+    return pa.table(
+        {"distinct_users_est": pa.array([_hll_estimate(regs)], pa.int64())}
+    )
+
+
+def distinct_users_hll_by_type(sf_dir: str) -> pa.Table:
+    """GROUPED HyperLogLog: per event type, the approximate distinct-user
+    count — the mergeable-sketch path beside events_by_type's exact
+    two-phase distinct. Each batch emits one 16 KiB register array per
+    type PRESENT in the batch (types are few; register partials stay
+    tiny), the driver max-merges per type. Rows-only (approximate);
+    pytest asserts <2.5% error vs exact per type."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        types, regs_out = [], []
+        for t in np.unique(et):
+            types.append(str(t))
+            regs_out.append(_hll_regs(uid[et == t]).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array(regs_out, pa.large_binary()),
+            }
+        )
+
+    parts = collect(ds.map_batches(sketch, batch_size=65536, batch_format="pyarrow"))
+    merged: dict[str, "np.ndarray"] = {}
+    if parts is not None:
+        for t, b in zip(parts["event_type"].to_pylist(), parts["regs"].to_pylist()):
+            r = np.frombuffer(b, dtype=np.uint8)
+            merged[t] = np.maximum(merged[t], r) if t in merged else r.copy()
+    keys = sorted(merged)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "distinct_users_est": pa.array(
+                [_hll_estimate(merged[k]) for k in keys], pa.int64()
+            ),
+        }
+    )
 
 
 # -------------------------------------------------------------------------
