@@ -469,7 +469,44 @@ def main() -> None:
                 if ln.startswith('{"metric"')
             ]
             if p.returncode == 0 and lines:
-                print(lines[-1])
+                full = json.loads(lines[-1])
+                # Full per-query record -> BENCH/RESULT.json (the r2 line at
+                # 127 stages outgrew the driver's 2 KB tail capture and
+                # graded as parsed=null); print a COMPACT final line with
+                # the headline pipelines + roll-up only.
+                bench_dir = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "BENCH"
+                )
+                os.makedirs(bench_dir, exist_ok=True)
+                with open(os.path.join(bench_dir, "RESULT.json"), "w") as f:
+                    json.dump(full, f, indent=1)
+                q = full["queries"]
+                headline = {
+                    k: q[k]
+                    for k in (
+                        "extract_corpus_stream",
+                        "extract_corpus_checkpoint",
+                        "corpus_to_training",
+                    )
+                    if k in q
+                }
+                compact = {
+                    "metric": full["metric"],
+                    "value": full["value"],
+                    "unit": full["unit"],
+                    "queries": headline,
+                    "sf": full["sf"],
+                    "num_cpus": full["num_cpus"],
+                    "extract": full["extract"],
+                    "extract_checkpoint": full["extract_checkpoint"],
+                    "corpus_training": full["corpus_training"],
+                    "n_queries": len(q),
+                    "queries_total_s": round(
+                        sum(v for k, v in q.items() if k not in headline), 3
+                    ),
+                    "full_record": "BENCH/RESULT.json",
+                }
+                print(json.dumps(compact))
                 return
             print(
                 f"bench child crashed (rc={p.returncode}, attempt {attempt})",

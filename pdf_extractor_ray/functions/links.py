@@ -168,26 +168,43 @@ def pagerank_edges(
     hg = hp.group_by(["host"]).aggregate([("outw_sum", "sum")])
     order = pc.sort_indices(hg, sort_keys=[("host", "ascending")])
     hg = hg.take(order)
-    hosts = hg["host"].to_pylist()
+    hosts = hg["host"].combine_chunks()
     outw = hg["outw_sum_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(hosts)
-    idx = {h: i for i, h in enumerate(hosts)}
     rank = np.full(n, 1.0 / n)
 
+    # pass 2 (distributed, ONCE): rewrite the string edge list to integer
+    # host ids with the vectorized arrow hash-probe (pc.index_in against
+    # the broadcast sorted host array) and materialize it — the 10-round
+    # hot loop below then never touches a string or a Python dict again
+    hosts_ref = ray.put(hosts)
+
+    def to_int_edges(batch: pa.Table) -> pa.Table:
+        ha = ray.get(hosts_ref)
+        return pa.table(
+            {
+                "s": pc.cast(
+                    pc.index_in(batch["src_host"], value_set=ha), pa.int64()
+                ),
+                "d": pc.cast(
+                    pc.index_in(batch["dst_host"], value_set=ha), pa.int64()
+                ),
+                "w": pc.cast(batch["n_links"], pa.float64()),
+            }
+        )
+
+    iedges = edges.map_batches(to_int_edges, batch_format="pyarrow").materialize()
+
     def contrib_partial(batch: pa.Table, share_ref) -> pa.Table:
-        # closure-captured ObjectRef: fetched from the local object store
-        # once per task (zero-copy for the numpy share vector)
-        share, index = ray.get(share_ref)
-        s = np.asarray(
-            [index[h] for h in batch["src_host"].to_pylist()], np.int64
-        )
-        d = np.asarray(
-            [index[h] for h in batch["dst_host"].to_pylist()], np.int64
-        )
-        w = batch["n_links"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # closure-captured ObjectRef: the share vector is fetched from the
+        # local object store once per task (zero-copy numpy); the batch is
+        # already integer ids, so this is one fancy-index + one multiply
+        share = ray.get(share_ref)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
         t = pa.table(
             {
-                "dst": pa.array(d),
+                "dst": batch["d"],
                 "contrib": pa.array(share[s] * w),
             }
         )
@@ -197,9 +214,9 @@ def pagerank_edges(
 
     for _ in range(iters):
         share = np.where(outw > 0, rank / np.maximum(outw, 1e-300), 0.0)
-        share_ref = ray.put((share, idx))  # broadcast once per iteration
+        share_ref = ray.put(share)  # broadcast once per iteration
         parts = collect(
-            edges.map_batches(
+            iedges.map_batches(
                 _ft.partial(contrib_partial, share_ref=share_ref),
                 batch_format="pyarrow",
             )
@@ -215,7 +232,7 @@ def pagerank_edges(
         rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
     return pa.table(
         {
-            "host": pa.array(hosts, pa.string()),
+            "host": hosts,
             "rank_ppm": pa.array(
                 np.round(rank * 1_000_000).astype(np.int64), pa.int64()
             ),

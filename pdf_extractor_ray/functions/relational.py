@@ -2982,8 +2982,15 @@ def trade_components(sf_dir: str, min_qty: int = 50, max_iters: int = 64) -> pa.
         ok = od["k"].to_numpy(zero_copy_only=False)
         oc = od["v"].to_numpy(zero_copy_only=False)
         lk = li["k"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ok, lk)
-        # orderkeys are unique; every lineitem's order is in this bucket
+        pos = np.minimum(np.searchsorted(ok, lk), max(len(ok) - 1, 0))
+        # orderkeys are unique and every lineitem's order hashes to this
+        # bucket — but an ORPHAN lineitem (l_orderkey absent from orders)
+        # would silently join to the wrong customer: fail loud instead
+        # (validate_refs exists to find such rows first)
+        if len(ok) == 0 or not np.array_equal(ok[pos], lk):
+            raise ValueError(
+                "trade_components: lineitem references missing orderkey"
+            )
         t = pa.table(
             {
                 "cust": pa.array(oc[pos], pa.int64()),
@@ -3536,6 +3543,13 @@ def value_mad_by_type(sf_dir: str) -> pa.Table:
     med_t = collect(
         hists.groupby("event_type").map_groups(median2_of, batch_format="pyarrow")
     )
+    if med_t is None:  # empty events table: no groups, empty result
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "mad_c": pa.array([], pa.float64()),
+            }
+        )
     med2 = dict(zip(med_t["event_type"].to_pylist(), med_t["med2"].to_pylist()))
 
     def dev_partial(batch: pa.Table) -> pa.Table:

@@ -340,11 +340,12 @@ class NearDupCoder:
         return out.append_column("bucket", pa.array(codes.reshape(-1)))
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
-    """Embedding-cosine near-dup pairs via multi-table LSH blocking: pairs
-    are only formed within a bucket (plus the exact-cosine verify), so the
-    all-pairs O(n^2) never materializes. Oracle: DuckDB self-join with
-    list_cosine_similarity (see __ray_entry__.oracle_sql)."""
+def _near_dup_pairs_ds(sf_dir: str, threshold: float = 0.95):
+    """Distributed VERIFIED near-dup pair Dataset (vec_a, vec_b, cosine);
+    a pair verified in k LSH tables appears k times with an identical
+    rounded cosine — callers that need the deduped driver table collect
+    via ``embedding_near_dup``; clustering consumes this directly (dup
+    edges are harmless to connected components)."""
     from .agg import instance_stage
 
     dim = _emb_dim(sf_dir)
@@ -400,9 +401,17 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
             }
         )
 
-    pairs = coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return coded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Embedding-cosine near-dup pairs via multi-table LSH blocking: pairs
+    are only formed within a bucket (plus the exact-cosine verify), so the
+    all-pairs O(n^2) never materializes. Oracle: DuckDB self-join with
+    list_cosine_similarity (see __ray_entry__.oracle_sql)."""
     import ray
 
+    pairs = _near_dup_pairs_ds(sf_dir, threshold=threshold)
     parts = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table(
@@ -427,37 +436,19 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
 
 
 def near_dup_groups(sf_dir: str, threshold: float = 0.95) -> pa.Table:
-    """Near-dup CLUSTERS: connected components over the verified
-    ``embedding_near_dup`` pair set, canonical representative = min vec_id.
-    The union-find runs over VERIFIED pairs only (the small set the pair
-    stage is contractually allowed to return to the driver) — the standard
-    last step that turns pairwise near-dup detection into a keep/drop
-    decision per document. Returns (vec_id, canon_id) for every vector in
-    some cluster; rows with vec_id == canon_id are the keepers."""
-    pairs = embedding_near_dup(sf_dir, threshold=threshold)
-    parent: dict[int, int] = {}
+    """Near-dup CLUSTERS: distributed connected components
+    (``cc.pair_components``, min-label propagation) over the verified
+    near-dup pair DATASET — the pair set stays distributed end-to-end; the
+    driver holds only the node-label vector. A pair verified in k LSH
+    tables appears k times in the edge stream, which is harmless to CC.
+    Returns (vec_id, canon_id) for every vector in some cluster, canonical
+    representative = min vec_id; rows with vec_id == canon_id are the
+    keepers."""
+    from .cc import pair_components
 
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist()):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:  # union by min id keeps the representative canonical
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    ids = sorted(parent)
-    return pa.table(
-        {
-            "vec_id": pa.array(ids, pa.int64()),
-            "canon_id": pa.array([find(i) for i in ids], pa.int64()),
-        }
+    pairs = _near_dup_pairs_ds(sf_dir, threshold=threshold)
+    return pair_components(
+        pairs, col_a="vec_a", col_b="vec_b", out_id="vec_id"
     )
 
 

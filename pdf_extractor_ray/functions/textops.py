@@ -2601,37 +2601,19 @@ def duplicate_ngram_coverage(sf_dir: str) -> rd.Dataset:
 
 
 def jaccard_dup_groups(sf_dir: str) -> pa.Table:
-    from .agg import collect
+    """Dup CLUSTERS over the verified Jaccard pair set: distributed
+    min-label-propagation connected components (``cc.pair_components``) —
+    the pair Dataset never lands on the driver; the driver holds only the
+    node-label vector (see cc.py for the stated cardinality assumption).
+    Output identical to the former driver union-find: canonical
+    representative = min doc_id per component."""
+    from .cc import pair_components
 
-    res = ngram_jaccard_pairs(sf_dir)
-    pairs = res if isinstance(res, pa.Table) else collect(res)
-    if pairs is None:
-        pairs = pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    parent: dict[int, int] = {}
-
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:  # union by min id keeps the representative canonical
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    ids = sorted(parent)
-    return pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "canon_id": pa.array([find(i) for i in ids], pa.int64()),
-        }
+    pairs = ngram_jaccard_pairs(sf_dir)
+    if isinstance(pairs, rd.Dataset):
+        pairs = pairs.select_columns(["doc_a", "doc_b"])
+    return pair_components(
+        pairs, col_a="doc_a", col_b="doc_b", out_id="doc_id"
     )
 
 
@@ -3568,19 +3550,27 @@ def nb_lang_classify(sf_dir: str, vocab_size: int = 1000) -> rd.Dataset:
     ).materialize()
 
     # vocab: top-V terms by TOTAL count — second (vocab-sized) exchange
-    def term_partial(batch: pa.Table) -> pa.Table:
-        return partial_group_agg(
-            batch.select(["term", "c"]), keys=["term"], aggs=[("c", "sum")]
+    if counts.count() == 0:
+        # zero tokens corpus-wide (empty or all-empty-text table): skip the
+        # vocab exchange — scoring degenerates to priors only
+        vocab = pa.table(
+            {"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
         )
+    else:
 
-    term_tot = grouped_sum(
-        counts, keys=["term"], partial=term_partial, sum_cols=["c"]
-    )
-    vocab = topk(
-        term_tot,
-        k=vocab_size,
-        sort_keys=[("c", "descending"), ("term", "ascending")],
-    )
+        def term_partial(batch: pa.Table) -> pa.Table:
+            return partial_group_agg(
+                batch.select(["term", "c"]), keys=["term"], aggs=[("c", "sum")]
+            )
+
+        term_tot = grouped_sum(
+            counts, keys=["term"], partial=term_partial, sum_cols=["c"]
+        )
+        vocab = topk(
+            term_tot,
+            k=vocab_size,
+            sort_keys=[("c", "descending"), ("term", "ascending")],
+        )
     vocab_terms = vocab["term"].combine_chunks()
 
     # class priors (doc counts) — per-batch partials, driver-combined
@@ -3595,6 +3585,16 @@ def nb_lang_classify(sf_dir: str, vocab_size: int = 1000) -> rd.Dataset:
         )
 
     pri = collect(ds.map_batches(prior_partial, batch_format="pyarrow"))
+    if pri is None:  # empty documents table: no classes, empty predictions
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "pred_lang": pa.array([], pa.string()),
+                }
+            )
+        )
     pri = pri.group_by(["lang"]).aggregate([("n", "sum")])
     classes = sorted(pri["lang"].to_pylist())
     n_docs_by = dict(zip(pri["lang"].to_pylist(), pri["n_sum"].to_pylist()))
@@ -3921,6 +3921,13 @@ def validate_docs(sf_dir: str) -> pa.Table:
             sum_cols=["violations"],
         )
     )
+    if rules is None:  # empty documents table: zero violations everywhere
+        rules = pa.table(
+            {
+                "rule": pa.array([], pa.string()),
+                "violations": pa.array([], pa.int64()),
+            }
+        )
 
     def id_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(

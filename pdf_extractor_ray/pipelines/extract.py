@@ -76,12 +76,22 @@ def extracted_dataset(
     emit_pages: bool = False,
     skip_partitions: frozenset[int] | None = None,
     skew_threshold_bytes: int | None = None,
+    assign_doc_ids: bool = False,
 ) -> rd.Dataset:
-    """Lazy streaming Dataset of extracted rows (mode=stream core)."""
+    """Lazy streaming Dataset of extracted rows (mode=stream core).
+    ``assign_doc_ids``: carry the collision-free read-time
+    ``(shard << 40) | row`` id through extraction (training compositions)."""
     dup_index = build_dup_index(input_path) if dedup else None
     # equal-timestamp ties need row provenance so the filter can pick the
     # ONE global winner (win_file match); otherwise skip the path column
-    ds = read_pages(input_path, include_paths=index_has_ties(dup_index))
+    if assign_doc_ids:
+        from ..sources.pages import read_pages_with_ids
+
+        ds = read_pages_with_ids(
+            input_path, include_paths=index_has_ties(dup_index)
+        )
+    else:
+        ds = read_pages(input_path, include_paths=index_has_ties(dup_index))
     # ONE fused TASK stage (sniff + dedup-filter + extract): payload blocks
     # hop the object store exactly once; the staged pipeline measured 2.2x
     # slower at 32 CPUs (see stages/extract.py FusedExtractor). Tasks, not
@@ -166,15 +176,26 @@ def process_partition(
     emit_links: bool = False,
     batch_size: int = 64,
     skew_threshold_bytes: int | None = None,
+    shard_base: int | None = None,
 ) -> pa.Table:
     """One checkpoint partition end-to-end; returns a one-row metrics table
     (the reference's per-job latency/cost instrumentation,
-    ``backend/src/tasks.py:265-282``)."""
+    ``backend/src/tasks.py:265-282``). ``shard_base``: global index of
+    ``files[0]`` in the sorted shard list — when given, each row gets the
+    collision-free read-time id ``(shard_index << 40) | row_in_shard``
+    (identical to stream mode's read_pages_with_ids assignment)."""
     t0 = time.perf_counter()
     need_paths = index_has_ties(dup_index)
     tabs = []
-    for f in files:
+    for j, f in enumerate(files):
         t = pq.read_table(f, columns=READ_COLUMNS)
+        if shard_base is not None:
+            import numpy as _np
+
+            ids = ((shard_base + j) << 40) + _np.arange(
+                t.num_rows, dtype=_np.int64
+            )
+            t = t.append_column("doc_id", pa.array(ids, pa.int64()))
         if need_paths:
             t = t.append_column(
                 "path", pa.array([f] * t.num_rows, pa.string())
@@ -267,22 +288,32 @@ def process_partition(
 def _explode_pages(out: pa.Table) -> pa.Table:
     """extracted (with pages list col) -> one row per (url, page_number) —
     the reference's DocumentPageContent long table
-    (``backend/src/models/database.py:61-73``, 1-based pages)."""
-    urls: list[str] = []
-    page_numbers: list[int] = []
-    page_texts: list[str] = []
-    url_col = out["url"].to_pylist()
-    pages_col = out["pages"].to_pylist()
-    for u, pages in zip(url_col, pages_col):
-        for i, p in enumerate(pages or [], start=1):
-            urls.append(u)
-            page_numbers.append(i)
-            page_texts.append(p)
+    (``backend/src/models/database.py:61-73``, 1-based pages). Vectorized:
+    ``list_flatten`` + ``list_parent_indices`` + a repeat-offset arange for
+    the 1-based page number — no per-row Python (this runs on every
+    checkpoint partition with ``emit_pages=True``, the default)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    pages = out["pages"].combine_chunks()
+    flat = pc.list_flatten(pages)  # skips null/empty lists, keeps elements
+    parent = pc.list_parent_indices(pages)
+    counts = (
+        pc.fill_null(pc.list_value_length(pages), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    starts = np.cumsum(counts) - counts  # flat start offset per source row
+    page_numbers = (
+        np.arange(int(counts.sum()), dtype=np.int64)
+        - np.repeat(starts, counts)
+        + 1
+    )
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "page_number": pa.array(page_numbers, pa.int32()),
-            "page_text": pa.array(page_texts, pa.large_string()),
+            "url": pc.take(out["url"], parent),
+            "page_number": pa.array(page_numbers.astype(np.int32), pa.int32()),
+            "page_text": pc.cast(flat, pa.large_string()),
         }
     )
 
@@ -297,6 +328,7 @@ def run_checkpoint(
     emit_links: bool = False,
     dedup: bool = True,
     skew_threshold_bytes: int | None = None,
+    assign_doc_ids: bool = False,
 ) -> pa.Table:
     """Resumable run; returns the per-partition metrics table."""
     import ray
@@ -330,11 +362,17 @@ def run_checkpoint(
     worker = ray.remote(
         num_cpus=1, max_retries=budget, retry_exceptions=False
     )(process_partition)
+    bases: list[int] = []
+    off = 0
+    for g in groups:  # global shard index of each group's first file
+        bases.append(off)
+        off += len(g)
     futures = [
         worker.remote(
             pid, files, output_dir, dup_ref, emit_pages=emit_pages,
             emit_links=emit_links,
             skew_threshold_bytes=skew_threshold_bytes,
+            shard_base=bases[pid] if assign_doc_ids else None,
         )
         for pid, files in enumerate(groups)
         if pid not in skip

@@ -94,10 +94,13 @@ def web_to_training(sf_dir: str, *, budget: int = 512) -> rd.Dataset:
 
     def to_docs(batch: pa.Table) -> pa.Table:
         ok = batch.filter(pc.equal(batch["status"], "ok"))
+        # slice to END of string (ids longer than the zero-padded 8 digits
+        # must not silently truncate into a colliding id)
         doc_id = pc.cast(
-            pc.utf8_slice_codeunits(ok["url"], prefix_len, prefix_len + 8),
-            pa.int64(),
+            pc.utf8_slice_codeunits(ok["url"], prefix_len), pa.int64()
         )
+        if doc_id.null_count:
+            raise ValueError("web_to_training: non-numeric doc id in url")
         return pa.table(
             {
                 "doc_id": doc_id,
@@ -114,15 +117,13 @@ def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
     """web_to_training over a REAL pages corpus directory (url, warc_ts,
     html shards — the Common-Crawl-shaped input of the flagship): the
     streaming extractor (sniff -> dedup filter -> extract) feeds the
-    curation/packing exchange directly. Doc ids are the first 60 bits of
-    md5(url) (the same deterministic keying shuffle_docs uses), so output
-    rows join back to urls without carrying strings through the pack
-    exchange. Scale bound, stated: 60-bit ids pass the birthday bound to
-    ~10^8 docs; beyond that (the 10^12 target) production assigns
-    collision-free (input_shard << 40 | row_in_shard) ids at read time —
-    the id scheme, not the dataflow, is what changes."""
-    import hashlib
-
+    curation/packing exchange directly. Doc ids are the collision-free
+    read-time ids ``(input_shard << 40) | row_in_shard``
+    (sources/pages.read_pages_with_ids) carried through extraction — no
+    birthday bound at any corpus size, no per-row hashing anywhere in the
+    composition; output rows join back to (shard, row) positions, and
+    checkpointed_training assigns the identical ids so the two modes stay
+    row-identical."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -138,17 +139,14 @@ def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
         n_partitions=max(64, 4 * cpus),
         batch_size=128,
         concurrency=max(2, cpus - 2),
+        assign_doc_ids=True,
     )
 
     def to_docs(batch: pa.Table) -> pa.Table:
         ok = batch.filter(pc.equal(batch["status"], "ok"))
-        ids = [
-            int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
-            for u in ok["url"].to_pylist()
-        ]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": ok["doc_id"],
                 "text": pc.cast(ok["extracted_text"], pa.string()),
             }
         )
@@ -182,20 +180,15 @@ def checkpointed_training(
         n_partitions=n_partitions,
         resume=True,
         emit_pages=False,
+        assign_doc_ids=True,
     )
     extracted = read_extracted(workdir)
 
     def to_docs(batch: pa.Table) -> pa.Table:
-        import hashlib
-
         ok = batch.filter(pc.equal(batch["status"], "ok"))
-        ids = [
-            int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
-            for u in ok["url"].to_pylist()
-        ]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": ok["doc_id"],
                 "text": pc.cast(ok["extracted_text"], pa.string()),
             }
         )

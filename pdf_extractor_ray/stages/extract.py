@@ -128,6 +128,9 @@ def extract_batch(
         if has_pid
         else pa.nulls(n, pa.int32()),
     }
+    if "doc_id" in batch.column_names:
+        # read-time id (sources/pages.read_pages_with_ids) rides through
+        cols["doc_id"] = batch["doc_id"]
     if emit_pages:
         cols["pages"] = pa.array(pages_col, pa.large_list(pa.large_string()))
     return pa.table(cols)

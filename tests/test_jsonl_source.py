@@ -148,8 +148,8 @@ def test_pages_jsonl_malformed_base64_yields_null(ray_session, tmp_path):
 
 def test_ipc_roundtrip(ray_session, tmp_path):
     """documents -> IPC sink -> IPC source reproduces the table exactly;
-    the manifest accounts for every row; re-running the sink is
-    idempotent (content-hash filenames)."""
+    the manifest accounts for every row; re-running the sink converges
+    the directory to the new run's manifest (no stale part files)."""
     import pandas as pd
     import ray.data as rd
 
@@ -159,11 +159,53 @@ def test_ipc_roundtrip(ray_session, tmp_path):
     out = str(tmp_path / "ipc")
     manifest = write_docs_ipc(src, out)
     assert manifest["rows"].to_pandas().sum() == src.count()
-    files_before = sorted((tmp_path / "ipc").glob("part-*.arrow"))
-    # idempotent re-run: same content hashes, no new files
-    write_docs_ipc(rd.read_parquet("/root/testdata/sf0.001/documents.parquet"), out)
-    assert sorted((tmp_path / "ipc").glob("part-*.arrow")) == files_before
+    # idempotent re-run at the DIRECTORY level: the committed manifest
+    # names exactly the part files on disk, stale ones are pruned
+    m2 = write_docs_ipc(rd.read_parquet("/root/testdata/sf0.001/documents.parquet"), out)
+    on_disk = {str(p) for p in (tmp_path / "ipc").glob("part-*.arrow")}
+    assert on_disk == set(m2["file"].to_pylist())
+    assert m2["rows"].to_pandas().sum() == src.count()
 
     back = read_docs_ipc(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     orig = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back[sorted(back.columns)], orig[sorted(orig.columns)])
+
+
+def test_ipc_identical_blocks_preserved(ray_session, tmp_path):
+    """Two DISTINCT blocks with byte-identical contents must both survive
+    egress (row multiset preserved — the r2 ADVICE finding: content-hash-
+    only names silently collapsed them)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_extractor_ray.sources.ipc import read_docs_ipc, write_docs_ipc
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a", "b"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([1, 1], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).union(rd.from_arrow(t))  # 2 byte-identical blocks
+    out = str(tmp_path / "dup")
+    manifest = write_docs_ipc(ds, out)
+    assert manifest.num_rows == 2
+    assert len(set(manifest["file"].to_pylist())) == 2
+    back = read_docs_ipc(out).to_pandas()
+    assert len(back) == 4
+    assert sorted(back["doc_id"].tolist()) == [1, 1, 2, 2]
+
+
+def test_ipc_empty_dir_reads_empty(ray_session, tmp_path):
+    """Empty egress directory -> empty canonical-schema dataset (was: crash
+    in read_binary_files on an empty path list)."""
+    from pdf_extractor_ray.sources.ipc import read_docs_ipc
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    ds = read_docs_ipc(str(empty))
+    assert ds.count() == 0
+    assert "doc_id" in ds.schema().names
