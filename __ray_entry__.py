@@ -1200,6 +1200,61 @@ def oracle_sql() -> dict[str, str]:
                        AS seq_id
             FROM tok
         """,
+        "web_to_training": """
+            -- END-TO-END: synthesized page -> HTML extraction -> quality
+            -- gate -> exact dedup -> md5-order shuffle -> packing. The
+            -- page template is deterministic (webpages.docs_to_pages), so
+            -- the extracted text is expressible from documents.text: the
+            -- title block 'doc' + each newline-separated paragraph
+            -- whitespace-collapsed/trimmed, non-empty ones joined by
+            -- blank lines. Rest = the prepare_training oracle over that.
+            WITH ext AS (
+                SELECT doc_id,
+                       'doc' || chr(10) || chr(10) || array_to_string(
+                           list_filter(
+                               list_transform(
+                                   regexp_split_to_array(text, chr(10)),
+                                   p -> trim(regexp_replace(p,
+                                        '[ ' || chr(9) || chr(13) || ']+',
+                                        ' ', 'g'))
+                               ), p -> p <> ''), chr(10) || chr(10)) AS text
+                FROM documents
+            ),
+            kept AS (
+                SELECT doc_id, text, md5(text) AS k FROM ext
+                WHERE LENGTH(text) BETWEEN 100 AND 20000
+                  AND (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 100
+                      >= 5 * LENGTH(text)
+                  AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 100
+                      <= 20 * LENGTH(text)
+            ),
+            win AS (
+                SELECT k, MIN(doc_id) AS doc_id FROM kept GROUP BY k
+            ),
+            tok AS (
+                SELECT w.doc_id, w.k,
+                       CASE WHEN trim(d.text, ' ' || chr(9) || chr(10)
+                                       || chr(13) || chr(12) || chr(11)) = ''
+                            THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 trim(d.text, ' ' || chr(9) || chr(10)
+                                      || chr(13) || chr(12) || chr(11)),
+                                 '[ ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11) || ']+'))
+                       END AS n_tokens
+                FROM win w JOIN kept d ON w.doc_id = d.doc_id
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1
+                        AS BIGINT) AS pos,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY k, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) // 512 AS BIGINT)
+                       AS seq_id
+            FROM tok
+        """,
         "mix_epochs": """
             -- repetition mixing at 0.5x/1x/2.5x: doc appears in epoch e
             -- iff h32*den < 2^32*(num - e*den) (covers full epochs and the
