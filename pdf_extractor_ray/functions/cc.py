@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 _CC_NODE_BUCKETS = 256
+_LOCAL_EDGE_LIMIT = 2_000_000  # see links._LOCAL_EDGE_LIMIT — same rationale
 
 
 def pair_components(
@@ -119,6 +120,31 @@ def pair_components(
     )
     nodes = np.sort(nodes_t["id"].to_numpy(zero_copy_only=False))
     labels = nodes.copy()  # each node starts labeled by its own id
+
+    if n_edges <= _LOCAL_EDGE_LIMIT:
+        # small pair set: the deduped integer edge list fits the driver
+        # comfortably (~16 bytes/edge) — run the min-label rounds locally
+        # in pure numpy instead of paying a Ray stage launch per round.
+        # Identical fixpoint; the distributed path below is the scale
+        # route past the threshold.
+        et = collect(edges)
+        ia = np.searchsorted(nodes, et["a"].to_numpy(zero_copy_only=False))
+        ib = np.searchsorted(nodes, et["b"].to_numpy(zero_copy_only=False))
+        for _ in range(max_iters):
+            new = labels.copy()
+            np.minimum.at(new, ia, labels[ib])
+            np.minimum.at(new, ib, labels[ia])
+            if np.array_equal(new, labels):
+                return pa.table(
+                    {
+                        out_id: pa.array(nodes, pa.int64()),
+                        out_canon: pa.array(labels, pa.int64()),
+                    }
+                )
+            labels = new
+        raise RuntimeError(
+            f"pair_components did not converge in {max_iters} rounds"
+        )
 
     def min_partial(batch: pa.Table, ref) -> pa.Table:
         nd, lab = ray.get(ref)

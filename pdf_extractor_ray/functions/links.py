@@ -25,6 +25,11 @@ from ..kernels.sniff import sniff_bytes
 from ..pipelines.webpages import docs_to_pages
 from .agg import grouped_sum, partial_group_agg
 
+# below this many (deduped, integer-id) edges, iterative ops run their
+# rounds driver-local over the collected edge list — ~24 bytes/edge, so the
+# cap is ~50 MB; past it the broadcast-round distributed path takes over
+_LOCAL_EDGE_LIMIT = 2_000_000
+
 
 def _pages(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(
@@ -194,6 +199,30 @@ def pagerank_edges(
         )
 
     iedges = edges.map_batches(to_int_edges, batch_format="pyarrow").materialize()
+
+    if n_edges <= _LOCAL_EDGE_LIMIT:
+        # small graph: the integer edge list fits the driver comfortably —
+        # iterate locally (pure numpy) instead of paying ~10 Ray stage
+        # launches on near-empty tasks. Identical math; the distributed
+        # path below is the scale route and kicks in past the threshold.
+        et = collect(iedges)
+        s = et["s"].to_numpy(zero_copy_only=False)
+        d = et["d"].to_numpy(zero_copy_only=False)
+        w = et["w"].to_numpy(zero_copy_only=False)
+        for _ in range(iters):
+            share = np.where(outw > 0, rank / np.maximum(outw, 1e-300), 0.0)
+            contrib = np.zeros(n)
+            np.add.at(contrib, d, share[s] * w)
+            dangling = float(rank[outw == 0].sum())
+            rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+        return pa.table(
+            {
+                "host": hosts,
+                "rank_ppm": pa.array(
+                    np.round(rank * 1_000_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
 
     def contrib_partial(batch: pa.Table, share_ref) -> pa.Table:
         # closure-captured ObjectRef: the share vector is fetched from the
