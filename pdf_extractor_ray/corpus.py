@@ -213,15 +213,19 @@ def _pdf_str(s: str) -> bytes:
     return b"(" + s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1") + b")"
 
 
-def build_pdf(rng: random.Random, n_pages: int, flate: bool) -> bytes:
-    """Standard single-xref PDF; page/content object numbers deliberately
-    interleaved out of document order (SURVEY FIXTURES 'out-of-order object
-    numbering')."""
+def _pdf_objects(
+    rng: random.Random, n_pages: int, flate: bool
+) -> tuple[dict[int, bytes], set[int]]:
+    """The shared logical document of build_pdf / build_pdf15: object map +
+    the set of object numbers that carry streams (content objects). The
+    rng call sequence is part of build_pdf's byte-determinism contract —
+    do not reorder."""
     contents = [_page_content(rng) for _ in range(n_pages)]
     # object numbering: 1=catalog, 2=pages, font=3, then per page (content, page)
     font_num = 3
     page_nums = []
     objs: dict[int, bytes] = {}
+    stream_nums: set[int] = set()
     next_num = 4
     for i, content in enumerate(contents):
         c_num, p_num = next_num, next_num + 1
@@ -234,6 +238,7 @@ def build_pdf(rng: random.Random, n_pages: int, flate: bool) -> bytes:
             b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n"
             + data + b"\nendstream"
         )
+        stream_nums.add(c_num)
         objs[p_num] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents "
             + str(c_num).encode() + b" 0 R /Resources << /Font << /F1 "
@@ -246,6 +251,14 @@ def build_pdf(rng: random.Random, n_pages: int, flate: bool) -> bytes:
         b"<< /Type /Pages /Kids [" + kids + b"] /Count " + str(n_pages).encode() + b" >>"
     )
     objs[font_num] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    return objs, stream_nums
+
+
+def build_pdf(rng: random.Random, n_pages: int, flate: bool) -> bytes:
+    """Standard single-xref PDF; page/content object numbers deliberately
+    interleaved out of document order (SURVEY FIXTURES 'out-of-order object
+    numbering')."""
+    objs, _ = _pdf_objects(rng, n_pages, flate)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -262,6 +275,80 @@ def build_pdf(rng: random.Random, n_pages: int, flate: bool) -> bytes:
         b"trailer\n<< /Size " + str(n_obj).encode() + b" /Root 1 0 R >>\n"
         b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def build_pdf15(rng: random.Random, n_pages: int, flate: bool) -> bytes:
+    """The SAME logical document as ``build_pdf`` (same rng consumption, so
+    equal seeds give equal page text) re-encoded in PDF 1.5+ layout: every
+    non-stream object (catalog, page tree, page dicts, font) lives inside a
+    FlateDecode ``/Type /ObjStm`` compressed object stream; the
+    cross-reference is a binary ``/Type /XRef`` STREAM (W [1 4 2], type-1
+    entries for top-level objects, type-2 for compressed members) carrying
+    /Root in its dict — there is NO classic xref table and NO ``trailer``
+    keyword anywhere in the file. Content streams stay top-level (the spec
+    forbids streams inside an ObjStm)."""
+    objs, stream_nums = _pdf_objects(rng, n_pages, flate)
+    members = sorted(n for n in objs if n not in stream_nums)
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + 1
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(stream_nums):
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+
+    # --- the ObjStm container: "num off num off ...\n" header + bodies ---
+    bodies = [objs[n] for n in members]
+    offs: list[int] = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1  # single-space separator between members
+    header = (
+        b" ".join(
+            str(n).encode() + b" " + str(o).encode()
+            for n, o in zip(members, offs)
+        )
+        + b"\n"
+    )
+    payload = header + b" ".join(bodies)
+    first = len(header)
+    zdata = zlib.compress(payload)
+    offsets[objstm_num] = len(out)
+    out += (
+        str(objstm_num).encode() + b" 0 obj\n<< /Type /ObjStm /N "
+        + str(len(members)).encode() + b" /First " + str(first).encode()
+        + b" /Length " + str(len(zdata)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + zdata + b"\nendstream\nendobj\n"
+    )
+
+    # --- the XRef stream: W [1 4 2] binary entries for 0..xref_num ---
+    member_idx = {n: i for i, n in enumerate(members)}
+    xref_pos = len(out)
+    offsets[xref_num] = xref_pos
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in member_idx:
+            rows += (
+                b"\x02"
+                + objstm_num.to_bytes(4, "big")
+                + member_idx[num].to_bytes(2, "big")
+            )
+        else:
+            rows += b"\x01" + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    zrows = zlib.compress(bytes(rows))
+    out += (
+        str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
+        + str(size).encode() + b" /Root 1 0 R /W [1 4 2] /Index [0 "
+        + str(size).encode() + b"] /Length " + str(len(zrows)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + zrows + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     return bytes(out)
 
 
@@ -312,6 +399,18 @@ def _row_class(rng: random.Random) -> str:
     return "unknown"
 
 
+_PDF15_RATE = 0.25  # fraction of pdf rows written in PDF 1.5+ layout
+
+
+def _pdf_writer(rng: random.Random):
+    """25% of pdf rows use the PDF 1.5+ encoding (xref STREAM + compressed
+    /ObjStm object stream — the post-2005 real-world layout) so the golden
+    byte-identity corpus exercises both cross-reference formats end-to-end;
+    both writers consume the rng identically, so the page TEXT of a row is
+    the same under either encoding."""
+    return build_pdf15 if rng.random() < _PDF15_RATE else build_pdf
+
+
 def _payload(cls: str, rng: random.Random) -> bytes:
     if cls == "html_article":
         return _html_article(rng)
@@ -320,11 +419,14 @@ def _payload(cls: str, rng: random.Random) -> bytes:
     if cls == "html_malformed":
         return _html_malformed(rng)
     if cls == "pdf_simple":
-        return build_pdf(rng, rng.randint(1, 5), flate=False)
+        n, w = rng.randint(1, 5), _pdf_writer(rng)
+        return w(rng, n, flate=False)
     if cls == "pdf_flate":
-        return build_pdf(rng, rng.randint(1, 5), flate=True)
+        n, w = rng.randint(1, 5), _pdf_writer(rng)
+        return w(rng, n, flate=True)
     if cls == "pdf_big":
-        return build_pdf(rng, rng.randint(50, 200), flate=True)
+        n, w = rng.randint(50, 200), _pdf_writer(rng)
+        return w(rng, n, flate=True)
     if cls == "pdf_corrupt":
         return _pdf_corrupt(rng)
     if cls == "empty":

@@ -11,11 +11,15 @@ reading-order *sort-lines-then-join* semantic of the Mathpix parser
 (``mathpix_extractor.py:121-131``), generalized here to geometric y/x
 sorting of lines and blocks.
 
-Scope (SURVEY.md §7.0): classic xref PDFs with text operators
-``BT/ET Tf Td TD TL T* Tm Tj TJ ' "``, literal + hex strings, raw or
-FlateDecode content streams. No encryption, no CID fonts, no object
-streams. Anything else fails *gracefully* to ``status='error'`` — the
-reference's swallow-error pattern (``pypdf2_extractor.py:41-48``).
+Scope (SURVEY.md §7.0): classic-xref AND PDF 1.5+ cross-reference-stream
+files, with text operators ``BT/ET Tf Td TD TL T* Tm Tj TJ ' "``, literal
++ hex strings, raw or FlateDecode content streams, and compressed object
+streams (``/Type /ObjStm`` — expanded after the object scan, so catalogs /
+page dicts living inside them resolve like top-level objects; ``/Root``
+falls back to the newest ``/Type /XRef`` stream dict when the file has no
+classic ``trailer``). No encryption, no CID fonts. Anything else fails
+*gracefully* to ``status='error'`` — the reference's swallow-error
+pattern (``pypdf2_extractor.py:41-48``).
 
 Frozen byte-identity invariants (SURVEY.md §7.1):
   * chunk width estimate: 0.5 * font_size * len(text) (Helvetica-ish)
@@ -44,6 +48,8 @@ _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+# direct-integer /Length only — '/Length 5 0 R' (indirect) must NOT match
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 Y_LINE_TOL = 2.0
 GAP_SPACE_FACTOR = 0.3
@@ -85,15 +91,28 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 s += 2
             elif data[s : s + 1] == b"\n":
                 s += 1
-            e = data.find(b"endstream", s)
-            if e == -1:
-                raise PdfError("unterminated stream")
-            stream = data[s:e]
-            # stream content may end with EOL added by the writer
-            if stream.endswith(b"\r\n"):
-                stream = stream[:-2]
-            elif stream.endswith(b"\n"):
-                stream = stream[:-1]
+            # a direct-integer /Length is authoritative (the endstream-scan
+            # + trailing-EOL-strip heuristic eats a REAL last byte when
+            # compressed data happens to end in CR/LF); trust it only when
+            # 'endstream' really follows within the writer's EOL slack
+            stream = None
+            lm = _LENGTH_RE.search(dict_part)
+            if lm:
+                e_len = s + int(lm.group(1))
+                tail = data[e_len : e_len + 11]
+                if tail.lstrip(b"\r\n ").startswith(b"endstream"):
+                    stream = data[s:e_len]
+                    e = e_len
+            if stream is None:
+                e = data.find(b"endstream", s)
+                if e == -1:
+                    raise PdfError("unterminated stream")
+                stream = data[s:e]
+                # stream content may end with EOL added by the writer
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith(b"\n"):
+                    stream = stream[:-1]
             idx_endobj = data.find(b"endobj", e)
             if idx_endobj == -1:
                 idx_endobj = len(data)
@@ -104,7 +123,51 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             pos = idx_endobj + 6
     if not objects:
         raise PdfError("no objects found")
+    _expand_object_streams(objects)
     return objects
+
+
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_INT_RE = re.compile(rb"\d+")
+
+
+def _expand_object_streams(
+    objects: dict[int, tuple[bytes, bytes | None]],
+) -> None:
+    """PDF 1.5+ compressed object streams (``/Type /ObjStm``): decode each
+    container and add its member objects to the map. Members are pure
+    dict/array/scalar bodies (the spec forbids streams inside an ObjStm),
+    so their stream part is None. Existing top-level objects are NOT
+    overwritten (scan-based recovery has no xref chain to arbitrate
+    supersession; a duplicate across container/top-level only arises in
+    incremental updates, where the top-level scan's later-wins rule
+    already picked a winner). A corrupt container (bad zlib, short
+    header) raises — callers map that to ``status='error'``."""
+    containers = [
+        num
+        for num, (dict_part, stream) in objects.items()
+        if stream is not None and _TYPE_RE.search(dict_part) is not None
+        and _TYPE_RE.search(dict_part).group(1) == b"ObjStm"
+    ]
+    for num in containers:
+        dict_part, stream = objects[num]
+        if b"/FlateDecode" in dict_part:
+            stream = zlib.decompress(stream)
+        nm = _N_RE.search(dict_part)
+        fm = _FIRST_RE.search(dict_part)
+        if not nm or not fm:
+            raise PdfError("ObjStm missing /N or /First")
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        header = _INT_RE.findall(stream[:first])
+        if len(header) < 2 * n_objs:
+            raise PdfError("ObjStm header truncated")
+        nums = [int(header[2 * k]) for k in range(n_objs)]
+        offs = [int(header[2 * k + 1]) for k in range(n_objs)]
+        for k, (onum, off) in enumerate(zip(nums, offs)):
+            end = first + offs[k + 1] if k + 1 < n_objs else len(stream)
+            body = stream[first + off : end]
+            objects.setdefault(onum, (body, None))
 
 
 def _page_order(
@@ -138,6 +201,21 @@ def _page_order(
                     pm = _PAGES_REF_RE.search(objects.get(cand, (b"",))[0])
                     if pm:
                         root_pages = int(pm.group(1))
+    if root_pages is None:
+        # PDF 1.5+ files have no 'trailer' keyword: the trailer dict IS the
+        # cross-reference STREAM's dict (/Type /XRef carries /Root). Take
+        # the newest XRef in scan order (incremental updates append).
+        for num, (dict_part, stream) in objects.items():
+            if stream is None or type_of.get(num) != b"XRef":
+                continue
+            rm = _ROOT_RE.search(dict_part)
+            if not rm:
+                continue
+            cand = int(rm.group(1))
+            if type_of.get(cand) == b"Catalog":
+                pm = _PAGES_REF_RE.search(objects.get(cand, (b"",))[0])
+                if pm:
+                    root_pages = int(pm.group(1))  # keep last valid (newest)
     if root_pages is None:
         for num, (dict_part, _) in objects.items():
             if type_of.get(num) == b"Catalog":
