@@ -11,6 +11,7 @@ from __future__ import annotations
 from .result import ExtractResult
 from .sniff import sniff_bytes
 from .html_extract import extract_html
+from .image_ocr import extract_image_ocr
 from .pdf_extract import extract_pdf
 
 
@@ -32,7 +33,8 @@ def extract_routed(ctype: str, payload: bytes | None) -> ExtractResult:
         return ExtractResult(text="", pages=[""], status="empty")
     if ctype == "image":
         # the reference routes images to OCR/vision engines
-        # (``main.py:367-379``); no OCR binary exists locally, so the row
-        # is flagged for the stub stage instead of 'unknown'
-        return ExtractResult(text="", pages=[""], status="stub_unavailable")
+        # (``main.py:367-379``); real OCR is environment-blocked, so the
+        # pathway runs the clearly-marked DETERMINISTIC fake kernel —
+        # golden byte-identity coverage like html/pdf (kernels/image_ocr)
+        return extract_image_ocr(payload)
     return ExtractResult(text="", pages=[""], status="unknown")

@@ -36,8 +36,9 @@ class PartitionManifest:
     input_fingerprint: int  # order-independent: sum of crc32(url|ts) mod 2^64
     files: list[str] = None  # input shard paths this partition covered
     file_sizes: list[int] = None  # byte sizes at processing time
-    # statuses outside the four classic classes (stub_unavailable for image
-    # rows, breaker_open) so counters always reconcile to rows_out;
+    # statuses outside the four classic classes (breaker_open; image rows
+    # extract 'ok' via the deterministic fake-OCR kernel since round 3) so
+    # counters always reconcile to rows_out;
     # defaulted so pre-field manifests still load on resume
     n_other: int = 0
 
