@@ -3026,6 +3026,31 @@ def trade_components(sf_dir: str, min_qty: int = 50, max_iters: int = 64) -> pa.
     lab_c = custs.copy()  # min customer key reachable; suppliers start at +inf
     lab_s = np.full(len(supps), np.iinfo(np.int64).max, dtype=np.int64)
 
+    if n_edges <= 2_000_000:
+        # small deduped edge list: run the bipartite min-label rounds
+        # driver-local (pure numpy) instead of a Ray stage launch per
+        # round — same fixpoint, same fail-loud convergence guard (see
+        # cc._LOCAL_EDGE_LIMIT for the threshold rationale)
+        et = collect(edges)
+        ci = np.searchsorted(custs, et["cust"].to_numpy(zero_copy_only=False))
+        si = np.searchsorted(supps, et["supp"].to_numpy(zero_copy_only=False))
+        for _ in range(max_iters):
+            new_c, new_s = lab_c.copy(), lab_s.copy()
+            np.minimum.at(new_c, ci, lab_s[si])
+            np.minimum.at(new_s, si, lab_c[ci])
+            if np.array_equal(new_c, lab_c) and np.array_equal(new_s, lab_s):
+                return pa.table(
+                    {
+                        "c_custkey": pa.array(custs, pa.int64()),
+                        "component": pa.array(lab_c, pa.int64()),
+                    }
+                )
+            lab_c, lab_s = new_c, new_s
+        raise RuntimeError(
+            f"trade_components: no fixpoint after {max_iters} rounds "
+            "(graph diameter exceeds max_iters — raise it)"
+        )
+
     def min_partial(batch: pa.Table, ref) -> pa.Table:
         lc, ls, ck, sk = ray.get(ref)
         c = batch["cust"].to_numpy(zero_copy_only=False)
