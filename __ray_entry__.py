@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": R.value_mad_by_type,
         "pattern_users": R.pattern_users,
         "embedding_int_stats": S.embedding_int_stats,
+        "embedding_covariance": S.embedding_covariance,
         "order_moments": R.order_moments,
         "value_log_moments": R.value_log_moments,
         "events_dow_profile": R.events_dow_profile,
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": T.bm25_search,
         "mix_epochs": T.mix_epochs,
         "dsir_weights": T.dsir_weights,
+        "bigram_lm_scores": T.bigram_lm_scores,
         "nb_lang_classify": T.nb_lang_classify,
         "prepare_training": T.prepare_training,
         "doc_top_terms": T.doc_top_terms,
@@ -545,6 +547,74 @@ def oracle_sql() -> dict[str, str]:
                            x -> ABS(CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT))),
                        'sum'), 0) AS BIGINT) AS l1_milli
             FROM embeddings
+        """,
+        "bigram_lm_scores": """
+            -- CCNet-style LM filter score: corpus-trained add-one bigram
+            -- model over top-500 vocab + OOV; per doc the exact int64 sum
+            -- of floor(1e6*ln((c(w1,w2)+1)/(ctx(w1)+V+1))) over adjacent
+            -- token bigrams, plus the bigram count
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+                       generate_subscripts(
+                           regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS p
+                FROM documents
+            ),
+            vocab AS (
+                SELECT w FROM (
+                    SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+                    ORDER BY c DESC, w ASC LIMIT 500
+                )
+            ),
+            vsz AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS wd FROM vocab),
+            idx AS (
+                SELECT t.doc_id, t.p,
+                       CASE WHEN v.w IS NULL THEN '#OOV' ELSE t.w END AS vid
+                FROM tok t LEFT JOIN vocab v ON v.w = t.w
+            ),
+            big AS (
+                SELECT a.doc_id, a.vid AS w1, b.vid AS w2
+                FROM idx a JOIN idx b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ),
+            bcnt AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                FROM big GROUP BY 1, 2
+            ),
+            ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS t FROM bcnt GROUP BY 1),
+            sc AS (
+                SELECT g.doc_id,
+                       CAST(FLOOR(1e6 * LN(CAST(bc.c + 1 AS DOUBLE)
+                            / CAST(cx.t + vsz.wd AS DOUBLE))) AS BIGINT) AS wt
+                FROM big g
+                JOIN bcnt bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+                JOIN ctx cx ON cx.w1 = g.w1
+                CROSS JOIN vsz
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.logp, 0) AS BIGINT) AS logp,
+                   CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams
+            FROM documents d
+            LEFT JOIN (
+                SELECT doc_id, SUM(wt) AS logp, COUNT(*) AS nb
+                FROM sc GROUP BY doc_id
+            ) s ON s.doc_id = d.doc_id
+        """,
+        "embedding_covariance": """
+            -- PCA/whitening prep: exact int64 second-moment matrix of
+            -- milli-quantized embedding components, upper triangle
+            WITH flat AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                            AS BIGINT) AS q
+                FROM embeddings
+            )
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   CAST(SUM(a.q * b.q) AS BIGINT) AS sum_prod
+            FROM flat a JOIN flat b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY 1, 2
         """,
         "pattern_users": """
             -- users with a CONTIGUOUS (view, click, purchase) run in

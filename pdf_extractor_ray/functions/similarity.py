@@ -796,6 +796,76 @@ def knn_classify(
 # -------------------------------------------------------------------------
 
 
+def embedding_covariance(sf_dir: str) -> pa.Table:
+    """Distributed second-moment (Gram) matrix of the embedding table —
+    the sufficient statistic for PCA / whitening / covariance (the
+    dimensionality-reduction prep step of an embedding pipeline): for
+    every dim pair i <= j, the exact int64 sum over all vectors of
+    q_i * q_j, where q = milli-quantized component (ROUND(1000*x),
+    quantize-before-multiply so no float accumulation order can diverge —
+    the embedding_int_stats convention). ONE streaming pass: each batch
+    contributes Q^T Q (a d x d int64 matmul); the driver combines
+    d*(d+1)/2-row partials. Covariance follows driver-side from these
+    moments plus embedding_int_stats' per-dim sums.
+
+    Scale bound, stated: |q| <= ~2000 for unit-scale embeddings, so a
+    pairwise product is < 4e6 and int64 holds exact sums to ~2e12
+    vectors; output cardinality is d^2, corpus-size-independent. Assumes
+    a fixed embedding dim (fails loud on ragged rows)."""
+    import pyarrow.compute as pc
+
+    from .agg import collect, round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        lengths = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        if len(lengths) == 0:
+            return pa.table(
+                {
+                    "dim_i": pa.array([], pa.int64()),
+                    "dim_j": pa.array([], pa.int64()),
+                    "sum_prod": pa.array([], pa.int64()),
+                }
+            )
+        d = int(lengths[0])
+        if not (lengths == d).all():
+            raise ValueError("embedding_covariance: ragged embedding dims")
+        q = (
+            round_half_away(
+                pc.multiply(
+                    pc.cast(pc.list_flatten(emb), pa.float64()),
+                    pa.scalar(1000.0),
+                )
+            )
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, d)
+        )
+        g = q.T @ q  # exact int64 Gram partial
+        iu = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array(iu[0].astype(np.int64), pa.int64()),
+                "dim_j": pa.array(iu[1].astype(np.int64), pa.int64()),
+                "sum_prod": pa.array(g[iu], pa.int64()),
+            }
+        )
+
+    parts = collect(ds.map_batches(partial, batch_format="pyarrow"))
+    if parts is None:
+        return pa.table(
+            {
+                "dim_i": pa.array([], pa.int64()),
+                "dim_j": pa.array([], pa.int64()),
+                "sum_prod": pa.array([], pa.int64()),
+            }
+        )
+    out = parts.group_by(["dim_i", "dim_j"]).aggregate([("sum_prod", "sum")])
+    out = out.rename_columns(["dim_i", "dim_j", "sum_prod"])
+    return out.sort_by([("dim_i", "ascending"), ("dim_j", "ascending")])
+
+
 def embedding_int_stats(sf_dir: str) -> rd.Dataset:
     import pyarrow.compute as pc
 

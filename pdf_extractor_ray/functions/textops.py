@@ -3493,6 +3493,118 @@ def dsir_weights(
 
     return ds.map_batches(score, batch_format="pyarrow")
 
+
+def bigram_lm_scores(sf_dir: str, vocab_size: int = 500) -> rd.Dataset:
+    """Bigram language-model document scoring — the perplexity-filter slot
+    of a CCNet-style curation pipeline (Wenzek et al. 2020 filter corpora
+    by LM score; here the LM is a corpus-trained add-one-smoothed bigram
+    model over the top-V vocabulary + pooled OOV bucket, so the op is
+    self-contained and exactly reproducible). Per doc: the int64 sum of
+    floor(1e6 * ln((c(w1,w2)+1) / (ctx(w1)+V+1))) over its adjacent
+    within-doc token bigrams, plus the bigram count (score/count = avg
+    log-prob, the filterable quantity).
+
+    Dataflow: ONE corpus-scale unigram exchange (vocab, shared shape with
+    dsir/NB), ONE bigram-count exchange of packed (i1*(V+1)+i2) int64 keys
+    — cardinality <= (V+1)^2, corpus-size-independent — then scoring is a
+    pure map over a broadcast dense (V+1)^2 int64 LUT. Weights use libm
+    ``math.log`` per DISTINCT entry (DuckDB LN parity; numpy.log may
+    differ in the last bit)."""
+    import math
+
+    from .agg import collect, topk
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _tok_flat(batch: pa.Table):
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        return (
+            flat.filter(keep),
+            parent.filter(keep).to_numpy(zero_copy_only=False),
+        )
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _tok_flat(batch)
+        t = pa.table(
+            {"term": flat, "c": pa.array(np.ones(len(flat), np.int64))}
+        )
+        return partial_group_agg(t, keys=["term"], aggs=[("c", "sum")])
+
+    uni = grouped_sum(ds, keys=["term"], partial=uni_partial, sum_cols=["c"])
+    vocab = topk(
+        uni, k=vocab_size, sort_keys=[("c", "descending"), ("term", "ascending")]
+    )
+    vocab_terms = vocab["term"].combine_chunks() if vocab.num_rows else None
+    v = vocab.num_rows  # OOV bucket index = v; contexts/nexts in [0, v]
+    width = v + 1
+
+    def _idx(flat, parent):
+        """token strings -> vocab index array (OOV -> v) + packed bigram
+        keys for adjacent same-doc positions."""
+        if vocab_terms is not None and len(flat):
+            pos = pc.fill_null(
+                pc.index_in(flat, value_set=vocab_terms), v
+            ).to_numpy(zero_copy_only=False)
+        else:
+            pos = np.full(len(flat), v, np.int64)
+        adj = parent[:-1] == parent[1:] if len(parent) else np.zeros(0, bool)
+        keys = pos[:-1][adj] * width + pos[1:][adj]
+        return keys, parent[:-1][adj]
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok_flat(batch)
+        keys, _ = _idx(flat, parent)
+        t = pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "c": pa.array(np.ones(len(keys), np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["k"], aggs=[("c", "sum")])
+
+    bcnt = collect(
+        grouped_sum(ds, keys=["k"], partial=big_partial, sum_cols=["c"])
+    )
+    lut = np.zeros(width * width, np.int64)
+    if bcnt is not None and bcnt.num_rows:
+        bk = bcnt["k"].to_numpy(zero_copy_only=False)
+        bc = bcnt["c"].to_numpy(zero_copy_only=False)
+        ctx = np.zeros(width, np.int64)
+        np.add.at(ctx, bk // width, bc)
+        # unseen-bigram rows first (one libm log per context) ...
+        for i in range(width):
+            lut[i * width : (i + 1) * width] = math.floor(
+                1e6 * math.log(1.0 / float(int(ctx[i]) + width))
+            )
+        # ... then the observed entries (one libm log per distinct bigram)
+        for k, c in zip(bk.tolist(), bc.tolist()):
+            lut[k] = math.floor(
+                1e6 * math.log(float(c + 1) / float(int(ctx[k // width]) + width))
+            )
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok_flat(batch)
+        keys, owner = _idx(flat, parent)
+        logp = np.zeros(batch.num_rows, np.int64)
+        nbig = np.zeros(batch.num_rows, np.int64)
+        if len(keys):
+            np.add.at(logp, owner, lut[keys])
+            np.add.at(nbig, owner, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "logp": pa.array(logp, pa.int64()),
+                "n_bigrams": pa.array(nbig, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------------------
 # nb_lang_classify — trained multinomial Naive-Bayes text classifier (the
 # fastText-style quality/domain classifier slot of a curation pipeline,
