@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_to_training": _web_to_training,
         "user_rolling_window": R.user_rolling_window,
         "events_tumbling": R.events_tumbling,
+        "events_hopping": R.events_hopping,
+        "trade_degree_hist": R.trade_degree_hist,
         "user_last3_sum": R.user_last3_sum,
         "top_orders_per_segment": R.top_orders_per_segment,
         "value_bands": R.value_bands,
@@ -816,6 +818,31 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_c
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            -- 30-minute windows hopping every 10 minutes: each event in
+            -- exactly 3 windows, same integer epoch-us window assignment
+            -- as the engine (replicated per hop offset)
+            SELECT make_timestamp(((epoch_us(ts) // 600000000) - k.k)
+                                  * 600000000) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_c
+            FROM events
+            CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) k(k)
+            GROUP BY 1
+        """,
+        "trade_degree_hist": """
+            -- graph profile: customers by count of DISTINCT high-volume
+            -- supplier partners (quantity >= 50)
+            WITH e AS (
+                SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_quantity >= 50
+            ),
+            d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY c)
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM d GROUP BY degree
         """,
         "user_last3_sum": """
             SELECT event_id, user_id, ts,

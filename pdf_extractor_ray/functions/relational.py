@@ -2363,6 +2363,161 @@ def events_tumbling(sf_dir: str) -> rd.Dataset:
     )
 
 
+_HOP_US = 600_000_000  # 10-minute hop
+_HOP_COUNT = 3  # 30-minute window = 3 hops
+
+
+def events_hopping(sf_dir: str) -> rd.Dataset:
+    """HOPPING (overlapping sliding) window aggregate — 30-minute windows
+    advancing every 10 minutes, so each event contributes to exactly 3
+    windows: the overlapping-window complement of ``events_tumbling``
+    (its window assignment is the same integer epoch-us floor division,
+    replicated per hop offset). Vectorized per batch: rows replicated
+    k=0..2 with window_start = (us//HOP - k) * HOP, then the standard
+    two-phase partial-combine exchange — the wire carries 3x
+    window-cardinality partials, corpus-size-independent per key."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = cents(batch["value"]).to_numpy(zero_copy_only=False)
+        base = us // _HOP_US
+        ws = np.concatenate([(base - k) * _HOP_US for k in range(_HOP_COUNT)])
+        t = pa.table(
+            {
+                "window_start": pc.cast(
+                    pa.array(ws, pa.int64()), pa.timestamp("us")
+                ),
+                "n_events": pa.array(np.ones(len(ws), np.int64)),
+                "sum_value_c": pa.array(np.tile(c, _HOP_COUNT), pa.int64()),
+            }
+        )
+        return partial_group_agg(
+            t,
+            keys=["window_start"],
+            aggs=[("n_events", "sum"), ("sum_value_c", "sum")],
+        )
+
+    return grouped_sum(
+        ds,
+        keys=["window_start"],
+        partial=partial,
+        sum_cols=["n_events", "sum_value_c"],
+    )
+
+
+def trade_degree_hist(sf_dir: str, min_qty: int = 50) -> pa.Table:
+    """Degree HISTOGRAM of the high-volume customer-supplier trade graph
+    (the graph-analytics profile step next to trade_components /
+    host_pagerank): how many customers trade with exactly k distinct
+    suppliers at quantity >= min_qty. Plan: the trade_components
+    orderkey-hash exchange builds per-bucket-distinct edges; a second
+    exchange co-locates each CUSTOMER's edges (so a per-bucket distinct
+    is globally distinct and degree is exact), emitting per-bucket
+    histogram partials — the driver combines #distinct-degree rows."""
+    import functools as _ft
+
+    import numpy as np
+
+    from .agg import collect, tag_partition
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+    n_parts = _raw_parts(sf_dir, "orders", "lineitem")
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(batch["o_orderkey"], pa.int64()),
+                "v": pc.cast(batch["o_custkey"], pa.int64()),
+                "kind": pa.array([0] * batch.num_rows, pa.int8()),
+            }
+        )
+
+    def tag_l(batch: pa.Table) -> pa.Table:
+        hi = batch.filter(pc.greater_equal(batch["l_quantity"], min_qty))
+        return pa.table(
+            {
+                "k": pc.cast(hi["l_orderkey"], pa.int64()),
+                "v": pc.cast(hi["l_suppkey"], pa.int64()),
+                "kind": pa.array([1] * hi.num_rows, pa.int8()),
+            }
+        )
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        return tag_partition(batch, ["k"], n_parts)
+
+    tagged = (
+        orders.map_batches(tag_o, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_l, batch_format="pyarrow"))
+        .map_batches(add_pp, batch_format="pyarrow")
+    )
+
+    def edges_of(group: pa.Table) -> pa.Table:
+        kind = group["kind"]
+        li = group.filter(pc.equal(kind, 1))
+        if li.num_rows == 0:
+            return pa.table(
+                {"cust": pa.array([], pa.int64()), "supp": pa.array([], pa.int64())}
+            )
+        od = group.filter(pc.equal(kind, 0)).sort_by([("k", "ascending")])
+        ok = od["k"].to_numpy(zero_copy_only=False)
+        oc = od["v"].to_numpy(zero_copy_only=False)
+        lk = li["k"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ok, lk), max(len(ok) - 1, 0))
+        if len(ok) == 0 or not np.array_equal(ok[pos], lk):
+            raise ValueError(
+                "trade_degree_hist: lineitem references missing orderkey"
+            )
+        t = pa.table({"cust": pa.array(oc[pos], pa.int64()), "supp": li["v"]})
+        return t.group_by(["cust", "supp"]).aggregate([])
+
+    edges = tagged.groupby("__pp").map_groups(edges_of, batch_format="pyarrow")
+
+    def hist_of(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "cust" not in group.column_names:
+            # empty shuffle partitions arrive as ZERO-COLUMN blocks
+            return pa.table(
+                {
+                    "degree": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                }
+            )
+        # all edges of a customer are co-located here: per-bucket distinct
+        # (cust, supp) is globally distinct, degree per cust is exact
+        g = group.select(["cust", "supp"]).group_by(["cust", "supp"]).aggregate([])
+        deg = g.group_by(["cust"]).aggregate([("supp", "count")])
+        h = deg.select(["supp_count"]).group_by(["supp_count"]).aggregate(
+            [("supp_count", "count")]
+        )
+        return pa.table(
+            {
+                "degree": pc.cast(h["supp_count"], pa.int64()),
+                "n_customers": pc.cast(h["supp_count_count"], pa.int64()),
+            }
+        )
+
+    parts = collect(
+        edges.map_batches(
+            _ft.partial(tag_partition, keys=["cust"]), batch_format="pyarrow"
+        )
+        .groupby("__pp")
+        .map_groups(hist_of, batch_format="pyarrow")
+    )
+    if parts is None:
+        return pa.table(
+            {
+                "degree": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+            }
+        )
+    out = parts.group_by(["degree"]).aggregate([("n_customers", "sum")])
+    out = out.rename_columns(["degree", "n_customers"])
+    return out.sort_by([("degree", "ascending")])
+
+
 # -------------------------------------------------------------------------
 # user_last3_sum — ROWS-frame sliding window (2 PRECEDING .. CURRENT ROW)
 # per user ordered by (ts, event_id): the row-count-frame complement of
