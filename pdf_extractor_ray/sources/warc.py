@@ -1,0 +1,189 @@
+"""WARC source/sink for the pages table — the native Common-Crawl
+interchange format (ISO 28500 WARC/1.0). The reader turns a directory of
+``.warc`` / ``.warc.gz`` files into the canonical pages Dataset
+(url, warc_ts, html, text, lang) so the flagship extraction pipeline runs
+unchanged over raw crawl archives; the writer emits standards-shaped
+response records for fixtures and egress.
+
+Shape: ``rd.read_binary_files`` fans one task per archive file (WARC has
+no random access; a crawl shards into many archive files, which is the
+parallelism unit — exactly how Common Crawl distributes segments).
+Record parsing is a single sequential scan per file: header block up to
+CRLFCRLF, ``Content-Length`` bytes of payload, CRLFCRLF separator.
+Response records carry an HTTP envelope; the body after the HTTP header
+block becomes ``html``. ``.warc.gz`` uses the Common-Crawl member-per-
+record gzip convention (any member layout works — the decompressor
+iterates members via ``unused_data``). Malformed records are skipped
+(swallow-and-flag contract: the rest of the archive still loads); a
+malformed FILE yields its parseable prefix.
+
+Reference analog: multipart upload ingest normalization
+(``/root/reference/backend/src/main.py:324-489``) — same contract as the
+JSONL/CSV/IPC adapters: every batch is cast to the canonical schema so
+downstream stages are indistinguishable from the parquet path.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from glob import glob
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..corpus import PAGES_SCHEMA
+
+_HDR_SPLIT = b"\r\n\r\n"
+_URI_RE = re.compile(rb"^WARC-Target-URI:\s*(.+?)\s*$", re.M | re.I)
+_DATE_RE = re.compile(rb"^WARC-Date:\s*(.+?)\s*$", re.M | re.I)
+_TYPE_RE = re.compile(rb"^WARC-Type:\s*(.+?)\s*$", re.M | re.I)
+_CLEN_RE = re.compile(rb"^Content-Length:\s*(\d+)\s*$", re.M | re.I)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plain bytes."""
+    out = []
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        if not d.unused_data or d.unused_data == data:
+            break
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _iso_to_us(iso: str) -> int | None:
+    """WARC-Date (ISO-8601 Zulu) -> epoch microseconds, None if bad."""
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(iso.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+    except ValueError:
+        return None
+
+
+def _parse_warc(data: bytes) -> list[tuple[str, int | None, bytes]]:
+    """(url, warc_ts_us, html_payload) per response record. Sequential
+    scan; malformed records are skipped, a truncated tail is dropped."""
+    rows: list[tuple[str, int | None, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start == -1:
+            break
+        hdr_end = data.find(_HDR_SPLIT, start)
+        if hdr_end == -1:
+            break
+        header = data[start:hdr_end]
+        cm = _CLEN_RE.search(header)
+        if cm is None:
+            pos = hdr_end + 4
+            continue
+        clen = int(cm.group(1))
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end > n:
+            break  # truncated record
+        body = data[body_start:body_end]
+        pos = body_end
+        tm = _TYPE_RE.search(header)
+        if tm is None or tm.group(1).lower() != b"response":
+            continue  # warcinfo/request/metadata records carry no page
+        um = _URI_RE.search(header)
+        if um is None:
+            continue
+        url = um.group(1).decode("utf-8", "replace")
+        dm = _DATE_RE.search(header)
+        ts = _iso_to_us(dm.group(1).decode("ascii", "replace")) if dm else None
+        # response payload = HTTP envelope + body; the body after the HTTP
+        # header block is the page bytes (no envelope -> whole payload)
+        split = body.find(_HDR_SPLIT)
+        html = body[split + 4 :] if split != -1 and body[:5] in (b"HTTP/",) else body
+        rows.append((url, ts, html))
+    return rows
+
+
+def read_pages_warc(input_path: str) -> rd.Dataset:
+    """Pages Dataset from a directory of ``*.warc`` / ``*.warc.gz`` files
+    (or one file). ``text`` / ``lang`` are absent from WARC and arrive as
+    nulls — exactly like a parquet corpus with null columns."""
+    paths = sorted(glob(f"{input_path}/*.warc*")) or [input_path]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int | None] = []
+        htmls: list[bytes] = []
+        for data in batch["bytes"].to_pylist():
+            # detect gzip by MAGIC, not extension: ray's read_binary_files
+            # auto-decompresses *.gz via the arrow filesystem layer, so a
+            # .warc.gz may arrive either way (and hand-built readers pass
+            # raw bytes)
+            if data[:2] == b"\x1f\x8b":
+                try:
+                    data = _gunzip_members(data)
+                except zlib.error:
+                    continue  # malformed archive: skip file, keep batch
+            for url, ts, html in _parse_warc(data):
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(html)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                "html": pa.array(htmls, pa.large_binary()),
+                "text": pa.nulls(len(urls), pa.string()),
+                "lang": pa.nulls(len(urls), pa.string()),
+            }
+        )
+
+    return rd.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+def write_pages_warc(
+    pages: pa.Table, path: str, *, gzip_members: bool = False
+) -> int:
+    """Pages table -> ONE standards-shaped WARC file (fixture / egress
+    helper; shard upstream for parallel writes). Returns records written."""
+    import gzip as _gzip
+
+    recs: list[bytes] = []
+    urls = pages["url"].to_pylist()
+    tss = pc.cast(pages["warc_ts"], pa.int64()).to_pylist()
+    htmls = pages["html"].to_pylist()
+    for url, ts_us, html in zip(urls, tss, htmls):
+        html = html or b""
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(
+            (ts_us or 0) / 1_000_000, tz=timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+            + str(len(html)).encode()
+            + b"\r\n\r\n"
+            + html
+        )
+        header = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+            b"WARC-Date: " + iso.encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        )
+        rec = header + b"\r\n" + http + b"\r\n\r\n"
+        recs.append(_gzip.compress(rec) if gzip_members else rec)
+    with open(path, "wb") as f:
+        f.write(b"".join(recs))
+    return len(recs)

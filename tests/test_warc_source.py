@@ -1,0 +1,119 @@
+"""WARC source/sink: roundtrip to the canonical pages schema, gzip
+member handling, malformed-record tolerance, and extraction parity with
+the parquet path over the same corpus."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extractor_ray.sources.warc import (
+    _parse_warc,
+    read_pages_warc,
+    write_pages_warc,
+)
+
+
+def _corpus_table(corpus_dir: str) -> pa.Table:
+    return pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(f"{corpus_dir}/*.parquet"))]
+    )
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(ray_session, small_corpus, tmp_path, gz):
+    src = _corpus_table(small_corpus["corpus"])
+    ext = "warc.gz" if gz else "warc"
+    # two archive files (the parallelism unit)
+    half = src.num_rows // 2
+    n1 = write_pages_warc(src.slice(0, half), str(tmp_path / f"a.{ext}"), gzip_members=gz)
+    n2 = write_pages_warc(src.slice(half), str(tmp_path / f"b.{ext}"), gzip_members=gz)
+    assert n1 + n2 == src.num_rows
+
+    back = read_pages_warc(str(tmp_path)).to_pandas().sort_values("url").reset_index(drop=True)
+    orig = src.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(back) == len(orig)
+    assert (back["url"] == orig["url"]).all()
+    assert (
+        back["warc_ts"].astype("int64") // 1_000_000
+        == orig["warc_ts"].astype("int64") // 1_000_000
+    ).all()  # WARC-Date has second resolution
+    assert all(
+        bytes(a or b"") == bytes(b_ or b"")
+        for a, b_ in zip(back["html"], orig["html"])
+    )
+
+
+def test_warc_extraction_parity(ray_session, small_corpus, tmp_path):
+    """Extraction over the WARC-read corpus equals extraction over the
+    parquet corpus for every url (text/lang are metadata, not inputs to
+    the kernels)."""
+    import ray
+
+    from pdf_extractor_ray.functions.agg import instance_stage
+    from pdf_extractor_ray.stages.extract import DocumentExtractor
+    from pdf_extractor_ray.stages.sniff import sniff_and_partition
+
+    src = _corpus_table(small_corpus["corpus"])
+    write_pages_warc(src, str(tmp_path / "all.warc"))
+    pages = read_pages_warc(str(tmp_path / "all.warc")).map_batches(
+        sniff_and_partition, batch_format="pyarrow"
+    )
+    ds = instance_stage(pages, DocumentExtractor, batch_size=64, emit_pages=False)
+    got = pa.concat_tables(
+        [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    ).to_pandas()
+    # the raw corpus has dup-url rows (same payload, later ts) — they
+    # extract identically by determinism; keep one per url
+    assert got.groupby("url")["extracted_text"].nunique().max() == 1
+    got = got.drop_duplicates("url").set_index("url")
+
+    golden = pq.read_table(
+        small_corpus["golden"] + "/extracted.parquet"
+    ).to_pandas().set_index("url")
+    both = golden.join(got, how="inner", lsuffix="_g", rsuffix="_o")
+    assert len(both) == len(golden)
+    assert (both["extracted_text_g"] == both["extracted_text_o"]).all()
+    assert (both["status_g"] == both["status_o"]).all()
+
+
+def test_warc_malformed_records_skipped():
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/a\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    no_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/b\r\n\r\n"
+    )
+    request = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.org/c\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/d\r\n"
+        b"Content-Length: 100\r\n\r\nshort"
+    )
+    rows = _parse_warc(good + no_len + request + good + truncated)
+    assert [r[0] for r in rows] == ["https://x.org/a", "https://x.org/a"]
+    assert rows[0][2] == b"hello"
+
+
+def test_warc_http_envelope_stripped():
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/e\r\n"
+        b"WARC-Date: 2025-01-01T00:00:01Z\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    rows = _parse_warc(rec)
+    assert rows[0][2] == b"<html>hi</html>"
+    assert rows[0][1] == 1735689601000000
