@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_users": R.pattern_users,
         "embedding_int_stats": S.embedding_int_stats,
         "embedding_covariance": S.embedding_covariance,
+        "embedding_dot_topk": S.embedding_dot_topk,
         "order_moments": R.order_moments,
         "value_log_moments": R.value_log_moments,
         "events_dow_profile": R.events_dow_profile,
@@ -601,6 +602,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, SUM(wt) AS logp, COUNT(*) AS nb
                 FROM sc GROUP BY doc_id
             ) s ON s.doc_id = d.doc_id
+        """,
+        "embedding_dot_topk": """
+            -- exact brute-force top-10 similarity search (the verifiable
+            -- anchor of the ANN family): int64 dot products of
+            -- milli-quantized components, queries = 5 lowest vec_ids,
+            -- ties broken by vec_id asc
+            WITH flat AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                            AS BIGINT) AS v
+                FROM embeddings
+            ),
+            qsel AS (
+                SELECT vec_id AS qid FROM embeddings
+                ORDER BY vec_id LIMIT 5
+            ),
+            qf AS (
+                SELECT f.vec_id AS qid, f.i, f.v AS qv
+                FROM flat f JOIN qsel ON qsel.qid = f.vec_id
+            ),
+            s AS (
+                SELECT qf.qid, f.vec_id,
+                       CAST(SUM(qf.qv * f.v) AS BIGINT) AS dot
+                FROM qf JOIN flat f USING (i)
+                GROUP BY 1, 2
+            )
+            SELECT qid, vec_id, dot FROM s
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY dot DESC, vec_id ASC) <= 10
         """,
         "embedding_covariance": """
             -- PCA/whitening prep: exact int64 second-moment matrix of

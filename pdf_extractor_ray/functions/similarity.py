@@ -796,6 +796,92 @@ def knn_classify(
 # -------------------------------------------------------------------------
 
 
+def embedding_dot_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
+    """EXACT brute-force top-k similarity search with a DuckDB oracle —
+    the verifiable anchor of the ANN family (embedding_topk/ann_lsh/ann_ivf
+    are float-cosine and recall-tested only): for the ``n_queries``
+    lowest-vec_id vectors, the exact int64 dot product against EVERY
+    vector over milli-quantized components, top-k per query by
+    (dot desc, vec_id asc). Plan: the tiny query matrix broadcasts in the
+    closure; each batch computes one int64 matmul + a local per-query
+    top-k, so the driver combines #batches x (n_queries x k) candidate
+    rows — corpus-size-independent."""
+    import pyarrow.compute as pc
+
+    from .agg import collect, round_half_away
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _quant(emb) -> np.ndarray:
+        return round_half_away(
+            pc.multiply(pc.cast(pc.list_flatten(emb), pa.float64()), pa.scalar(1000.0))
+        ).to_numpy(zero_copy_only=False)
+
+    # query matrix: the n_queries lowest vec_ids (keys-only scan, then a
+    # pruned filtered read of just those rows)
+    ids_t = collect(ds.select_columns(["vec_id"]))
+    if ids_t is None:
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+            }
+        )
+    qids = np.sort(ids_t["vec_id"].to_numpy(zero_copy_only=False))[:n_queries]
+    qrows = collect(
+        ds.map_batches(
+            lambda b: b.filter(pc.is_in(b["vec_id"], value_set=pa.array(qids))),
+            batch_format="pyarrow",
+        )
+    ).sort_by([("vec_id", "ascending")])
+    d = len(qrows["embedding"][0].as_py())
+    qm = _quant(qrows["embedding"].combine_chunks()).reshape(-1, d)  # (nq, d)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        vm = _quant(emb).reshape(-1, d)
+        dots = qm @ vm.T  # (nq, n) exact int64
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(k, dots.shape[1])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(dots.shape[0]):
+            row = dots[qi]
+            # top-k by (dot desc, vec_id asc): lexsort on (-dot, vid)
+            order = np.lexsort((vid, -row))[:kk]
+            out_q.append(np.full(kk, qids[qi], np.int64))
+            out_v.append(vid[order].astype(np.int64))
+            out_d.append(row[order])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "dot": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+    cand = collect(ds.map_batches(local_topk, batch_format="pyarrow"))
+    out_q, out_v, out_d = [], [], []
+    cq = cand["qid"].to_numpy(zero_copy_only=False)
+    cv = cand["vec_id"].to_numpy(zero_copy_only=False)
+    cd = cand["dot"].to_numpy(zero_copy_only=False)
+    for q in qids:
+        m = cq == q
+        order = np.lexsort((cv[m], -cd[m]))[:k]
+        out_q.append(np.full(len(order), q, np.int64))
+        out_v.append(cv[m][order])
+        out_d.append(cd[m][order])
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "dot": pa.array(np.concatenate(out_d), pa.int64()),
+        }
+    )
+
+
 def embedding_covariance(sf_dir: str) -> pa.Table:
     """Distributed second-moment (Gram) matrix of the embedding table —
     the sufficient statistic for PCA / whitening / covariance (the
