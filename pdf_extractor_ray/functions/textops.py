@@ -3241,11 +3241,15 @@ def prepare_training(sf_dir: str, budget: int = 512) -> rd.Dataset:
 
 
 def prepare_training_ds(
-    ds: rd.Dataset, n_rows: int, budget: int = 512
+    ds: rd.Dataset, n_rows: int, budget: int = 512, *, emit_offsets: bool = False
 ) -> rd.Dataset:
     """Dataset-generic core of ``prepare_training`` — also the tail of the
     end-to-end web->training composition (pipelines/webpages.py
-    ``web_to_training``): input any (doc_id, text) Dataset."""
+    ``web_to_training``): input any (doc_id, text) Dataset.
+    ``emit_offsets``: add the exclusive global token prefix ``tok_start``
+    per winner (the shard-materialization consumer needs the exact window
+    boundaries, not just ``seq_id = tok_start // budget``); off by default
+    so the oracle-checked output schema is unchanged."""
     from .agg import scaled_partitions
 
     n_parts = scaled_partitions(n_rows)
@@ -3340,29 +3344,25 @@ def prepare_training_ds(
 
     # pass 2: winners with global shuffle rank + packed sequence id
     def assign(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "pos": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
-                "seq_id": pa.array([], pa.int64()),
-            }
+        cols = ["doc_id", "pos", "n_tokens", "seq_id"] + (
+            ["tok_start"] if emit_offsets else []
         )
         if group.num_columns == 0 or group.num_rows == 0:
-            return empty
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
         w = dedup_sorted(group)
         b = int(w["__pp"][0].as_py())
         ntok = w["n_tokens"].to_numpy(zero_copy_only=False)
         pos = row_base[b] + np.arange(w.num_rows, dtype=np.int64)
         excl = tok_base[b] + np.cumsum(ntok) - ntok
-        return pa.table(
-            {
-                "doc_id": w["doc_id"],
-                "pos": pa.array(pos, pa.int64()),
-                "n_tokens": w["n_tokens"],
-                "seq_id": pa.array(excl // budget, pa.int64()),
-            }
-        )
+        out = {
+            "doc_id": pc.cast(w["doc_id"], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "n_tokens": w["n_tokens"],
+            "seq_id": pa.array(excl // budget, pa.int64()),
+        }
+        if emit_offsets:
+            out["tok_start"] = pa.array(excl, pa.int64())
+        return pa.table(out)
 
     return tagged.groupby("__pp").map_groups(assign, batch_format="pyarrow")
 

@@ -156,6 +156,143 @@ def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
     return prepare_training_ds(docs, n_rows, budget=budget)
 
 
+def write_training_shards(
+    input_path: str,
+    workdir: str,
+    out_dir: str,
+    *,
+    budget: int = 512,
+    n_partitions: int = 32,
+) -> pa.Table:
+    """MATERIALIZED training egress — the step after the assignment
+    metadata of ``corpus_to_training``: write the actual packed token
+    sequences (one row per seq_id: exactly ``budget`` whitespace tokens,
+    except the final sequence) as sharded parquet under ``out_dir``.
+
+    Dataflow: extraction runs in CHECKPOINT mode under ``workdir``
+    (resumable; a re-run of a failed shard build skips finished extraction
+    partitions); ``prepare_training_ds(emit_offsets=True)`` yields each
+    winner's exclusive global token prefix ``tok_start``; the winner
+    offset table (doc_id, tok_start, n_tokens — ints only) broadcasts
+    back so each doc slices its own tokens into per-window SEGMENTS
+    locally (at 10^12-doc scale the broadcast becomes a doc_id hash join;
+    the segment dataflow is unchanged); sequence assembly is then ONE
+    keyed exchange of token payloads grouped by seq_id — each window's
+    segments meet exactly once. Output rows: (seq_id, n_tokens, text).
+    Returns a one-row summary table (n_seqs, n_tokens)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..functions.agg import collect
+    from ..functions.textops import prepare_training_ds
+    from ..sources.pages import list_shards
+    from .extract import read_extracted, run_checkpoint
+
+    run_checkpoint(
+        input_path,
+        workdir,
+        n_partitions=n_partitions,
+        resume=True,
+        emit_pages=False,
+        assign_doc_ids=True,
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch["status"], "ok"))
+        return pa.table(
+            {
+                "doc_id": ok["doc_id"],
+                "text": pc.cast(ok["extracted_text"], pa.string()),
+            }
+        )
+
+    docs = read_extracted(workdir).map_batches(to_docs, batch_format="pyarrow")
+    n_rows = sum(pq.read_metadata(f).num_rows for f in list_shards(input_path))
+    meta = collect(
+        prepare_training_ds(docs, n_rows, budget=budget, emit_offsets=True)
+    )
+    if meta is None:
+        return pa.table(
+            {"n_seqs": pa.array([0], pa.int64()), "n_tokens": pa.array([0], pa.int64())}
+        )
+    meta = meta.sort_by([("doc_id", "ascending")])
+    ref = ray.put(
+        (
+            meta["doc_id"].to_numpy(zero_copy_only=False),
+            meta["tok_start"].to_numpy(zero_copy_only=False),
+        )
+    )
+
+    def segments(batch: pa.Table) -> pa.Table:
+        ids_b, starts_b = ray.get(ref)
+        did = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids_b, did), max(len(ids_b) - 1, 0))
+        hit = (ids_b[pos] == did) if len(ids_b) else np.zeros(len(did), bool)
+        kept = batch.filter(pa.array(hit))  # winners only (gate/dedup losers drop)
+        starts = starts_b[pos[hit]] if len(ids_b) else np.empty(0, np.int64)
+        trimmed = pc.utf8_trim(kept["text"], characters=" \t\n\r\f\v")
+        toks_col = pc.split_pattern_regex(trimmed, r"[ \t\n\r\f\v]+")
+        seq_ids: list[int] = []
+        seg_starts: list[int] = []
+        seg_texts: list[str] = []
+        for row, start in zip(toks_col.to_pylist(), starts.tolist()):
+            toks = row if row and row[0] != "" else []
+            off = 0
+            while off < len(toks):
+                take = min(budget - (start + off) % budget, len(toks) - off)
+                seq_ids.append((start + off) // budget)
+                seg_starts.append(start + off)
+                seg_texts.append(" ".join(toks[off : off + take]))
+                off += take
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_ids, pa.int64()),
+                "seg_start": pa.array(seg_starts, pa.int64()),
+                "seg_text": pa.array(seg_texts, pa.large_string()),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return pa.table(
+                {
+                    "seq_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.large_string()),
+                }
+            )
+        g = group.sort_by([("seg_start", "ascending")])
+        text = " ".join(g["seg_text"].to_pylist())
+        ntok = text.count(" ") + 1 if text else 0
+        return pa.table(
+            {
+                "seq_id": pa.array([int(g["seq_id"][0].as_py())], pa.int64()),
+                "n_tokens": pa.array([ntok], pa.int64()),
+                "text": pa.array([text], pa.large_string()),
+            }
+        )
+
+    seqs = (
+        docs.map_batches(segments, batch_format="pyarrow")
+        .groupby("seq_id")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+    seqs.write_parquet(out_dir)
+    out = rd.read_parquet(out_dir, columns=["seq_id", "n_tokens"])
+    summary = collect(out)
+    return pa.table(
+        {
+            "n_seqs": pa.array([summary.num_rows], pa.int64()),
+            "n_tokens": pa.array(
+                [int(pc.sum(summary["n_tokens"]).as_py() or 0)], pa.int64()
+            ),
+        }
+    )
+
+
 def checkpointed_training(
     input_path: str, workdir: str, *, budget: int = 512, n_partitions: int = 32
 ) -> rd.Dataset:
