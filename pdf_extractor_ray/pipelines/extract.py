@@ -81,6 +81,15 @@ def extracted_dataset(
     """Lazy streaming Dataset of extracted rows (mode=stream core).
     ``assign_doc_ids``: carry the collision-free read-time
     ``(shard << 40) | row`` id through extraction (training compositions)."""
+    if os.path.isdir(input_path):
+        from ..sources.pages import list_shards
+
+        if not list_shards(input_path):
+            # fail loud with the same message as checkpoint mode (the
+            # stream path otherwise dies later with an opaque ArrowInvalid)
+            raise ValueError(
+                f"no input parquet shards found under '{input_path}'"
+            )
     dup_index = build_dup_index(input_path) if dedup else None
     # equal-timestamp ties need row provenance so the filter can pick the
     # ONE global winner (win_file match); otherwise skip the path column
