@@ -37,10 +37,12 @@ import ray.data as rd
 from ..corpus import PAGES_SCHEMA
 
 _HDR_SPLIT = b"\r\n\r\n"
-_URI_RE = re.compile(rb"^WARC-Target-URI:\s*(.+?)\s*$", re.M | re.I)
-_DATE_RE = re.compile(rb"^WARC-Date:\s*(.+?)\s*$", re.M | re.I)
-_TYPE_RE = re.compile(rb"^WARC-Type:\s*(.+?)\s*$", re.M | re.I)
-_CLEN_RE = re.compile(rb"^Content-Length:\s*(\d+)\s*$", re.M | re.I)
+# horizontal whitespace ONLY around header values: \s would cross the
+# CRLF into the next header line when a value is empty/whitespace
+_URI_RE = re.compile(rb"^WARC-Target-URI:[ \t]*(.+?)[ \t\r]*$", re.M | re.I)
+_DATE_RE = re.compile(rb"^WARC-Date:[ \t]*(.+?)[ \t\r]*$", re.M | re.I)
+_TYPE_RE = re.compile(rb"^WARC-Type:[ \t]*(.+?)[ \t\r]*$", re.M | re.I)
+_CLEN_RE = re.compile(rb"^Content-Length:[ \t]*(\d+)[ \t\r]*$", re.M | re.I)
 
 
 def _gunzip_members(data: bytes) -> bytes:

@@ -117,3 +117,63 @@ def test_warc_http_envelope_stripped():
     rows = _parse_warc(rec)
     assert rows[0][2] == b"<html>hi</html>"
     assert rows[0][1] == 1735689601000000
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            # URIs contain no whitespace (RFC 3986 / WARC spec); the header
+            # format cannot represent leading/trailing spaces anyway
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs", "Cc", "Zs", "Zl", "Zp")
+                ),
+                min_size=1,
+                max_size=40,
+            ),
+            # seconds since epoch, capped inside ISO-8601's 4-digit years
+            # (the writer's strftime domain, not a parser limit)
+            st.integers(min_value=0, max_value=4_000_000_000),
+            st.binary(max_size=300),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    gz=st.booleans(),
+)
+def test_warc_write_parse_roundtrip_property(tmp_path_factory, rows, gz):
+    """Property: any (url, ts, payload) row set — including payloads that
+    contain 'WARC/' markers, CRLFCRLF, or gzip magic — survives the
+    write->parse roundtrip byte-exactly (the Content-Length framing, not
+    delimiters, must bound records)."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.sources.warc import _parse_warc, write_pages_warc
+
+    d = tmp_path_factory.mktemp("warcfuzz")
+    t = pa.table(
+        {
+            "url": pa.array([u for u, _, _ in rows], pa.string()),
+            "warc_ts": pa.array(
+                [s * 1_000_000 for _, s, _ in rows], pa.timestamp("us", tz="UTC")
+            ),
+            "html": pa.array([b for _, _, b in rows], pa.large_binary()),
+        }
+    )
+    path = str(d / "f.warc")
+    write_pages_warc(t, path, gzip_members=gz)
+    data = open(path, "rb").read()
+    if gz:
+        from pdf_extractor_ray.sources.warc import _gunzip_members
+
+        data = _gunzip_members(data)
+    got = _parse_warc(data)
+    assert len(got) == len(rows)
+    for (u, s, b), (gu, gts, gb) in zip(rows, got):
+        assert gu == u
+        assert gts == s * 1_000_000
+        assert gb == b
