@@ -156,6 +156,37 @@ def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
     return prepare_training_ds(docs, n_rows, budget=budget)
 
 
+def _segments_table(
+    kept_text: "pa.ChunkedArray | pa.Array", starts, budget: int
+) -> pa.Table:
+    """Slice each doc's whitespace tokens at its exact global window
+    boundaries -> (seq_id, seg_start, seg_text) segment rows. Shared by
+    the broadcast and bucketed-join paths so both are byte-identical."""
+    import pyarrow.compute as pc
+
+    trimmed = pc.utf8_trim(kept_text, characters=" \t\n\r\f\v")
+    toks_col = pc.split_pattern_regex(trimmed, r"[ \t\n\r\f\v]+")
+    seq_ids: list[int] = []
+    seg_starts: list[int] = []
+    seg_texts: list[str] = []
+    for row, start in zip(toks_col.to_pylist(), starts.tolist()):
+        toks = row if row and row[0] != "" else []
+        off = 0
+        while off < len(toks):
+            take = min(budget - (start + off) % budget, len(toks) - off)
+            seq_ids.append((start + off) // budget)
+            seg_starts.append(start + off)
+            seg_texts.append(" ".join(toks[off : off + take]))
+            off += take
+    return pa.table(
+        {
+            "seq_id": pa.array(seq_ids, pa.int64()),
+            "seg_start": pa.array(seg_starts, pa.int64()),
+            "seg_text": pa.array(seg_texts, pa.large_string()),
+        }
+    )
+
+
 def write_training_shards(
     input_path: str,
     workdir: str,
@@ -163,6 +194,7 @@ def write_training_shards(
     *,
     budget: int = 512,
     n_partitions: int = 32,
+    broadcast_limit: int = 20_000_000,
 ) -> pa.Table:
     """MATERIALIZED training egress — the step after the assignment
     metadata of ``corpus_to_training``: write the actual packed token
@@ -172,21 +204,23 @@ def write_training_shards(
     Dataflow: extraction runs in CHECKPOINT mode under ``workdir``
     (resumable; a re-run of a failed shard build skips finished extraction
     partitions); ``prepare_training_ds(emit_offsets=True)`` yields each
-    winner's exclusive global token prefix ``tok_start``; the winner
-    offset table (doc_id, tok_start, n_tokens — ints only) broadcasts
-    back so each doc slices its own tokens into per-window SEGMENTS
-    locally (at 10^12-doc scale the broadcast becomes a doc_id hash join;
-    the segment dataflow is unchanged); sequence assembly is then ONE
-    keyed exchange of token payloads grouped by seq_id — each window's
-    segments meet exactly once. Output rows: (seq_id, n_tokens, text).
-    Returns a one-row summary table (n_seqs, n_tokens)."""
+    winner's exclusive global token prefix ``tok_start``. The winner
+    offset table (doc_id, tok_start — ints only, ~16 B/row) BROADCASTS
+    back up to ``broadcast_limit`` rows so each doc slices its own
+    segments locally; past the limit it becomes a BUCKETED doc_id hash
+    JOIN (tag-union single exchange — the order_priority_returned plan —
+    text payloads hop once into their bucket, offsets probe by
+    searchsorted). Sequence assembly is then ONE keyed exchange of token
+    payloads grouped by seq_id — each window's segments meet exactly
+    once. Output rows: (seq_id, n_tokens, text). Returns a one-row
+    summary table (n_seqs, n_tokens)."""
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     import ray
 
-    from ..functions.agg import collect
+    from ..functions.agg import collect, scaled_partitions, tag_partition
     from ..functions.textops import prepare_training_ds
     from ..sources.pages import list_shards
     from .extract import read_extracted, run_checkpoint
@@ -211,48 +245,91 @@ def write_training_shards(
 
     docs = read_extracted(workdir).map_batches(to_docs, batch_format="pyarrow")
     n_rows = sum(pq.read_metadata(f).num_rows for f in list_shards(input_path))
-    meta = collect(
-        prepare_training_ds(docs, n_rows, budget=budget, emit_offsets=True)
-    )
-    if meta is None:
+    meta_ds = prepare_training_ds(
+        docs, n_rows, budget=budget, emit_offsets=True
+    ).select_columns(["doc_id", "tok_start"]).materialize()
+    n_meta = meta_ds.count()
+    if n_meta == 0:
         return pa.table(
             {"n_seqs": pa.array([0], pa.int64()), "n_tokens": pa.array([0], pa.int64())}
         )
-    meta = meta.sort_by([("doc_id", "ascending")])
-    ref = ray.put(
-        (
-            meta["doc_id"].to_numpy(zero_copy_only=False),
-            meta["tok_start"].to_numpy(zero_copy_only=False),
-        )
-    )
 
-    def segments(batch: pa.Table) -> pa.Table:
-        ids_b, starts_b = ray.get(ref)
-        did = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(ids_b, did), max(len(ids_b) - 1, 0))
-        hit = (ids_b[pos] == did) if len(ids_b) else np.zeros(len(did), bool)
-        kept = batch.filter(pa.array(hit))  # winners only (gate/dedup losers drop)
-        starts = starts_b[pos[hit]] if len(ids_b) else np.empty(0, np.int64)
-        trimmed = pc.utf8_trim(kept["text"], characters=" \t\n\r\f\v")
-        toks_col = pc.split_pattern_regex(trimmed, r"[ \t\n\r\f\v]+")
-        seq_ids: list[int] = []
-        seg_starts: list[int] = []
-        seg_texts: list[str] = []
-        for row, start in zip(toks_col.to_pylist(), starts.tolist()):
-            toks = row if row and row[0] != "" else []
-            off = 0
-            while off < len(toks):
-                take = min(budget - (start + off) % budget, len(toks) - off)
-                seq_ids.append((start + off) // budget)
-                seg_starts.append(start + off)
-                seg_texts.append(" ".join(toks[off : off + take]))
-                off += take
-        return pa.table(
-            {
-                "seq_id": pa.array(seq_ids, pa.int64()),
-                "seg_start": pa.array(seg_starts, pa.int64()),
-                "seg_text": pa.array(seg_texts, pa.large_string()),
-            }
+    if n_meta <= broadcast_limit:
+        meta = collect(meta_ds).sort_by([("doc_id", "ascending")])
+        ref = ray.put(
+            (
+                meta["doc_id"].to_numpy(zero_copy_only=False),
+                meta["tok_start"].to_numpy(zero_copy_only=False),
+            )
+        )
+
+        def segments(batch: pa.Table) -> pa.Table:
+            ids_b, starts_b = ray.get(ref)
+            did = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.minimum(np.searchsorted(ids_b, did), max(len(ids_b) - 1, 0))
+            hit = (ids_b[pos] == did) if len(ids_b) else np.zeros(len(did), bool)
+            kept = batch.filter(pa.array(hit))  # winners only
+            starts = starts_b[pos[hit]] if len(ids_b) else np.empty(0, np.int64)
+            return _segments_table(kept["text"], starts, budget)
+
+        seg_ds = docs.map_batches(segments, batch_format="pyarrow")
+    else:
+        # scale path: bucketed join on doc_id — offsets (kind 0) and text
+        # payloads (kind 1) meet in their hash bucket, one exchange
+        n_buckets = scaled_partitions(n_meta)
+
+        def tag_meta(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "tok_start": batch["tok_start"],
+                    "text": pa.nulls(batch.num_rows, pa.string()),
+                    "kind": pa.array([0] * batch.num_rows, pa.int8()),
+                }
+            )
+            return tag_partition(t, ["doc_id"], n_buckets)
+
+        def tag_docs(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "tok_start": pa.array([0] * batch.num_rows, pa.int64()),
+                    "text": pc.cast(batch["text"], pa.string()),
+                    "kind": pa.array([1] * batch.num_rows, pa.int8()),
+                }
+            )
+            return tag_partition(t, ["doc_id"], n_buckets)
+
+        tagged = meta_ds.map_batches(tag_meta, batch_format="pyarrow").union(
+            docs.map_batches(tag_docs, batch_format="pyarrow")
+        )
+
+        def join_segments(group: pa.Table) -> pa.Table:
+            if group.num_columns == 0 or group.num_rows == 0:
+                return pa.table(
+                    {
+                        "seq_id": pa.array([], pa.int64()),
+                        "seg_start": pa.array([], pa.int64()),
+                        "seg_text": pa.array([], pa.large_string()),
+                    }
+                )
+            m = group.filter(pc.equal(group["kind"], 0)).sort_by(
+                [("doc_id", "ascending")]
+            )
+            d = group.filter(pc.equal(group["kind"], 1))
+            ids_b = m["doc_id"].to_numpy(zero_copy_only=False)
+            starts_b = m["tok_start"].to_numpy(zero_copy_only=False)
+            did = d["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ids_b, did), max(len(ids_b) - 1, 0))
+            hit = (ids_b[pos] == did) if len(ids_b) else np.zeros(len(did), bool)
+            kept = d.filter(pa.array(hit))
+            starts = starts_b[pos[hit]] if len(ids_b) else np.empty(0, np.int64)
+            return _segments_table(kept["text"], starts, budget)
+
+        seg_ds = tagged.groupby("__pp").map_groups(
+            join_segments, batch_format="pyarrow"
         )
 
     def assemble(group: pa.Table) -> pa.Table:
@@ -275,11 +352,17 @@ def write_training_shards(
             }
         )
 
-    seqs = (
-        docs.map_batches(segments, batch_format="pyarrow")
-        .groupby("seq_id")
-        .map_groups(assemble, batch_format="pyarrow")
+    seqs = seg_ds.groupby("seq_id").map_groups(
+        assemble, batch_format="pyarrow"
     )
+    # idempotent re-run: clear stale shard files first (write_parquet
+    # appends uniquely-named files; leftovers would double-count on read)
+    import glob as _glob
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    for p in _glob.glob(f"{out_dir}/*.parquet"):
+        _os.remove(p)
     seqs.write_parquet(out_dir)
     out = rd.read_parquet(out_dir, columns=["seq_id", "n_tokens"])
     summary = collect(out)

@@ -28,6 +28,23 @@ def test_training_shards_exact_stream(ray_session, small_corpus, tmp_path):
         budget=budget,
         n_partitions=4,
     )
+    # the bucketed-join scale path (forced) must produce byte-identical
+    # shards to the broadcast path
+    write_training_shards(
+        small_corpus["corpus"],
+        str(tmp_path / "work"),
+        str(tmp_path / "shards_join"),
+        budget=budget,
+        n_partitions=4,
+        broadcast_limit=0,
+    )
+    a = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(str(tmp_path / "shards" / "*.parquet"))]
+    ).sort_by([("seq_id", "ascending")])
+    b = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(str(tmp_path / "shards_join" / "*.parquet"))]
+    ).sort_by([("seq_id", "ascending")])
+    assert a.equals(b)
     shard_files = glob.glob(str(tmp_path / "shards" / "*.parquet"))
     assert shard_files
     seqs = (
