@@ -180,6 +180,29 @@ def bench_training(corpus_path: str) -> dict:
     }
 
 
+def bench_shards(corpus_path: str) -> dict:
+    """Time the MATERIALIZED training egress (write_training_shards):
+    checkpointed extraction + packing assignment + segment/seq exchanges +
+    sharded parquet write, end to end from a cold workdir."""
+    import shutil
+
+    from pdf_extractor_ray.pipelines.webpages import write_training_shards
+
+    work, out = "/tmp/graft_bench_shards_work", "/tmp/graft_bench_shards_out"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    frag_bytes = corpus_bytes(corpus_path)
+    t0 = time.perf_counter()
+    summary = write_training_shards(corpus_path, work, out, n_partitions=256)
+    wall = time.perf_counter() - t0
+    return {
+        "n_seqs": int(summary["n_seqs"][0].as_py()),
+        "n_tokens": int(summary["n_tokens"][0].as_py()),
+        "wall_s": round(wall, 3),
+        "mb_per_s": round(frag_bytes / wall / 1e6, 2),
+    }
+
+
 def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     import ray
 
@@ -195,11 +218,13 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     extract = bench_extract(corpus, num_cpus)
     ckpt = bench_checkpoint(corpus)
     training = bench_training(corpus)
+    shards = bench_shards(corpus)
     queries = {} if skip_queries else run_queries(sf_dir)
     total = (
         extract["wall_s"]
         + ckpt["wall_s"]
         + training["wall_s"]
+        + shards["wall_s"]
         + sum(queries.values())
     )
     result = {
@@ -210,6 +235,7 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
             "extract_corpus_stream": extract["wall_s"],
             "extract_corpus_checkpoint": ckpt["wall_s"],
             "corpus_to_training": training["wall_s"],
+            "training_shards": shards["wall_s"],
             **queries,
         },
         "sf": sf,
@@ -217,6 +243,7 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
         "extract": extract,
         "extract_checkpoint": ckpt,
         "corpus_training": training,
+        "training_shards": shards,
     }
     ray.shutdown()
     return result
@@ -487,6 +514,7 @@ def main() -> None:
                         "extract_corpus_stream",
                         "extract_corpus_checkpoint",
                         "corpus_to_training",
+                        "training_shards",
                     )
                     if k in q
                 }
@@ -500,6 +528,7 @@ def main() -> None:
                     "extract": full["extract"],
                     "extract_checkpoint": full["extract_checkpoint"],
                     "corpus_training": full["corpus_training"],
+                    "training_shards": full.get("training_shards"),
                     "n_queries": len(q),
                     "queries_total_s": round(
                         sum(v for k, v in q.items() if k not in headline), 3

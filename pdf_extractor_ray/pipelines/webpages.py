@@ -161,28 +161,58 @@ def _segments_table(
 ) -> pa.Table:
     """Slice each doc's whitespace tokens at its exact global window
     boundaries -> (seq_id, seg_start, seg_text) segment rows. Shared by
-    the broadcast and bucketed-join paths so both are byte-identical."""
+    the broadcast and bucketed-join paths so both are byte-identical.
+    Fully vectorized: flatten all tokens, compute each token's global
+    position, cut segments where the doc or the window changes, and
+    ``binary_join`` per segment via one list array — no per-doc Python
+    (the first version's per-doc loop was the stage's hot spot)."""
+    import numpy as np
     import pyarrow.compute as pc
 
+    empty = pa.table(
+        {
+            "seq_id": pa.array([], pa.int64()),
+            "seg_start": pa.array([], pa.int64()),
+            "seg_text": pa.array([], pa.large_string()),
+        }
+    )
+    if len(kept_text) == 0:
+        return empty
+    starts = np.asarray(starts, dtype=np.int64)
     trimmed = pc.utf8_trim(kept_text, characters=" \t\n\r\f\v")
     toks_col = pc.split_pattern_regex(trimmed, r"[ \t\n\r\f\v]+")
-    seq_ids: list[int] = []
-    seg_starts: list[int] = []
-    seg_texts: list[str] = []
-    for row, start in zip(toks_col.to_pylist(), starts.tolist()):
-        toks = row if row and row[0] != "" else []
-        off = 0
-        while off < len(toks):
-            take = min(budget - (start + off) % budget, len(toks) - off)
-            seq_ids.append((start + off) // budget)
-            seg_starts.append(start + off)
-            seg_texts.append(" ".join(toks[off : off + take]))
-            off += take
+    if isinstance(toks_col, pa.ChunkedArray):
+        toks_col = toks_col.combine_chunks()
+    flat = pc.list_flatten(toks_col)
+    parent = pc.list_parent_indices(toks_col).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")  # empty docs split to [""] — drop
+    if not pc.all(keep).as_py():
+        mask = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parent = parent[mask]
+    total = len(parent)
+    if total == 0:
+        return empty
+    run_start = np.ones(total, bool)
+    run_start[1:] = parent[1:] != parent[:-1]
+    run_idx = np.flatnonzero(run_start)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        run_idx, np.diff(np.append(run_idx, total))
+    )
+    gpos = starts[parent] + within
+    seq = gpos // budget
+    new_seg = run_start.copy()
+    new_seg[1:] |= seq[1:] != seq[:-1]
+    seg_idx = np.flatnonzero(new_seg)
+    offsets = pa.array(np.append(seg_idx, total), pa.int64())
+    lists = pa.LargeListArray.from_arrays(
+        offsets, pc.cast(flat, pa.large_string())
+    )
     return pa.table(
         {
-            "seq_id": pa.array(seq_ids, pa.int64()),
-            "seg_start": pa.array(seg_starts, pa.int64()),
-            "seg_text": pa.array(seg_texts, pa.large_string()),
+            "seq_id": pa.array(seq[seg_idx], pa.int64()),
+            "seg_start": pa.array(gpos[seg_idx], pa.int64()),
+            "seg_text": pc.binary_join(lists, pa.scalar(" ", pa.large_string())),
         }
     )
 
@@ -332,28 +362,52 @@ def write_training_shards(
             join_segments, batch_format="pyarrow"
         )
 
-    def assemble(group: pa.Table) -> pa.Table:
+    def assemble_bucket(group: pa.Table) -> pa.Table:
+        # ONE vectorized pass per hash BUCKET of sequences (a map_groups
+        # call per seq_id measured ~60 s at 187k seqs — the per-group
+        # Python killer): sort (seq_id, seg_start), cut at seq changes,
+        # binary_join the segment texts per sequence
+        empty = pa.table(
+            {
+                "seq_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "text": pa.array([], pa.large_string()),
+            }
+        )
         if group.num_columns == 0 or group.num_rows == 0:
-            return pa.table(
-                {
-                    "seq_id": pa.array([], pa.int64()),
-                    "n_tokens": pa.array([], pa.int64()),
-                    "text": pa.array([], pa.large_string()),
-                }
-            )
-        g = group.sort_by([("seg_start", "ascending")])
-        text = " ".join(g["seg_text"].to_pylist())
-        ntok = text.count(" ") + 1 if text else 0
+            return empty
+        g = group.sort_by(
+            [("seq_id", "ascending"), ("seg_start", "ascending")]
+        )
+        sid = g["seq_id"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(sid), bool)
+        first[1:] = sid[1:] != sid[:-1]
+        idx = np.flatnonzero(first)
+        offsets = pa.array(np.append(idx, len(sid)), pa.int64())
+        lists = pa.LargeListArray.from_arrays(
+            offsets, g["seg_text"].combine_chunks()
+        )
+        text = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+        ntok = pc.add(
+            pc.cast(pc.count_substring(text, " "), pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
         return pa.table(
             {
-                "seq_id": pa.array([int(g["seq_id"][0].as_py())], pa.int64()),
-                "n_tokens": pa.array([ntok], pa.int64()),
-                "text": pa.array([text], pa.large_string()),
+                "seq_id": pa.array(sid[idx], pa.int64()),
+                "n_tokens": ntok,
+                "text": text,
             }
         )
 
-    seqs = seg_ds.groupby("seq_id").map_groups(
-        assemble, batch_format="pyarrow"
+    n_seq_buckets = scaled_partitions(n_meta)
+    seqs = (
+        seg_ds.map_batches(
+            lambda b: tag_partition(b, ["seq_id"], n_seq_buckets),
+            batch_format="pyarrow",
+        )
+        .groupby("__pp")
+        .map_groups(assemble_bucket, batch_format="pyarrow")
     )
     # idempotent re-run: clear stale shard files first (write_parquet
     # appends uniquely-named files; leftovers would double-count on read)
