@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_epochs": T.mix_epochs,
         "dsir_weights": T.dsir_weights,
         "bigram_lm_scores": T.bigram_lm_scores,
+        "snapshot_delta": T.snapshot_delta,
         "nb_lang_classify": T.nb_lang_classify,
         "prepare_training": T.prepare_training,
         "doc_top_terms": T.doc_top_terms,
@@ -550,6 +551,29 @@ def oracle_sql() -> dict[str, str]:
                            x -> ABS(CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT))),
                        'sum'), 0) AS BIGINT) AS l1_milli
             FROM embeddings
+        """,
+        "snapshot_delta": """
+            -- incremental-crawl snapshot diff: snapshot B derived
+            -- deterministically from A (docs %10 deleted, %7 revised,
+            -- %13 spawn a new id), classified by presence + null-safe
+            -- content-hash compare; unchanged rows omitted
+            WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+            b AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, md5('new ' || text)
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'deleted'
+                        ELSE 'changed' END AS change
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+               OR a.h IS DISTINCT FROM b.h
         """,
         "bigram_lm_scores": """
             -- CCNet-style LM filter score: corpus-trained add-one bigram

@@ -187,6 +187,118 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
 # the md5, so semantics equal GROUP BY text.
 # -------------------------------------------------------------------------
 
+def snapshot_delta(sf_dir: str) -> pa.Table:
+    """Incremental-crawl SNAPSHOT DIFF — which documents were added,
+    deleted, or changed between two corpus snapshots (the step before
+    ``incremental_new_docs``-style selective reprocessing). The second
+    snapshot here is DERIVED deterministically from the first (test
+    harness: doc_id%10==0 deleted, doc_id%7==0 text revised, one new doc
+    per doc_id%13==0 — production passes a second table; the dataflow is
+    input-agnostic). Plan: both snapshots reduce to (doc_id, md5) rows —
+    payloads never cross the wire — tag-union ONE doc_id-hash exchange,
+    per-bucket vectorized classification by sorted-id membership +
+    null-safe hash compare; the driver receives DIFF rows only (the
+    changed fraction, small by assumption in an incremental crawl)."""
+    import functools as _ft
+    import hashlib
+
+    import numpy as np
+
+    from .agg import collect, tag_partition
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _h(texts: list) -> list:
+        return [
+            None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in texts
+        ]
+
+    def tag_both(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        a_ids, a_h = list(ids), _h(texts)
+        b_ids: list[int] = []
+        b_texts: list = []
+        for i, t in zip(ids, texts):
+            if i % 10 == 0:
+                continue  # deleted in snapshot B
+            b_ids.append(i)
+            b_texts.append(
+                (t + " rev2") if (i % 7 == 0 and t is not None) else t
+            )
+        for i, t in zip(ids, texts):
+            if i % 13 == 0:
+                b_ids.append(i + 1_000_000)
+                b_texts.append(("new " + t) if t is not None else None)
+        t = pa.table(
+            {
+                "doc_id": pa.array(a_ids + b_ids, pa.int64()),
+                "h": pa.array(a_h + _h(b_texts), pa.string()),
+                "kind": pa.array(
+                    [0] * len(a_ids) + [1] * len(b_ids), pa.int8()
+                ),
+            }
+        )
+        return tag_partition(t, ["doc_id"])
+
+    def diff_of(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "change": pa.array([], pa.string()),
+            }
+        )
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty
+        a = group.filter(pc.equal(group["kind"], 0)).sort_by(
+            [("doc_id", "ascending")]
+        )
+        b = group.filter(pc.equal(group["kind"], 1)).sort_by(
+            [("doc_id", "ascending")]
+        )
+        ai = a["doc_id"].to_numpy(zero_copy_only=False)
+        bi = b["doc_id"].to_numpy(zero_copy_only=False)
+        ah = np.asarray(a["h"].to_pylist(), dtype=object)
+        bh = np.asarray(b["h"].to_pylist(), dtype=object)
+
+        def member(x: np.ndarray, sorted_y: np.ndarray) -> np.ndarray:
+            if len(sorted_y) == 0:
+                return np.zeros(len(x), bool)
+            p = np.minimum(np.searchsorted(sorted_y, x), len(sorted_y) - 1)
+            return sorted_y[p] == x
+
+        in_b = member(ai, bi)
+        in_a = member(bi, ai)
+        ids: list[np.ndarray] = [ai[~in_b], bi[~in_a]]
+        kinds: list[list[str]] = [
+            ["deleted"] * int((~in_b).sum()),
+            ["added"] * int((~in_a).sum()),
+        ]
+        both_a = ai[in_b]
+        pos_b = np.searchsorted(bi, both_a)
+        diff = ah[in_b] != bh[pos_b]  # None == None -> unchanged (null-safe)
+        ids.append(both_a[diff])
+        kinds.append(["changed"] * int(diff.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "change": pa.array(sum(kinds, []), pa.string()),
+            }
+        )
+
+    out = collect(
+        ds.map_batches(tag_both, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(diff_of, batch_format="pyarrow")
+    )
+    if out is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "change": pa.array([], pa.string())}
+        )
+    return out.sort_by([("doc_id", "ascending")])
+
+
 def dedup_exact(sf_dir: str) -> rd.Dataset:
     import pyarrow.parquet as pq
 
