@@ -156,6 +156,43 @@ def corpus_to_training(input_path: str, *, budget: int = 512) -> rd.Dataset:
     return prepare_training_ds(docs, n_rows, budget=budget)
 
 
+def warc_to_training(warc_dir: str, *, budget: int = 512) -> rd.Dataset:
+    """``corpus_to_training`` straight off raw crawl archives: a directory
+    of .warc/.warc.gz files streams through sniff -> extract -> quality
+    gate -> exact dedup -> deterministic shuffle order -> packing, no
+    parquet conversion step. Doc ids are the WARC analog of the read-time
+    scheme — ``(archive_index << 40) | record_index`` — so a corpus
+    written one-archive-per-parquet-shard in row order packs
+    ROW-IDENTICALLY to ``corpus_to_training`` over the parquet original
+    (test-pinned)."""
+    import pyarrow.compute as pc
+
+    from ..functions.agg import instance_stage
+    from ..functions.textops import prepare_training_ds
+    from ..sources.warc import read_pages_warc
+    from ..stages.extract import DocumentExtractor
+    from ..stages.sniff import sniff_and_partition
+
+    pages = read_pages_warc(warc_dir, assign_doc_ids=True)
+    pages = pages.map_batches(sniff_and_partition, batch_format="pyarrow")
+    extracted = instance_stage(
+        pages, DocumentExtractor, batch_size=64, emit_pages=False
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.equal(batch["status"], "ok"))
+        return pa.table(
+            {
+                "doc_id": ok["doc_id"],
+                "text": pc.cast(ok["extracted_text"], pa.string()),
+            }
+        )
+
+    docs = extracted.map_batches(to_docs, batch_format="pyarrow")
+    n_rows = pages.count()
+    return prepare_training_ds(docs, n_rows, budget=budget)
+
+
 def _segments_table(
     kept_text: "pa.ChunkedArray | pa.Array", starts, budget: int
 ) -> pa.Table:

@@ -113,17 +113,27 @@ def _parse_warc(data: bytes) -> list[tuple[str, int | None, bytes]]:
     return rows
 
 
-def read_pages_warc(input_path: str) -> rd.Dataset:
+def read_pages_warc(
+    input_path: str, *, assign_doc_ids: bool = False
+) -> rd.Dataset:
     """Pages Dataset from a directory of ``*.warc`` / ``*.warc.gz`` files
     (or one file). ``text`` / ``lang`` are absent from WARC and arrive as
-    nulls — exactly like a parquet corpus with null columns."""
+    nulls — exactly like a parquet corpus with null columns.
+    ``assign_doc_ids``: add the collision-free read-time id
+    ``doc_id = (archive_index << 40) | record_index`` (archive index over
+    the sorted file list — the exact WARC analog of
+    ``pages.read_pages_with_ids``'s shard/row scheme)."""
     paths = sorted(glob(f"{input_path}/*.warc*")) or [input_path]
+    file_idx = {p: i for i, p in enumerate(paths)}
 
     def parse(batch: pa.Table) -> pa.Table:
         urls: list[str] = []
         tss: list[int | None] = []
         htmls: list[bytes] = []
-        for data in batch["bytes"].to_pylist():
+        ids: list[int] = []
+        for path, data in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
             # detect gzip by MAGIC, not extension: ray's read_binary_files
             # auto-decompresses *.gz via the arrow filesystem layer, so a
             # .warc.gz may arrive either way (and hand-built readers pass
@@ -133,21 +143,24 @@ def read_pages_warc(input_path: str) -> rd.Dataset:
                     data = _gunzip_members(data)
                 except zlib.error:
                     continue  # malformed archive: skip file, keep batch
-            for url, ts, html in _parse_warc(data):
+            base = file_idx.get(path, 0) << 40
+            for rec_i, (url, ts, html) in enumerate(_parse_warc(data)):
                 urls.append(url)
                 tss.append(ts)
                 htmls.append(html)
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
-                "html": pa.array(htmls, pa.large_binary()),
-                "text": pa.nulls(len(urls), pa.string()),
-                "lang": pa.nulls(len(urls), pa.string()),
-            }
-        )
+                ids.append(base | rec_i)
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.large_binary()),
+            "text": pa.nulls(len(urls), pa.string()),
+            "lang": pa.nulls(len(urls), pa.string()),
+        }
+        if assign_doc_ids:
+            cols["doc_id"] = pa.array(ids, pa.int64())
+        return pa.table(cols)
 
-    return rd.read_binary_files(paths).map_batches(
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
         parse, batch_format="pyarrow"
     )
 

@@ -177,3 +177,38 @@ def test_warc_write_parse_roundtrip_property(tmp_path_factory, rows, gz):
         assert gu == u
         assert gts == s * 1_000_000
         assert gb == b
+
+
+def test_warc_to_training_matches_parquet_composition(
+    ray_session, small_corpus, tmp_path
+):
+    """warc_to_training over archives mirroring the parquet sharding
+    (one .warc per shard, rows in order) packs ROW-IDENTICALLY to
+    corpus_to_training over the parquet corpus — same read-time ids,
+    same winners, same shuffle order, same windows."""
+    from pdf_extractor_ray.pipelines.webpages import (
+        corpus_to_training,
+        warc_to_training,
+    )
+
+    shards = sorted(glob.glob(f"{small_corpus['corpus']}/*.parquet"))
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    for i, f in enumerate(shards):
+        write_pages_warc(pq.read_table(f), str(wdir / f"seg-{i:03d}.warc"))
+
+    a = (
+        corpus_to_training(small_corpus["corpus"], budget=64)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    b = (
+        warc_to_training(str(wdir), budget=64)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
