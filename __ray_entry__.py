@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_groups": T.jaccard_dup_groups,
         "vocab_topk": T.vocab_topk,
         "vocab_topk_sketch": T.vocab_topk_sketch,
+        "vocab_counts_cms": T.vocab_counts_cms,
         "collocations_topk": T.collocations_topk,
         "tfidf_search": T.tfidf_search,
         "curation_summary": T.curation_summary,

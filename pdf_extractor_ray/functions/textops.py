@@ -2064,6 +2064,94 @@ def vocab_topk(sf_dir: str, k: int = 100) -> pa.Table:
     )
 
 
+_CMS_D = 4
+_CMS_W = 16384
+
+
+def vocab_counts_cms(sf_dir: str, k: int = 20) -> pa.Table:
+    """Count-Min sketch term-frequency estimates (Cormode & Muthukrishnan
+    2005) — the point-query counterpart of the Misra-Gries heavy-hitters
+    sketch (``vocab_topk_sketch``): a d x w counter matrix whose partials
+    are MERGEABLE by elementwise sum, so the exchange carries at most
+    d*w = 64k (cell, count) rows regardless of corpus size and the sketch
+    answers est(term) = min_i M[i, h_i(term)] with est >= true and
+    overestimate <= ~e*N/w with high probability. Hashing is the
+    vectorized deterministic pandas row hash under d distinct keys — no
+    per-token Python. Returns (term, est, cnt) for the exact top-k terms
+    so the estimate can be judged against truth (pytest asserts the
+    bounds)."""
+    import pandas as pd
+
+    from .agg import collect
+
+    ds = _read_docs(sf_dir, ["text"])
+    keys = [f"cms-row-key-{i:02d}!".ljust(16, "x")[:16] for i in range(_CMS_D)]
+
+    def _cells(flat: pa.Array) -> "np.ndarray":
+        s = pd.Series(flat.to_pandas(), dtype="object")
+        return np.stack(
+            [
+                (
+                    pd.util.hash_pandas_object(s, index=False, hash_key=key)
+                    .to_numpy()
+                    .astype(np.uint64)
+                    % _CMS_W
+                ).astype(np.int64)
+                for key in keys
+            ]
+        )  # (d, n_tokens)
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        flat = pc.list_flatten(pc.split_pattern_regex(low, "[^a-z0-9]+"))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        cells = _cells(flat.combine_chunks())
+        ids = (
+            np.arange(_CMS_D, dtype=np.int64)[:, None] * _CMS_W + cells
+        ).reshape(-1)
+        t = pa.table(
+            {
+                "cell": pa.array(ids, pa.int64()),
+                "c": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+        return partial_group_agg(t, keys=["cell"], aggs=[("c", "sum")])
+
+    reduced = collect(
+        grouped_sum(ds, keys=["cell"], partial=sketch_partial, sum_cols=["c"])
+    )
+    m = np.zeros(_CMS_D * _CMS_W, np.int64)
+    if reduced is not None:
+        m[reduced["cell"].to_numpy(zero_copy_only=False)] = reduced[
+            "c"
+        ].to_numpy(zero_copy_only=False)
+
+    probes = vocab_topk(sf_dir, k=k)  # exact top-k = the judged queries
+    if probes.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "est": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    cells = _cells(probes["term"].combine_chunks())
+    est = np.min(
+        m[np.arange(_CMS_D, dtype=np.int64)[:, None] * _CMS_W + cells], axis=0
+    )
+    return pa.table(
+        {
+            "term": probes["term"],
+            "est": pa.array(est, pa.int64()),
+            "cnt": pc.cast(probes["cnt"], pa.int64()),
+        }
+    ).sort_by([("term", "ascending")])
+
+
 # -------------------------------------------------------------------------
 # normalize_text — canonical text form ahead of hashing/dedup/tokenization:
 # unicode lowercase, ASCII-whitespace runs collapsed to single spaces,

@@ -544,3 +544,28 @@ def test_validate_refs_planted_orphans(ray_session, tmp_path):
     df = validate_refs(str(d)).to_pandas().set_index("rule")["violations"]
     assert df["orphan_order_cust"] == 1
     assert df["orphan_lineitem_order"] == 2
+
+
+def test_vocab_counts_cms_bounds(ray_session):
+    """Count-Min guarantees: est >= true always; the overestimate is
+    bounded by the sketch's eps*N (e/w per row, min over d rows — assert
+    a generous deterministic multiple)."""
+    import duckdb
+
+    from pdf_extractor_ray.functions.textops import _CMS_W, vocab_counts_cms
+
+    sf = "/root/testdata/sf0.001"
+    out = vocab_counts_cms(sf, k=20)
+    assert out.num_rows == 20
+    est = out["est"].to_pylist()
+    cnt = out["cnt"].to_pylist()
+    assert all(e >= c for e, c in zip(est, cnt))  # never underestimates
+    n_tokens = duckdb.sql(
+        "SELECT SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))"
+        f" FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    bound = 8 * n_tokens // _CMS_W + 1
+    assert all(e - c <= bound for e, c in zip(est, cnt)), (
+        max(e - c for e, c in zip(est, cnt)),
+        bound,
+    )
