@@ -565,7 +565,8 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE text END) AS h
                 FROM documents WHERE doc_id % 10 <> 0
                 UNION ALL
-                SELECT doc_id + 1000000, md5('new ' || text)
+                -- spawned ids are negative: collision-free vs real ids
+                SELECT -(doc_id + 1), md5('new ' || text)
                 FROM documents WHERE doc_id % 13 = 0
             )
             SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,

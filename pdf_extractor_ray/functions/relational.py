@@ -2381,9 +2381,13 @@ def events_hopping(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events", ["ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         c = cents(batch["value"]).to_numpy(zero_copy_only=False)
-        base = us // _HOP_US
+        # pc.divide truncates toward zero, matching events_tumbling and the
+        # DuckDB oracle's `//` for any epoch sign (numpy `//` floors, which
+        # diverges for pre-1970 timestamps)
+        base = pc.divide(
+            pc.cast(batch["ts"], pa.int64()), pa.scalar(_HOP_US, pa.int64())
+        ).to_numpy(zero_copy_only=False)
         ws = np.concatenate([(base - k) * _HOP_US for k in range(_HOP_COUNT)])
         t = pa.table(
             {

@@ -229,7 +229,10 @@ def snapshot_delta(sf_dir: str) -> pa.Table:
             )
         for i, t in zip(ids, texts):
             if i % 13 == 0:
-                b_ids.append(i + 1_000_000)
+                # spawned ids live in the negative range so they can NEVER
+                # collide with real non-negative doc_ids (a +1M offset
+                # collides once the corpus passes 1M documents)
+                b_ids.append(-(i + 1))
                 b_texts.append(("new " + t) if t is not None else None)
         t = pa.table(
             {

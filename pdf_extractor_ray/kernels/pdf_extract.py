@@ -48,8 +48,10 @@ _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
-# direct-integer /Length only — '/Length 5 0 R' (indirect) must NOT match
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# direct-integer /Length only — '/Length 5 0 R' (indirect) must NOT match.
+# (?![0-9]) forces the full digit run so backtracking can't shrink the group
+# to defeat the indirect-ref lookahead (e.g. '/Length 123 0 R' matching '12')
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 
 Y_LINE_TOL = 2.0
 GAP_SPACE_FACTOR = 0.3

@@ -358,6 +358,21 @@ def run_checkpoint(
 
                 _shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
     skip = completed_partitions(output_dir, groups) if resume else frozenset()
+    if assign_doc_ids and skip:
+        # a checkpoint written by a pre-doc_id release would otherwise
+        # surface as an opaque KeyError deep in the packing exchange —
+        # validate the finished partitions' schema up front (footer-only
+        # read) and fail actionably
+        import pyarrow.parquet as _pq
+
+        for pid in skip:
+            p = os.path.join(output_dir, f"part-{pid}", "extracted.parquet")
+            if "doc_id" not in _pq.read_schema(p).names:
+                raise ValueError(
+                    f"stale checkpoint: {p} has no 'doc_id' column (written "
+                    "by a run without assign_doc_ids); delete the workdir "
+                    "or re-run with resume=False to re-extract"
+                )
     dup_index = build_dup_index(input_path) if dedup else None
     dup_ref = ray.put(dup_index)  # broadcast once, read zero-copy per task
     # infra-level retry budget from the engine's declared config (reference

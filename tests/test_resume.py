@@ -170,3 +170,23 @@ def test_checkpointed_training_matches_stream_and_resumes(
         shutil.rmtree(os.path.join(work, f"part-{pid}"))
     again = canon(checkpointed_training(small_corpus["corpus"], work, n_partitions=8))
     pd.testing.assert_frame_equal(stream, again)
+
+
+def test_resume_rejects_stale_pre_docid_checkpoint(ray_session, small_corpus, tmp_path):
+    """A workdir extracted WITHOUT doc_ids (older release / plain extraction
+    run) must fail fast with an actionable error when a doc_id-requiring
+    resume reuses it — not a KeyError deep inside the packing exchange."""
+    import pytest
+
+    from pdf_extractor_ray.pipelines.extract import run_checkpoint
+
+    out = str(tmp_path / "stale")
+    run_checkpoint(
+        small_corpus["corpus"], out, n_partitions=4, resume=False,
+        emit_pages=False, assign_doc_ids=False,
+    )
+    with pytest.raises(ValueError, match="stale checkpoint"):
+        run_checkpoint(
+            small_corpus["corpus"], out, n_partitions=4, resume=True,
+            emit_pages=False, assign_doc_ids=True,
+        )

@@ -32,18 +32,22 @@ def test_warc_roundtrip(ray_session, small_corpus, tmp_path, gz):
     n2 = write_pages_warc(src.slice(half), str(tmp_path / f"b.{ext}"), gzip_members=gz)
     assert n1 + n2 == src.num_rows
 
-    back = read_pages_warc(str(tmp_path)).to_pandas().sort_values("url").reset_index(drop=True)
-    orig = src.to_pandas().sort_values("url").reset_index(drop=True)
+    # sort by a TOTAL key: the corpus contains duplicate-url rows whose
+    # relative order depends on Ray block arrival, so url alone is not
+    # enough — include the second-resolution ts (WARC-Date granularity)
+    # and the payload itself as tiebreakers
+    def _canon(df):
+        df = df.copy()
+        df["_ts_s"] = df["warc_ts"].astype("int64") // 1_000_000
+        df["_html"] = df["html"].map(lambda b: bytes(b or b""))
+        return df.sort_values(["url", "_ts_s", "_html"]).reset_index(drop=True)
+
+    back = _canon(read_pages_warc(str(tmp_path)).to_pandas())
+    orig = _canon(src.to_pandas())
     assert len(back) == len(orig)
     assert (back["url"] == orig["url"]).all()
-    assert (
-        back["warc_ts"].astype("int64") // 1_000_000
-        == orig["warc_ts"].astype("int64") // 1_000_000
-    ).all()  # WARC-Date has second resolution
-    assert all(
-        bytes(a or b"") == bytes(b_ or b"")
-        for a, b_ in zip(back["html"], orig["html"])
-    )
+    assert (back["_ts_s"] == orig["_ts_s"]).all()  # WARC-Date: second resolution
+    assert (back["_html"] == orig["_html"]).all()
 
 
 def test_warc_extraction_parity(ray_session, small_corpus, tmp_path):
