@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.functions import links as L
     from pdf_extractor_ray.pipelines.webpages import (
         extract_from_documents,
+        pdf_tables as _pdf_tables,
         web_to_training as _web_to_training,
     )
     from pdf_extractor_ray.pipelines.fanout import fanout_extract
@@ -184,6 +185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (rows-only)
         "extract_flagship": extract_from_documents,
+        # M7 TABLE product: synthetic-PDF table-region detection, pipe-joined
+        # in the reference pdfplumber format (rows-only; byte-level pytest
+        # coverage in tests/test_pdf_tables.py)
+        "pdf_tables": _pdf_tables,
         # multi-extractor fan-out (reference main.py:77-137; rows-only)
         "fanout_extract": fanout_extract,
     }

@@ -182,7 +182,11 @@ def _html_malformed(rng: random.Random) -> bytes:
 
 def _page_content(rng: random.Random) -> bytes:
     """One page: 1-4 text blocks at descending y; block emission order is
-    shuffled to exercise the reading-order sort."""
+    shuffled to exercise the reading-order sort. ~30% of pages also carry a
+    planted TABLE region: R x C single-word cells at fixed column x
+    positions (column gap >> the kernel's CELL_GAP_FACTOR * font_size), so
+    the table-detection product (kernels/pdf_extract._detect_tables) has
+    real corpus coverage."""
     n_blocks = rng.randint(1, 4)
     y = 720.0
     blocks: list[tuple[float, bytes]] = []
@@ -205,6 +209,20 @@ def _page_content(rng: random.Random) -> bytes:
         ops.append(b"ET")
         blocks.append((y, b" ".join(ops)))
         y -= 14.0 * n_lines + rng.choice([40.0, 60.0, 80.0])
+    if rng.random() < 0.3:
+        n_rows = rng.randint(2, 5)
+        n_cols = rng.randint(2, 4)
+        ops = [b"BT /F1 12 Tf"]
+        for r in range(n_rows):
+            ry = y - 14.0 * r
+            for c in range(n_cols):
+                # Tm = absolute positioning; widest cell word (13 chars)
+                # is 78 pts at 12 pt, leaving a >= 72 pt inter-column gap
+                ops.append(f"1 0 0 1 {72 + 150 * c} {ry:.0f} Tm".encode())
+                ops.append(_pdf_str(rng.choice(_WORDS)) + b" Tj")
+        ops.append(b"ET")
+        blocks.append((y, b" ".join(ops)))
+        y -= 14.0 * n_rows + rng.choice([40.0, 60.0, 80.0])
     rng.shuffle(blocks)
     return b"\n".join(b for _, b in blocks)
 

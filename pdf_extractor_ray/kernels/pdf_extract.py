@@ -57,6 +57,15 @@ Y_LINE_TOL = 2.0
 GAP_SPACE_FACTOR = 0.3
 BLOCK_GAP_FACTOR = 2.0
 CHAR_WIDTH_FACTOR = 0.5
+# table detection (frozen, like the layout constants above): a horizontal
+# gap wider than CELL_GAP_FACTOR * font_size splits a line into cells; >= 2
+# consecutive lines whose >= 2 cell left edges align within COL_ALIGN_TOL
+# points form a table region (pdfplumber's "text" table strategy in spirit:
+# our synthetic/no-graphics PDFs carry no ruling lines to snap to)
+CELL_GAP_FACTOR = 2.0
+COL_ALIGN_TOL = 4.0
+MIN_TABLE_ROWS = 2
+MIN_TABLE_COLS = 2
 
 
 class PdfError(Exception):
@@ -519,9 +528,72 @@ def _run_text_ops(stream: bytes) -> list[_Chunk]:
 # Layout analysis: chunks -> lines -> blocks -> reading-order text
 # --------------------------------------------------------------------------
 
-def _layout_page(chunks: list[_Chunk]) -> str:
+def _split_cells(line: list[_Chunk]) -> list[tuple[float, str]]:
+    """x-sorted line -> ``[(cell_left_x, raw_cell_text)]``. A gap wider than
+    ``CELL_GAP_FACTOR * size`` starts a new cell; narrower word gaps follow
+    the text path's one-space rule, so joining the raw cell texts with a
+    single space reproduces the line text byte-for-byte."""
+    cells: list[tuple[float, list[str]]] = []
+    cur: list[str] = []
+    cur_x = line[0].x
+    prev_end: float | None = None
+    for c in line:
+        if prev_end is not None:
+            gap = c.x - prev_end
+            if gap > CELL_GAP_FACTOR * c.size:
+                cells.append((cur_x, cur))
+                cur, cur_x = [], c.x
+            elif gap > GAP_SPACE_FACTOR * c.size:
+                cur.append(" ")
+        cur.append(c.text)
+        prev_end = c.x + c.width
+    cells.append((cur_x, cur))
+    return [(x, "".join(parts)) for x, parts in cells]
+
+
+def _detect_tables(
+    cell_rows: list[list[tuple[float, str]] | None],
+) -> str:
+    """Consecutive-aligned-row table detection over per-line cell splits
+    (``None`` = line is not a table candidate and breaks any run): >=
+    MIN_TABLE_ROWS consecutive lines with the same >= MIN_TABLE_COLS cell
+    count whose column left edges align within COL_ALIGN_TOL points form
+    one table. Output format is the reference's pipe-join exactly
+    (``pdfplumber_extractor.py:36-41``): cells " | ", rows "\\n", tables on
+    one page "\\n\\n"."""
+    tables: list[str] = []
+    run: list[list[tuple[float, str]]] = []
+
+    def close() -> None:
+        if len(run) >= MIN_TABLE_ROWS:
+            tables.append(
+                "\n".join(" | ".join(t for _, t in row) for row in run)
+            )
+        run.clear()
+
+    for cells in cell_rows:
+        if cells is None:
+            close()
+            continue
+        if run and (
+            len(cells) != len(run[0])
+            or any(
+                abs(x - x0) > COL_ALIGN_TOL
+                for (x, _), (x0, _) in zip(cells, run[0])
+            )
+        ):
+            close()
+        run.append(cells)
+    close()
+    return "\n\n".join(tables)
+
+
+def _layout_page_parts(chunks: list[_Chunk]) -> tuple[str, str]:
+    """chunks -> (page_text, page_tables). One line clustering feeds both
+    products; the text output is byte-identical to the pre-table kernel
+    (cell splits are strictly finer than the one-space word-gap rule)."""
     if not chunks:
-        return ""
+        return "", ""
     # lines: cluster by baseline y (descending), tolerance Y_LINE_TOL
     chunks_sorted = sorted(chunks, key=lambda c: (-c.y, c.x))
     lines: list[list[_Chunk]] = []
@@ -532,22 +604,21 @@ def _layout_page(chunks: list[_Chunk]) -> str:
             lines.append([c])
 
     line_infos: list[tuple[float, float, float, str]] = []  # (y, x0, size, text)
+    cell_rows: list[list[tuple[float, str]] | None] = []
     for line in lines:
         line.sort(key=lambda c: c.x)
-        parts: list[str] = []
-        prev_end: float | None = None
+        raw_cells = _split_cells(line)
         max_size = max(c.size for c in line)
-        for c in line:
-            if prev_end is not None and c.x - prev_end > GAP_SPACE_FACTOR * c.size:
-                parts.append(" ")
-            parts.append(c.text)
-            prev_end = c.x + c.width
-        text = "".join(parts).strip()
+        text = " ".join(t for _, t in raw_cells).strip()
         if text:
             line_infos.append((line[0].y, line[0].x, max_size, text))
+        stripped = [(x, t.strip()) for x, t in raw_cells]
+        stripped = [(x, t) for x, t in stripped if t]
+        cell_rows.append(stripped if len(stripped) >= MIN_TABLE_COLS else None)
 
+    page_tables = _detect_tables(cell_rows)
     if not line_infos:
-        return ""
+        return "", page_tables
     # blocks: split on big vertical gaps (descending y order)
     blocks: list[list[tuple[float, float, float, str]]] = []
     for info in line_infos:
@@ -562,7 +633,14 @@ def _layout_page(chunks: list[_Chunk]) -> str:
 
     # reading order: (-top_y, left_x)
     blocks.sort(key=lambda b: (-b[0][0], min(li[1] for li in b)))
-    return "\n\n".join("\n".join(li[3] for li in b) for b in blocks)
+    text = "\n\n".join("\n".join(li[3] for li in b) for b in blocks)
+    return text, page_tables
+
+
+def _layout_page(chunks: list[_Chunk]) -> str:
+    """Text-only view of ``_layout_page_parts`` (kept for callers/tests that
+    predate the TABLE product)."""
+    return _layout_page_parts(chunks)[0]
 
 
 def pdf_page_count(payload: bytes) -> int:
@@ -574,24 +652,30 @@ def pdf_page_count(payload: bytes) -> int:
         return 0
 
 
-def extract_pdf_pages(payload: bytes, lo: int, hi: int) -> list[str]:
+def extract_pdf_pages(payload: bytes, lo: int, hi: int) -> list[tuple[str, str]]:
     """Extract pages [lo, hi) (0-based page-tree order) — the skew-split
-    chunk kernel. Raises on malformed input (the chunk orchestrator maps
-    that to the whole-document error status, matching ``extract_pdf``)."""
+    chunk kernel. Returns ``(page_text, page_tables)`` pairs. Raises on
+    malformed input (the chunk orchestrator maps that to the whole-document
+    error status, matching ``extract_pdf``)."""
     objects = _scan_objects(payload)
     page_nums = _page_order(objects, payload)[lo:hi]
     return [
-        _layout_page(_run_text_ops(_content_streams(pn, objects)))
+        _layout_page_parts(_run_text_ops(_content_streams(pn, objects)))
         for pn in page_nums
     ]
 
 
-def assemble_pdf_result(pages: list[str]) -> ExtractResult:
+def assemble_pdf_result(
+    pages: list[str], page_tables: list[str] | None = None
+) -> ExtractResult:
     """Per-page texts -> the canonical ExtractResult (pages joined ``\\f``,
     one "page" span each). Shared by the whole-doc path and the skew-split
     reassembler so both are byte-identical by construction."""
     if not pages or not any(pages):
-        return ExtractResult(text="", pages=pages or [""], status="empty")
+        return ExtractResult(
+            text="", pages=pages or [""], status="empty",
+            page_tables=page_tables or [],
+        )
     text = "\f".join(pages)
     spans: list[Span] = []
     offset = 0
@@ -600,19 +684,26 @@ def assemble_pdf_result(pages: list[str]) -> ExtractResult:
             offset += 1  # the "\f" separator precedes every page but the first
         spans.append(Span(offset, offset + len(p), "page"))
         offset += len(p)
-    return ExtractResult(text=text, pages=pages, spans=spans, status="ok")
+    return ExtractResult(
+        text=text, pages=pages, spans=spans, status="ok",
+        page_tables=page_tables or [],
+    )
 
 
 def extract_pdf(payload: bytes) -> ExtractResult:
-    """bytes -> per-page text + merged doc text. Never raises."""
+    """bytes -> per-page text + merged doc text + per-page TABLE product.
+    Never raises."""
     try:
         objects = _scan_objects(payload)
         page_nums = _page_order(objects, payload)
         pages: list[str] = []
+        tables: list[str] = []
         for pn in page_nums:
             content = _content_streams(pn, objects)
-            pages.append(_layout_page(_run_text_ops(content)))
-        return assemble_pdf_result(pages)
+            t, tb = _layout_page_parts(_run_text_ops(content))
+            pages.append(t)
+            tables.append(tb)
+        return assemble_pdf_result(pages, tables)
     except Exception as exc:
         return ExtractResult(text="", pages=[""], status="error",
                              error=f"pdf:{type(exc).__name__}:{exc}"[:200])

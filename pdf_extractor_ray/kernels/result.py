@@ -37,7 +37,28 @@ class ExtractResult:
     spans: list[Span] = field(default_factory=list)
     status: str = "ok"                   # ok | empty | error | unknown
     error: str = ""
+    # per-page TABLE product, aligned with ``pages`` ("" = no table on that
+    # page; [] = kernel has no table concept). The reference's pdfplumber
+    # extractor emits a separate pipe-joined "TABLE" content key per page
+    # alongside "COMBINED" (/root/reference/backend/src/extractors/
+    # pdfplumber_extractor.py:30-47); rows " | "-joined, tables on one page
+    # "\n\n"-joined — that exact format per element here.
+    page_tables: list[str] = field(default_factory=list)
 
     @property
     def n_pages(self) -> int:
         return len(self.pages)
+
+    def tables_aligned(self) -> list[str]:
+        """``page_tables`` padded/truncated to exactly ``len(pages)``."""
+        t = self.page_tables
+        n = len(self.pages)
+        return (t + [""] * n)[:n]
+
+    @property
+    def doc_tables(self) -> str:
+        """Document-level TABLE column: per-page table strings joined with
+        the same "\\f" page separator as ``text`` — or "" when no page has
+        a table (so table-free docs stay cheap and obviously empty)."""
+        t = self.tables_aligned()
+        return "\f".join(t) if any(t) else ""

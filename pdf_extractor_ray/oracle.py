@@ -21,6 +21,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("lang", pa.string()),
         ("content_type", pa.string()),
         ("extracted_text", pa.large_string()),
+        ("tables", pa.large_string()),
         ("spans", pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64()), ("kind", pa.string())]))),
         ("n_pages", pa.int32()),
         ("status", pa.string()),
@@ -33,6 +34,7 @@ PAGES_OUT_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("page_number", pa.int32()),
         ("page_text", pa.large_string()),
+        ("page_tables", pa.large_string()),
     ]
 )
 
@@ -60,12 +62,14 @@ def oracle_extract_tables(pages: pa.Table) -> tuple[pa.Table, pa.Table]:
         out_rows["lang"].append(sub["lang"][i].as_py())
         out_rows["content_type"].append(ctype)
         out_rows["extracted_text"].append(res.text)
+        out_rows["tables"].append(res.doc_tables)
         out_rows["spans"].append([{"start": s.start, "end": s.end, "kind": s.kind} for s in res.spans])
         out_rows["n_pages"].append(res.n_pages)
         out_rows["status"].append(res.status)
         out_rows["error"].append(res.error)
+        ptables = res.tables_aligned()
         for pn, ptext in enumerate(res.pages, start=1):
-            page_rows.append((url, pn, ptext))
+            page_rows.append((url, pn, ptext, ptables[pn - 1]))
 
     extracted = pa.table(
         {name: pa.array(out_rows[name], EXTRACTED_SCHEMA.field(name).type) for name in EXTRACTED_SCHEMA.names},
@@ -77,6 +81,7 @@ def oracle_extract_tables(pages: pa.Table) -> tuple[pa.Table, pa.Table]:
             "url": pa.array([r[0] for r in page_rows], pa.string()),
             "page_number": pa.array([r[1] for r in page_rows], pa.int32()),
             "page_text": pa.array([r[2] for r in page_rows], pa.large_string()),
+            "page_tables": pa.array([r[3] for r in page_rows], pa.large_string()),
         },
         schema=PAGES_OUT_SCHEMA,
     )

@@ -253,7 +253,9 @@ def process_partition(
         )
 
     def writer(dir_path: str) -> None:
-        flat = out.drop_columns(["pages"]) if "pages" in out.column_names else out
+        flat = out.drop_columns(
+            [c for c in ("pages", "page_tables") if c in out.column_names]
+        )
         pq.write_table(flat, os.path.join(dir_path, "extracted.parquet"))
         if emit_pages:
             pq.write_table(
@@ -318,13 +320,19 @@ def _explode_pages(out: pa.Table) -> pa.Table:
         - np.repeat(starts, counts)
         + 1
     )
-    return pa.table(
-        {
-            "url": pc.take(out["url"], parent),
-            "page_number": pa.array(page_numbers.astype(np.int32), pa.int32()),
-            "page_text": pc.cast(flat, pa.large_string()),
-        }
-    )
+    cols = {
+        "url": pc.take(out["url"], parent),
+        "page_number": pa.array(page_numbers.astype(np.int32), pa.int32()),
+        "page_text": pc.cast(flat, pa.large_string()),
+    }
+    if "page_tables" in out.column_names:
+        # aligned element-wise with pages (extract_batch guarantees equal
+        # list lengths), so the same parent/flatten applies
+        cols["page_tables"] = pc.cast(
+            pc.list_flatten(out["page_tables"].combine_chunks()),
+            pa.large_string(),
+        )
+    return pa.table(cols)
 
 
 def run_checkpoint(

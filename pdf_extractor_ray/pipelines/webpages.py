@@ -75,6 +75,56 @@ def extract_from_documents(sf_dir: str, *, n_partitions: int = 16) -> rd.Dataset
     )
 
 
+def _docs_to_pdf_tables(batch: pa.Table) -> pa.Table:
+    """documents rows -> per-page TABLE rows. Each doc seeds a
+    deterministic synthetic PDF (corpus.build_pdf, rng=Random(doc_id)) and
+    runs the from-scratch extraction kernel; pages whose layout carries a
+    detected aligned-column table region emit one row each. The per-doc
+    loop IS the kernel invocation (PDF parse + layout are per-document
+    compute, like the flagship extractor) — not a row loop around
+    vectorizable work."""
+    import random
+
+    from ..corpus import build_pdf
+    from ..kernels.pdf_extract import extract_pdf
+
+    doc_ids: list[int] = []
+    pnums: list[int] = []
+    texts: list[str] = []
+    n_rows: list[int] = []
+    for d in batch["doc_id"].to_pylist():
+        payload = build_pdf(random.Random(d), 1 + d % 3, flate=bool(d % 2))
+        res = extract_pdf(payload)
+        for pn, tbl in enumerate(res.tables_aligned(), start=1):
+            if tbl:
+                doc_ids.append(d)
+                pnums.append(pn)
+                texts.append(tbl)
+                n_rows.append(
+                    sum(len(t.split("\n")) for t in tbl.split("\n\n"))
+                )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "page_number": pa.array(pnums, pa.int32()),
+            "table_text": pa.array(texts, pa.large_string()),
+            "n_table_rows": pa.array(n_rows, pa.int64()),
+        }
+    )
+
+
+def pdf_tables(sf_dir: str) -> rd.Dataset:
+    """M7 TABLE-product pipeline over driver data: documents -> deterministic
+    synthetic PDFs -> kernel table-region detection -> one row per page with
+    a table, pipe-joined in the reference's exact format (rows " | ", rows
+    "\\n", multiple tables per page "\\n\\n" — ``/root/reference/backend/src/
+    extractors/pdfplumber_extractor.py:30-47``). Rows-only correctness (the
+    planted cell words are rng-derived, not SQL-expressible from the
+    documents table); byte-level coverage in tests/test_pdf_tables.py."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(_docs_to_pdf_tables, batch_format="pyarrow")
+
+
 def web_to_training(sf_dir: str, *, budget: int = 512) -> rd.Dataset:
     """The END-TO-END composition the engine exists for: web pages ->
     sniff -> extract -> quality gate -> exact dedup -> deterministic

@@ -36,6 +36,7 @@ EXTRACT_OUT_SCHEMA = pa.schema(
         ("lang", pa.string()),
         ("content_type", pa.string()),
         ("extracted_text", pa.large_string()),
+        ("tables", pa.large_string()),
         ("spans", SPAN_TYPE),
         ("n_pages", pa.int32()),
         ("status", pa.string()),
@@ -43,6 +44,7 @@ EXTRACT_OUT_SCHEMA = pa.schema(
         ("latency_ms", pa.int64()),
         ("partition_id", pa.int32()),
         ("pages", pa.large_list(pa.large_string())),
+        ("page_tables", pa.large_list(pa.large_string())),
     ]
 )
 
@@ -71,18 +73,21 @@ def extract_batch(
     )
 
     texts: list[str] = []
+    doc_tables: list[str] = []
     spans: list[list[dict]] = []
     n_pages: list[int] = []
     statuses: list[str] = []
     errors: list[str] = []
     latencies: list[int] = []
     pages_col: list[list[str]] = []
+    tables_col: list[list[str]] = []
     ctypes: list[str] = []
 
     for i in range(n):
         t0 = time.perf_counter()
         if breaker is not None and breaker.should_skip():
             ctype, text, sp, pg, status, err = "unknown", "", [], [], "breaker_open", ""
+            tbl, pg_tbl = "", []
         else:
             payload = payloads[i].as_py()
             if (
@@ -102,12 +107,15 @@ def extract_batch(
             text, status, err = res.text, res.status, res.error
             sp = [{"start": s.start, "end": s.end, "kind": s.kind} for s in res.spans]
             pg = res.pages
+            tbl, pg_tbl = res.doc_tables, res.tables_aligned()
             if breaker is not None:
                 breaker.record(status == "error")
         ctypes.append(ctype)
         texts.append(text)
+        doc_tables.append(tbl)
         spans.append(sp)
         pages_col.append(pg)
+        tables_col.append(pg_tbl if len(pg_tbl) == len(pg) else [""] * len(pg))
         n_pages.append(len(pg))
         statuses.append(status)
         errors.append(err)
@@ -119,6 +127,7 @@ def extract_batch(
         "lang": batch["lang"],
         "content_type": pa.array(ctypes, pa.string()),
         "extracted_text": pa.array(texts, pa.large_string()),
+        "tables": pa.array(doc_tables, pa.large_string()),
         "spans": pa.array(spans, SPAN_TYPE),
         "n_pages": pa.array(n_pages, pa.int32()),
         "status": pa.array(statuses, pa.string()),
@@ -133,6 +142,9 @@ def extract_batch(
         cols["doc_id"] = batch["doc_id"]
     if emit_pages:
         cols["pages"] = pa.array(pages_col, pa.large_list(pa.large_string()))
+        cols["page_tables"] = pa.array(
+            tables_col, pa.large_list(pa.large_string())
+        )
     return pa.table(cols)
 
 

@@ -48,7 +48,9 @@ def _chunk_remote():
         import ray
 
         @ray.remote(num_cpus=1)
-        def _extract_chunk(payload: bytes, lo: int, hi: int) -> list[str]:
+        def _extract_chunk(
+            payload: bytes, lo: int, hi: int
+        ) -> list[tuple[str, str]]:
             return extract_pdf_pages(payload, lo, hi)
 
         _CHUNK_REMOTE = _extract_chunk
@@ -80,9 +82,12 @@ def extract_pdf_skew_split(
             for lo in range(0, n, pages_per_chunk)
         ]
         pages: list[str] = []
+        tables: list[str] = []
         for chunk in ray.get(futures):
-            pages.extend(chunk)
-        return assemble_pdf_result(pages)
+            for t, tb in chunk:
+                pages.append(t)
+                tables.append(tb)
+        return assemble_pdf_result(pages, tables)
     except Exception:
         # a failed chunk surfaces as RayTaskError, whose message differs
         # from the inline kernel's; re-extract inline so the (rare)

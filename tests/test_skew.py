@@ -23,10 +23,11 @@ def test_page_count_and_chunk_kernel():
     assert pdf_page_count(payload) == 37
     whole = extract_pdf(payload)
     # chunked page extraction reproduces the whole-doc pages exactly
-    pages = []
+    pairs = []
     for lo in range(0, 37, 10):
-        pages.extend(extract_pdf_pages(payload, lo, min(lo + 10, 37)))
-    assert pages == whole.pages
+        pairs.extend(extract_pdf_pages(payload, lo, min(lo + 10, 37)))
+    assert [p[0] for p in pairs] == whole.pages
+    assert [p[1] for p in pairs] == whole.tables_aligned()
 
 
 def test_skew_split_matches_whole_doc(ray_session):
@@ -40,6 +41,7 @@ def test_skew_split_matches_whole_doc(ray_session):
     assert split.pages == whole.pages
     assert split.spans == whole.spans
     assert split.status == whole.status
+    assert split.page_tables == whole.page_tables
 
 
 def test_skew_split_corrupt_flags_not_raises(ray_session):
