@@ -174,6 +174,41 @@ def shard_groups(input_path: str, n_partitions: int) -> list[list[str]]:
     return groups
 
 
+def _partition_keep_masks(
+    files: list[str], dup_index: pa.Table | None
+) -> tuple[int, int, list]:
+    """Keys-only dedup pass over a shard group: read ONLY (url, warc_ts)
+    (~16 B/row — payload bytes stay on disk), apply the exact same global
+    broadcast filter + within-group first-wins as the old whole-group path,
+    and return ``(rows_in, input_fingerprint, per-file boolean keep
+    masks)``. The payload pass then streams row-group batches through the
+    masks, so a partition task's memory is bounded by one parquet row
+    group, not the partition's byte size."""
+    import numpy as np
+
+    need_paths = index_has_ties(dup_index)
+    tabs = []
+    for f in files:
+        t = pq.read_table(f, columns=["url", "warc_ts"])
+        if need_paths:
+            t = t.append_column("path", pa.array([f] * t.num_rows, pa.string()))
+        tabs.append(t)
+    offs = np.cumsum([0] + [t.num_rows for t in tabs])
+    keys = pa.concat_tables(tabs)
+    rows_in = keys.num_rows
+    fp = input_fingerprint(keys["url"], keys["warc_ts"])
+    keys = keys.append_column(
+        "_row", pa.array(np.arange(rows_in, dtype=np.int64))
+    )
+    if dup_index is not None:
+        keys = drop_dup_losers(keys, dup_index=dup_index)
+    keys = dedup_first_wins(keys)
+    keep = np.zeros(rows_in, dtype=bool)
+    keep[keys["_row"].to_numpy(zero_copy_only=False)] = True
+    masks = [keep[offs[j] : offs[j + 1]] for j in range(len(files))]
+    return rows_in, fp, masks
+
+
 def process_partition(
     pid: int,
     files: list[str],
@@ -192,106 +227,129 @@ def process_partition(
     ``backend/src/tasks.py:265-282``). ``shard_base``: global index of
     ``files[0]`` in the sorted shard list — when given, each row gets the
     collision-free read-time id ``(shard_index << 40) | row_in_shard``
-    (identical to stream mode's read_pages_with_ids assignment)."""
+    (identical to stream mode's read_pages_with_ids assignment).
+
+    Memory model (100 TB posture): dedup is decided in a keys-only pass
+    (``_partition_keep_masks``); payloads then STREAM as parquet row-group
+    batches through sniff+extract into incremental ParquetWriters inside
+    the atomic temp dir — the task never materializes the shard group, so
+    peak RSS is bounded by one row group × the extraction working set and
+    is independent of partition byte size (tested at 4× group sizes).
+    Output rows land in input order (the old per-partition url sort only
+    served file-layout determinism; input order is equally deterministic —
+    every reader joins or sorts on url anyway)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.links import links_batch
+
     t0 = time.perf_counter()
-    need_paths = index_has_ties(dup_index)
-    tabs = []
-    for j, f in enumerate(files):
-        t = pq.read_table(f, columns=READ_COLUMNS)
-        if shard_base is not None:
-            import numpy as _np
+    rows_in, fp, masks = _partition_keep_masks(files, dup_index)
+    counts = {"ok": 0, "empty": 0, "error": 0, "unknown": 0}
+    totals = {"rows_out": 0, "bytes_in": 0}
 
-            ids = ((shard_base + j) << 40) + _np.arange(
-                t.num_rows, dtype=_np.int64
+    def writer(dir_path: str) -> PartitionManifest:
+        writers: dict[str, pq.ParquetWriter] = {}
+
+        def emit(name: str, table: pa.Table) -> None:
+            w = writers.get(name)
+            if w is None:
+                w = writers[name] = pq.ParquetWriter(
+                    os.path.join(dir_path, f"{name}.parquet"), table.schema
+                )
+            w.write_table(table)
+
+        def handle(t: pa.Table) -> None:
+            totals["bytes_in"] += int(
+                pc.sum(pc.binary_length(t["html"])).as_py() or 0
             )
-            t = t.append_column("doc_id", pa.array(ids, pa.int64()))
-        if need_paths:
-            t = t.append_column(
-                "path", pa.array([f] * t.num_rows, pa.string())
+            t = sniff_and_partition(t, n_partitions=n_url_buckets)
+            out = extract_batch(
+                t,
+                emit_pages=emit_pages,
+                skew_threshold_bytes=skew_threshold_bytes,
             )
-        tabs.append(t)
-    group = pa.concat_tables(tabs)
-    rows_in = group.num_rows
-    fp = input_fingerprint(group["url"].to_pylist(), group["warc_ts"].to_pylist())
-    if dup_index is not None:
-        group = drop_dup_losers(group, dup_index=dup_index)
-        if need_paths:
-            group = group.drop_columns(["path"])
-    group = sniff_and_partition(group, n_partitions=n_url_buckets)
-    deduped = dedup_first_wins(group)
-    parts = [
-        extract_batch(
-            deduped.slice(off, batch_size),
-            emit_pages=emit_pages,
-            skew_threshold_bytes=skew_threshold_bytes,
+            totals["rows_out"] += out.num_rows
+            for sv in pc.value_counts(out["status"]):
+                s = sv["values"].as_py()
+                if s in counts:
+                    counts[s] += sv["counts"].as_py()
+            emit(
+                "extracted",
+                out.drop_columns(
+                    [c for c in ("pages", "page_tables") if c in out.column_names]
+                ),
+            )
+            if emit_pages:
+                emit("extracted_pages", _explode_pages(out))
+            if emit_links:
+                # second product off the same payload pass (WAT-file
+                # analog): per-page ordered anchors, shared scanner
+                emit("links", links_batch(t.select(["url", "html"])))
+
+        for j, f in enumerate(files):
+            pf = pq.ParquetFile(f)
+            row_off = 0
+            try:
+                for rb in pf.iter_batches(
+                    batch_size=batch_size, columns=READ_COLUMNS
+                ):
+                    t = pa.Table.from_batches([rb])
+                    n = t.num_rows
+                    if shard_base is not None:
+                        ids = ((shard_base + j) << 40) + row_off + np.arange(
+                            n, dtype=np.int64
+                        )
+                        t = t.append_column("doc_id", pa.array(ids, pa.int64()))
+                    m = masks[j][row_off : row_off + n]
+                    row_off += n
+                    if not m.any():
+                        continue
+                    if not m.all():
+                        t = t.filter(pa.array(m))
+                    handle(t)
+            finally:
+                pf.close()
+
+        if "extracted" not in writers:
+            # zero-row partition (all rows were dedup losers, or an empty
+            # shard): emit empty tables with the full schema so the
+            # manifest still lands and resume can skip it
+            sch = pq.read_schema(files[0])
+            empty = pa.schema([sch.field(c) for c in READ_COLUMNS]).empty_table()
+            if shard_base is not None:
+                empty = empty.append_column("doc_id", pa.array([], pa.int64()))
+            handle(empty)
+
+        for w in writers.values():
+            w.close()
+        return PartitionManifest(
+            partition_id=pid,
+            rows_in=rows_in,
+            rows_out=totals["rows_out"],
+            n_ok=counts["ok"],
+            n_empty=counts["empty"],
+            n_error=counts["error"],
+            n_unknown=counts["unknown"],
+            n_other=totals["rows_out"] - sum(counts.values()),
+            bytes_in=totals["bytes_in"],
+            wall_s=round(time.perf_counter() - t0, 4),
+            input_fingerprint=fp,
+            files=list(files),
+            file_sizes=[os.path.getsize(f) for f in files],
         )
-        for off in range(0, deduped.num_rows, batch_size)
-    ] or [
-        # zero-row partition (all rows were dedup losers, or an empty
-        # shard): emit an empty table with the full schema so the manifest
-        # still lands and resume can skip it
-        extract_batch(deduped.slice(0, 0), emit_pages=emit_pages)
-    ]
-    out = pa.concat_tables(parts)
-    out = out.take(pa.compute.sort_indices(out, sort_keys=[("url", "ascending")]))
 
-    statuses = out["status"].to_pylist()
-    bytes_in = int(
-        pa.compute.sum(pa.compute.binary_length(deduped["html"])).as_py() or 0
-    )
-
-    if emit_links:
-        # second product off the same deduped payloads (WAT-file analog):
-        # per-page ordered anchors; shares the scanner with the text kernel
-        from ..functions.links import links_batch
-
-        links = links_batch(deduped.select(["url", "html"]))
-        links = links.take(
-            pa.compute.sort_indices(
-                links, sort_keys=[("url", "ascending"), ("link_idx", "ascending")]
-            )
-        )
-
-    def writer(dir_path: str) -> None:
-        flat = out.drop_columns(
-            [c for c in ("pages", "page_tables") if c in out.column_names]
-        )
-        pq.write_table(flat, os.path.join(dir_path, "extracted.parquet"))
-        if emit_pages:
-            pq.write_table(
-                _explode_pages(out), os.path.join(dir_path, "extracted_pages.parquet")
-            )
-        if emit_links:
-            pq.write_table(links, os.path.join(dir_path, "links.parquet"))
-
-    n_ok = statuses.count("ok")
-    n_empty = statuses.count("empty")
-    n_error = statuses.count("error")
-    n_unknown = statuses.count("unknown")
-    manifest = PartitionManifest(
-        partition_id=pid,
-        rows_in=rows_in,
-        rows_out=out.num_rows,
-        n_ok=n_ok,
-        n_empty=n_empty,
-        n_error=n_error,
-        n_unknown=n_unknown,
-        n_other=out.num_rows - n_ok - n_empty - n_error - n_unknown,
-        bytes_in=bytes_in,
-        wall_s=round(time.perf_counter() - t0, 4),
-        input_fingerprint=fp,
-        files=list(files),
-        file_sizes=[os.path.getsize(f) for f in files],
-    )
-    write_partition_atomic(output_dir, manifest, writer)
+    write_partition_atomic(output_dir, pid, writer)
     return pa.table(
         {
             "partition_id": pa.array([pid], pa.int32()),
-            "rows_out": pa.array([out.num_rows], pa.int64()),
-            "n_ok": pa.array([manifest.n_ok], pa.int64()),
-            "n_error": pa.array([manifest.n_error], pa.int64()),
-            "bytes_in": pa.array([bytes_in], pa.int64()),
-            "wall_s": pa.array([manifest.wall_s], pa.float64()),
+            "rows_out": pa.array([totals["rows_out"]], pa.int64()),
+            "n_ok": pa.array([counts["ok"]], pa.int64()),
+            "n_error": pa.array([counts["error"]], pa.int64()),
+            "bytes_in": pa.array([totals["bytes_in"]], pa.int64()),
+            "wall_s": pa.array(
+                [round(time.perf_counter() - t0, 4)], pa.float64()
+            ),
         }
     )
 

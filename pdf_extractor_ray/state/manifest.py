@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import uuid
-import zlib
 from dataclasses import asdict, dataclass
 
 
@@ -33,7 +32,7 @@ class PartitionManifest:
     n_unknown: int
     bytes_in: int
     wall_s: float
-    input_fingerprint: int  # order-independent: sum of crc32(url|ts) mod 2^64
+    input_fingerprint: int  # order-independent: uint64 wrap-sum of hash64(url|ts)
     files: list[str] = None  # input shard paths this partition covered
     file_sizes: list[int] = None  # byte sizes at processing time
     # statuses outside the four classic classes (breaker_open; image rows
@@ -58,26 +57,46 @@ def manifest_path(output_dir: str, partition_id: int) -> str:
     return os.path.join(partition_dir(output_dir, partition_id), "_MANIFEST.json")
 
 
-def input_fingerprint(urls: list[str], tss: list[int]) -> int:
-    acc = 0
-    for u, ts in zip(urls, tss):
-        acc = (acc + zlib.crc32(f"{u}|{ts}".encode())) % (1 << 64)
-    return acc
+def input_fingerprint(urls, tss) -> int:
+    """Order-independent input identity: uint64 wrap-sum of per-row 64-bit
+    hashes of ``url|warc_ts_int``. Takes the Arrow key columns directly and
+    hashes them vectorized (Arrow join + pandas' C siphash over the string
+    block) — the keys pass touches every input row, so a per-row Python
+    loop here was the partition task's last O(rows) interpreter cost.
+    Value is compared only against manifests written by the same install
+    (resume validity is decided by file lists + sizes, not this)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    u = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) else pa.array(urls)
+    t = tss if isinstance(tss, (pa.Array, pa.ChunkedArray)) else pa.array(tss)
+    key = pc.binary_join_element_wise(
+        pc.cast(u, pa.string()),
+        pc.cast(pc.cast(t, pa.int64()), pa.string()),
+        "|",
+    )
+    h = pd.util.hash_array(key.to_numpy(zero_copy_only=False))
+    return int(h.sum(dtype=np.uint64))
 
 
 def write_partition_atomic(
     output_dir: str,
-    manifest: PartitionManifest,
-    writer,  # callable(dir_path) that writes the partition's data files
+    partition_id: int,
+    writer,  # callable(dir_path) -> PartitionManifest: writes data files
 ) -> str:
-    """Write partition outputs + manifest to a temp dir, then atomically
-    rename into place. An existing partition dir is replaced (idempotent
-    re-run of a failed/invalidated partition)."""
-    final = partition_dir(output_dir, manifest.partition_id)
-    tmp = os.path.join(output_dir, f"_tmp-{manifest.partition_id}-{uuid.uuid4().hex[:8]}")
+    """Run ``writer`` against a temp dir, dump the manifest it returns,
+    then atomically rename into place. The writer owns the (possibly
+    streaming) data writes AND produces the manifest — counters are only
+    known once the stream has drained. An existing partition dir is
+    replaced (idempotent re-run of a failed/invalidated partition)."""
+    final = partition_dir(output_dir, partition_id)
+    tmp = os.path.join(output_dir, f"_tmp-{partition_id}-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     try:
-        writer(tmp)
+        manifest = writer(tmp)
+        assert manifest.partition_id == partition_id
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
             json.dump(asdict(manifest), f, indent=1)
         if os.path.exists(final):
@@ -85,7 +104,7 @@ def write_partition_atomic(
             # mistaken for a live partition dir by resume/readers
             stale = os.path.join(
                 os.path.dirname(final),
-                f"_stale-{manifest.partition_id}-{uuid.uuid4().hex[:8]}",
+                f"_stale-{partition_id}-{uuid.uuid4().hex[:8]}",
             )
             os.rename(final, stale)
             _rmtree(stale)
