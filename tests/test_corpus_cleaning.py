@@ -507,3 +507,51 @@ def test_web_to_training_composition(ray_session):
     d = df.sort_values("pos")
     starts = d["n_tokens"].cumsum().shift(fill_value=0)
     assert ((starts // budget) == d["seq_id"]).all()
+
+
+def test_docs_to_pages_vectorized_matches_scalar_builder():
+    """The Arrow-kernel page builder must reproduce the per-row
+    html.escape f-string template byte-for-byte (it feeds web_to_training,
+    whose oracle depends on the exact payload bytes)."""
+    import html as _html
+
+    import pyarrow as pa
+
+    from pdf_extractor_ray.pipelines.webpages import (
+        _EPOCH_US,
+        docs_to_pages,
+    )
+
+    texts = [
+        "plain paragraph",
+        "two\nparagraphs here",
+        "",
+        "amp & lt < gt > quot \" apos ' mixed &amp; already",
+        "trailing newline\n",
+        "\nleading and\n\nempty\n\nparas\n",
+        "unicode éè 中文 emoji \U0001f600",
+        "<script>alert('xss')</script>",
+    ]
+    doc_ids = [0, 7, 123, 99999999, 100000000, 5, 42, 1234567]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    out = docs_to_pages(batch)
+
+    for i, (d, t) in enumerate(zip(doc_ids, texts)):
+        paras = "".join(
+            f"<p>{_html.escape(p)}</p>" for p in (t.split("\n") if t else [""])
+        )
+        page = (
+            "<!doctype html><html><head><title>doc</title></head><body>"
+            "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
+            f"<article>{paras}</article>"
+            "<footer><a href='/tos'>terms</a></footer></body></html>"
+        ).encode("utf-8")
+        assert out["html"][i].as_py() == page, (d, t)
+        assert out["url"][i].as_py() == f"https://testdata.local/doc/{d:08d}"
+        assert out["warc_ts"][i].value == _EPOCH_US + d
