@@ -92,15 +92,17 @@ def extracted_dataset(
             )
     dup_index = build_dup_index(input_path) if dedup else None
     # equal-timestamp ties need row provenance so the filter can pick the
-    # ONE global winner (win_file match); otherwise skip the path column
-    if assign_doc_ids:
+    # ONE global winner — (win_file, win_row) is a total order, so the
+    # id-carrying read is required whenever ties exist (FusedExtractor
+    # derives _row_in_file from the read-time id and drops doc_id again
+    # unless the caller asked for it)
+    has_ties = index_has_ties(dup_index)
+    if assign_doc_ids or has_ties:
         from ..sources.pages import read_pages_with_ids
 
-        ds = read_pages_with_ids(
-            input_path, include_paths=index_has_ties(dup_index)
-        )
+        ds = read_pages_with_ids(input_path, include_paths=has_ties)
     else:
-        ds = read_pages(input_path, include_paths=index_has_ties(dup_index))
+        ds = read_pages(input_path)
     # ONE fused TASK stage (sniff + dedup-filter + extract): payload blocks
     # hop the object store exactly once; the staged pipeline measured 2.2x
     # slower at 32 CPUs (see stages/extract.py FusedExtractor). Tasks, not
@@ -115,6 +117,7 @@ def extracted_dataset(
         skip_partitions=skip_partitions,
         emit_pages=emit_pages,
         skew_threshold_bytes=skew_threshold_bytes,
+        keep_doc_ids=assign_doc_ids,
     )
 
     def fused_stage(batch: pa.Table, _inst=inst) -> pa.Table:
@@ -191,7 +194,12 @@ def _partition_keep_masks(
     for f in files:
         t = pq.read_table(f, columns=["url", "warc_ts"])
         if need_paths:
-            t = t.append_column("path", pa.array([f] * t.num_rows, pa.string()))
+            t = t.append_column(
+                "path", pa.array([f] * t.num_rows, pa.string())
+            ).append_column(
+                "_row_in_file",
+                pa.array(np.arange(t.num_rows, dtype=np.int64)),
+            )
         tabs.append(t)
     offs = np.cumsum([0] + [t.num_rows for t in tabs])
     keys = pa.concat_tables(tabs)

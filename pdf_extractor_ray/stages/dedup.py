@@ -27,15 +27,15 @@ variant used inside per-partition checkpoint tasks).
 Ties: ``warc_ts`` is a capture timestamp; rows with the same url AND same
 timestamp are the same capture (byte-identical payload by assumption). The
 dup index records, per duplicated url, how many rows share the winning
-timestamp (``n_at_min``) and — for real ties — which shard file holds the
-global winner (``win_file``, first shard in sorted order containing a
-min-ts row). The filter keeps a tie row only when its provenance ``path``
-matches ``win_file`` (plus a first-occurrence collapse within the batch),
-so ties split across batches/partitions still collapse to exactly one
-output row. Residual (documented): equal-(url, ts) rows inside ONE file
-that land in different stream-mode batches — pathological input (identical
-row stored twice in one shard); checkpoint mode is exact because a shard
-never spans partitions.
+timestamp (``n_at_min``) and — for real ties — the GLOBAL winner's
+coordinates: ``win_file`` (first shard in sorted order containing a min-ts
+row) and ``win_row`` (lowest row-in-file among min-ts rows in that shard).
+(win_file, win_row) is a total order over tie rows, so the filter keeps
+exactly one row per url no matter how ties split across batches, shards,
+or partitions — including equal-(url, ts) rows stored twice inside ONE
+file (the pre-round-4 residual). Callers provide provenance as a ``path``
+column plus a ``_row_in_file`` column (stream mode derives it from the
+read-time ``doc_id``; checkpoint tasks from the keys-pass row index).
 """
 
 from __future__ import annotations
@@ -91,9 +91,12 @@ def _total_rows(files: list[str]) -> int:
 
 def _tie_columns(
     dups: pa.Table, at_min: pa.Table
-) -> tuple[pa.Array, pa.Array]:
-    """(n_at_min, win_file) aligned to ``dups`` rows. ``at_min`` holds every
-    (url, path) row whose warc_ts equals its url's winning min_ts."""
+) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """(n_at_min, win_file, win_row) aligned to ``dups`` rows. ``at_min``
+    holds every (url, path, row) row whose warc_ts equals its url's winning
+    min_ts (``row`` = row index within its file). The global winner of a
+    tie is (min path, then min row-in-file) — a total order, so equal-
+    (url, ts) rows inside ONE file also collapse to exactly one winner."""
     agg = at_min.group_by(["url"]).aggregate([("path", "min"), ("path", "count")])
     idx = pc.index_in(dups["url"], value_set=agg["url"].combine_chunks())
     n_at_min = pc.cast(
@@ -102,11 +105,25 @@ def _tie_columns(
     win_raw = pc.take(agg["path_min"].combine_chunks(), idx)
     # "" for unique-by-ts winners: skips the provenance check entirely
     win_file = pc.if_else(pc.greater(n_at_min, 1), win_raw, "")
-    return n_at_min, win_file
+    # min row among the at-min rows that sit in the winning file
+    wf_rows = pc.take(
+        agg["path_min"].combine_chunks(),
+        pc.index_in(at_min["url"], value_set=agg["url"].combine_chunks()),
+    )
+    in_win = at_min.filter(pc.equal(at_min["path"], wf_rows))
+    ragg = in_win.group_by(["url"]).aggregate([("row", "min")])
+    win_row_raw = pc.take(
+        ragg["row_min"].combine_chunks(),
+        pc.index_in(dups["url"], value_set=ragg["url"].combine_chunks()),
+    )
+    win_row = pc.if_else(
+        pc.greater(n_at_min, 1), pc.cast(win_row_raw, pa.int64()), -1
+    )
+    return n_at_min, win_file, win_row
 
 
 def build_dup_index(input_path: str) -> pa.Table | None:
-    """Keys-only scan -> table (url, min_ts, n_at_min, win_file) of
+    """Keys-only scan -> table (url, min_ts, n_at_min, win_file, win_row) of
     DUPLICATED urls only. Returns None when the corpus has no duplicate
     urls (common fast path).
 
@@ -130,11 +147,15 @@ def build_dup_index(input_path: str) -> pa.Table | None:
         tabs = []
         for fidx, f in enumerate(files):
             t = pq.read_table(f, columns=["url", "warc_ts"])
-            # 4-byte shard index per row (full path strings materialize only
-            # for the tiny duplicated-at-min subset below)
+            # 4-byte shard index + 8-byte row-in-file per row (full path
+            # strings materialize only for the tiny duplicated-at-min
+            # subset below); row-in-file makes the tie winner a TOTAL
+            # order even for equal-(url, ts) rows inside one file
             tabs.append(
                 t.append_column(
                     "fidx", pa.array(np.full(t.num_rows, fidx, np.int32))
+                ).append_column(
+                    "row", pa.array(np.arange(t.num_rows, dtype=np.int64))
                 )
             )
         keys_t = pa.concat_tables(tabs).combine_chunks()
@@ -152,13 +173,14 @@ def build_dup_index(input_path: str) -> pa.Table | None:
         at_min = at_min.append_column(
             "path", pc.take(pa.array(files), at_min["fidx"])
         )
-        n_at_min, win_file = _tie_columns(dups, at_min)
+        n_at_min, win_file, win_row = _tie_columns(dups, at_min)
         return pa.table(
             {
                 "url": dups["url"],
                 "min_ts": dups["warc_ts_min"],
                 "n_at_min": n_at_min,
                 "win_file": win_file,
+                "win_row": win_row,
             }
         )
 
@@ -191,14 +213,22 @@ def build_dup_index(input_path: str) -> pa.Table | None:
         }
     )
     # tie pass: provenance rows for duplicated urls only (broadcast-filter
-    # semi-join over a keys+path scan; collected set = duplicated rows only)
+    # semi-join over a keys+path scan; collected set = duplicated rows
+    # only). read_pages_with_ids carries the read-time (shard << 40 | row)
+    # id, whose low bits are the row-in-file the total tie order needs.
+    from ..sources.pages import _SHARD_ID_BITS, read_pages_with_ids
+
     dup_urls = dups["url"].combine_chunks()
     dup_urls_ref = ray.put(dup_urls)
+    row_mask = (1 << _SHARD_ID_BITS) - 1
 
     def _dup_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["url"], value_set=ray.get(dup_urls_ref)))
+        b = b.filter(pc.is_in(b["url"], value_set=ray.get(dup_urls_ref)))
+        return b.append_column(
+            "row", pc.bit_wise_and(b["doc_id"], row_mask)
+        ).drop_columns(["doc_id"])
 
-    prov = rd.read_parquet(
+    prov = read_pages_with_ids(
         input_path, columns=["url", "warc_ts"], include_paths=True
     ).map_batches(_dup_rows, batch_format="pyarrow")
     prov_tables = [t for t in ray.get(prov.to_arrow_refs()) if t.num_rows]
@@ -206,13 +236,14 @@ def build_dup_index(input_path: str) -> pa.Table | None:
     ridx = pc.index_in(rows["url"], value_set=dup_urls)
     row_min = pc.take(dups["warc_ts_min"].combine_chunks(), ridx)
     at_min = rows.filter(pc.equal(rows["warc_ts"], row_min))
-    n_at_min, win_file = _tie_columns(dups, at_min)
+    n_at_min, win_file, win_row = _tie_columns(dups, at_min)
     return pa.table(
         {
             "url": dups["url"],
             "min_ts": dups["warc_ts_min"],
             "n_at_min": n_at_min,
             "win_file": win_file,
+            "win_row": win_row,
         }
     )
 
@@ -240,10 +271,18 @@ class DupFilter:
             self.win_file = np.asarray(
                 dup_index["win_file"].to_pylist(), dtype=object
             )
+            self.win_row = (
+                dup_index["win_row"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                if "win_row" in dup_index.column_names
+                else None
+            )
             self.has_ties = bool((self.n_at_min > 1).any())
         else:  # minimal (url, min_ts) index: batch-local tie collapse only
             self.n_at_min = None
             self.win_file = None
+            self.win_row = None
             self.has_ties = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -284,6 +323,22 @@ class DupFilter:
                         dtype=object,
                     )
                     drop = tie_mask & (paths != self.win_file[ids])
+                    if (
+                        self.win_row is not None
+                        and "_row_in_file" in batch.column_names
+                    ):
+                        # read-time row ids make the tie winner a TOTAL
+                        # order: equal-(url, ts) rows inside one file also
+                        # collapse globally, batch boundaries irrelevant
+                        rows_np = (
+                            pc.take(
+                                batch["_row_in_file"].combine_chunks(),
+                                pa.array(win_rows),
+                            )
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        )
+                        drop |= tie_mask & (rows_np != self.win_row[ids])
                     keep[win_rows[drop]] = False
                     win_rows = np.flatnonzero(keep & hit_np)
                     ids = idx_np[win_rows]

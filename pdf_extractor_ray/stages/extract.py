@@ -199,6 +199,7 @@ class FusedExtractor:
         emit_pages: bool = False,
         breaker_threshold: int = 0,
         skew_threshold_bytes: int | None = None,
+        keep_doc_ids: bool = True,
     ):
         from .sniff import sniff_and_partition
         from .dedup import DupFilter
@@ -215,15 +216,33 @@ class FusedExtractor:
         self.emit_pages = emit_pages
         self.breaker = _Breaker(breaker_threshold) if breaker_threshold else None
         self.skew_threshold_bytes = skew_threshold_bytes
+        self.keep_doc_ids = keep_doc_ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         b = self._sniff(
             batch,
             n_partitions=self.n_partitions,
             skip_partitions=self.skip_partitions,
         )
         if self._dup_filter is not None:
+            if (
+                self._dup_filter.has_ties
+                and "doc_id" in b.column_names
+                and "_row_in_file" not in b.column_names
+            ):
+                # low bits of the read-time (shard << 40 | row) id = the
+                # row-in-file the total tie order needs
+                from ..sources.pages import _SHARD_ID_BITS
+
+                b = b.append_column(
+                    "_row_in_file",
+                    pc.bit_wise_and(b["doc_id"], (1 << _SHARD_ID_BITS) - 1),
+                )
             b = self._dup_filter(b)
+        if not self.keep_doc_ids and "doc_id" in b.column_names:
+            b = b.drop_columns(["doc_id"])
         return extract_batch(
             b,
             emit_pages=self.emit_pages,

@@ -28,6 +28,7 @@ def test_dup_index_distributed_path_parity(ray_session, small_corpus, monkeypatc
         assert f["min_ts"].to_pylist() == d["min_ts"].to_pylist()
         assert f["n_at_min"].to_pylist() == d["n_at_min"].to_pylist()
         assert f["win_file"].to_pylist() == d["win_file"].to_pylist()
+        assert f["win_row"].to_pylist() == d["win_row"].to_pylist()
 
 
 def _tied_pages_dir(tmp_path) -> str:
@@ -90,6 +91,67 @@ def test_cross_shard_tie_collapses_globally(ray_session, tmp_path, monkeypatch):
 
     # checkpoint mode: one partition per shard, tie spans partitions
     out = str(tmp_path / "tied_out")
+    E.run_checkpoint(pages, out, n_partitions=2)
+    got = sorted(
+        r["url"]
+        for r in E.read_extracted(out).select_columns(["url"]).take_all()
+    )
+    assert got == ["http://a.example/", "http://b.example/", "http://tie.example/"]
+
+
+def test_same_file_tie_collapses_in_stream_mode(ray_session, tmp_path):
+    """Equal-(url, warc_ts) rows stored TWICE inside ONE shard, forced into
+    separate stream batches (batch_size=1), must still collapse to exactly
+    one output row — the pre-round-4 documented residual, closed by the
+    (win_file, win_row) total order over tie rows."""
+    import datetime as dt
+
+    from pdf_extractor_ray.pipelines import extract as E
+    from pdf_extractor_ray.stages import dedup
+
+    d = tmp_path / "samefile_pages"
+    d.mkdir()
+    t_tie = dt.datetime(2024, 5, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    t_other = dt.datetime(2024, 5, 2, 12, 0, 0, tzinfo=dt.timezone.utc)
+    html = b"<html><body><p>Same row stored twice in one shard.</p></body></html>"
+
+    def tab(urls, tss):
+        n = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                "html": pa.array([html] * n, pa.large_binary()),
+                "text": pa.array([""] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+            }
+        )
+
+    pq.write_table(
+        tab(
+            ["http://tie.example/", "http://tie.example/", "http://a.example/"],
+            [t_tie, t_tie, t_other],
+        ),
+        str(d / "part-00000.parquet"),
+    )
+    pq.write_table(
+        tab(["http://b.example/"], [t_other]), str(d / "part-00001.parquet")
+    )
+    pages = str(d)
+
+    idx = dedup.build_dup_index(pages)
+    assert idx.num_rows == 1
+    assert idx["n_at_min"][0].as_py() == 2
+    assert idx["win_file"][0].as_py().endswith("part-00000.parquet")
+    assert idx["win_row"][0].as_py() == 0  # first of the two in-file copies
+
+    # stream mode: batch_size=1 puts the two copies in different batches
+    ds = E.extracted_dataset(pages, batch_size=1, concurrency=2)
+    urls = sorted(r["url"] for r in ds.select_columns(["url"]).take_all())
+    assert urls == ["http://a.example/", "http://b.example/", "http://tie.example/"]
+
+    # checkpoint mode (same shard -> same partition; keys-pass row ids)
+    out = str(tmp_path / "samefile_out")
     E.run_checkpoint(pages, out, n_partitions=2)
     got = sorted(
         r["url"]
