@@ -61,9 +61,13 @@ def _det_floats(payload: bytes, n: int) -> np.ndarray:
 
 
 class ImageDecode:
-    """payload -> decoded dims + thumbnail bytes. STUB: real decode needs
-    PIL/libvips (absent); fake emits deterministic dims from the byte hash.
-    """
+    """payload -> dims + codec + thumbnail bytes. Dimensions are REAL for
+    png/jpeg/gif/bmp/webp/tiff payloads (stdlib header parse,
+    ``kernels/image_headers.py`` — the reference's accepted-upload set,
+    ``main.py:367-379``); unrecognized bytes fall back to deterministic
+    fake dims with codec="". Only PIXEL decode (thumbnailing) remains a
+    stub: ``decode_real=True`` raises because no codec library exists in
+    this environment — that seam is now thumbnail-only."""
 
     def __init__(self, decode_real: bool = False, max_side: int = 256):
         self.decode_real = decode_real
@@ -72,22 +76,35 @@ class ImageDecode:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode_real:
             raise NotImplementedError(
-                "image decode requires PIL/libvips, not present in this "
-                "environment; run with decode_real=False for the "
-                "deterministic fake"
+                "pixel decode (thumbnails) requires PIL/libvips, not "
+                "present in this environment; header dims are always real "
+                "when parseable — run with decode_real=False"
             )
-        digests = [hashlib.md5(p).digest() for p in batch["payload"].to_pylist()]
+        from ..kernels.image_headers import image_dims
+
+        widths: list[int] = []
+        heights: list[int] = []
+        codecs: list[str] = []
+        digests: list[bytes] = []
+        for p in batch["payload"].to_pylist():
+            digest = hashlib.md5(p).digest()
+            digests.append(digest)
+            parsed = image_dims(p)
+            if parsed is not None:
+                codec, w, h = parsed
+            else:  # deterministic fake, flagged by the empty codec
+                codec = ""
+                w = int.from_bytes(digest[:2], "little") % 4096 + 16
+                h = int.from_bytes(digest[2:4], "little") % 4096 + 16
+            widths.append(w)
+            heights.append(h)
+            codecs.append(codec)
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "width": pa.array(
-                    [int.from_bytes(d[:2], "little") % 4096 + 16 for d in digests],
-                    pa.int32(),
-                ),
-                "height": pa.array(
-                    [int.from_bytes(d[2:4], "little") % 4096 + 16 for d in digests],
-                    pa.int32(),
-                ),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "codec": pa.array(codecs, pa.string()),
                 "thumb": pa.array(digests, pa.large_binary()),
             }
         )

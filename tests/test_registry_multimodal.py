@@ -235,3 +235,113 @@ def test_fan_out_fused_matches_branches(ray_session, small_corpus):
     branch = rows(fan_out(pages, names, fake_services=True))
     fused = rows(fan_out(pages, names, fake_services=True, fused=True))
     assert fused == branch and len(fused) > 0
+
+
+# ---------------------------------------------------------------------------
+# Real image-header dims (kernels/image_headers.py)
+# ---------------------------------------------------------------------------
+
+def _png_bytes(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 16)
+
+
+def _gif_bytes(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 20
+
+
+def _bmp_bytes(w, h):
+    import struct
+    return (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + b"\x00" * 30)
+
+
+def _jpeg_bytes(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + b"\x01\x11\x00" * 3)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _webp_vp8x_bytes(w, h):
+    body = (b"WEBPVP8X" + (10).to_bytes(4, "little") + b"\x00" * 4
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body + b"\x00" * 8
+
+
+def _webp_vp8l_bytes(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    body = (b"WEBPVP8L" + (5).to_bytes(4, "little") + b"\x2f"
+            + bits.to_bytes(4, "little"))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body + b"\x00" * 10
+
+
+def _webp_vp8_bytes(w, h):
+    import struct
+    body = (b"WEBPVP8 " + (10).to_bytes(4, "little") + b"\x00\x00\x00"
+            + b"\x9d\x01\x2a" + struct.pack("<HH", w, h))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body + b"\x00" * 8
+
+
+def _tiff_bytes(w, h):
+    import struct
+    ifd = struct.pack("<H", 2)
+    ifd += struct.pack("<HHI", 256, 4, 1) + struct.pack("<I", w)
+    ifd += struct.pack("<HHI", 257, 3, 1) + struct.pack("<H", h) + b"\x00\x00"
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + struct.pack("<I", 0)
+
+
+def test_image_dims_parses_real_headers():
+    from pdf_extractor_ray.kernels.image_headers import image_dims
+
+    cases = [
+        ("png", _png_bytes(640, 480), 640, 480),
+        ("gif", _gif_bytes(320, 200), 320, 200),
+        ("bmp", _bmp_bytes(1024, 768), 1024, 768),
+        ("jpeg", _jpeg_bytes(1920, 1080), 1920, 1080),
+        ("webp", _webp_vp8x_bytes(800, 600), 800, 600),
+        ("webp", _webp_vp8l_bytes(321, 123), 321, 123),
+        ("webp", _webp_vp8_bytes(256, 144), 256, 144),
+        ("tiff", _tiff_bytes(5000, 4000), 5000, 4000),
+    ]
+    for fmt, payload, w, h in cases:
+        assert image_dims(payload) == (fmt, w, h), fmt
+    # top-down BMP stores negative height
+    assert image_dims(_bmp_bytes(64, -32)) == ("bmp", 64, 32)
+
+
+def test_image_dims_never_raises_on_junk():
+    import random as _r
+    from pdf_extractor_ray.kernels.image_headers import image_dims
+
+    rng = _r.Random(7)
+    assert image_dims(b"") is None
+    assert image_dims(None) is None
+    prefixes = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8",
+                b"RIFF", b"II*\x00", b"MM\x00*", b""]
+    for i in range(500):
+        junk = prefixes[i % len(prefixes)] + rng.randbytes(rng.randint(0, 64))
+        image_dims(junk)  # must not raise; value may be None or garbage-dims
+
+
+def test_image_decode_reports_real_dims(ray_session):
+    import pyarrow as pa
+
+    from pdf_extractor_ray.stages.multimodal import ImageDecode
+
+    payloads = [_png_bytes(12, 34), _jpeg_bytes(56, 78), b"not an image"]
+    batch = pa.table(
+        {
+            "media_id": pa.array(["a", "b", "c"]),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+    out = ImageDecode()(batch)
+    assert out["codec"].to_pylist() == ["png", "jpeg", ""]
+    assert out["width"].to_pylist()[:2] == [12, 56]
+    assert out["height"].to_pylist()[:2] == [34, 78]
+    # unknown payload falls back to the deterministic fake (flagged codec="")
+    assert out["width"][2].as_py() >= 16
