@@ -177,7 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": R.distinct_users_hll,
         "price_quantiles_sketch": R.price_quantiles_sketch,
         # link-graph extraction over the synthesized pages (WAT-file
-        # analog; HTML parse -> rows-only)
+        # analog; DuckDB-checked since r4 via the deterministic page
+        # template's anchor contract; host_pagerank stays rows-only
+        # (iterative))
         "extract_links": L.extract_links,
         "link_hosts": L.link_hosts,
         "host_pagerank": L.host_pagerank,
@@ -269,6 +271,28 @@ def _redact_pii_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        # -- link-graph ops: SQL-expressible because docs_to_pages wraps
+        # every document in the SAME deterministic template whose only
+        # anchors are nav home/about + footer tos (pipelines/webpages.py
+        # _PAGE_HEAD/_PAGE_TAIL) — the oracle restates that contract, so a
+        # kernel drift (missed/extra/reordered anchors) hash-mismatches.
+        "extract_links": """
+            SELECT printf('https://testdata.local/doc/%08d', doc_id) AS url,
+                   v.link_idx, v.href, v.anchor
+            FROM documents
+            CROSS JOIN (VALUES (CAST(0 AS BIGINT), '/', 'home'),
+                               (CAST(1 AS BIGINT), '/about', 'about'),
+                               (CAST(2 AS BIGINT), '/tos', 'terms'))
+                 AS v(link_idx, href, anchor)
+        """,
+        "link_hosts": """
+            -- every template anchor is relative -> resolves to the page's
+            -- own host; 3 anchors per page, one page per document
+            SELECT 'testdata.local' AS src_host,
+                   'testdata.local' AS dst_host,
+                   CAST(3 * COUNT(*) AS BIGINT) AS n_links
+            FROM documents
+        """,
         "pricing_summary": """
             -- CAST(SUM(..) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT,
             -- the engine emits int64 — affinity only, values identical.
