@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
+        # persistent-index variant: build once (hive-partitioned inverted
+        # lists + manifest), later calls read only the probed partitions
+        "ann_ivf_indexed": S.ann_ivf_topk_indexed,
         "embedding_near_dup": S.embedding_near_dup,
         "near_dup_groups": S.near_dup_groups,
         "knn_classify": S.knn_classify,

@@ -236,6 +236,19 @@ def _spherical_kmeans(sample: np.ndarray, nlist: int) -> np.ndarray:
     return cent
 
 
+def _ivf_nlist(n: int) -> int:
+    import math
+
+    return max(4, min(4096, int(math.isqrt(max(n, 16)))))
+
+
+def _train_ivf(sf_dir: str, nlist: int | None = None) -> np.ndarray:
+    n = _table_rows(sf_dir)
+    nlist = nlist or _ivf_nlist(n)
+    sample = _ivf_sample(sf_dir, min(n, max(8 * nlist, 2048), _IVF_SAMPLE_CAP))
+    return _spherical_kmeans(sample, nlist)
+
+
 def ann_ivf_topk(
     sf_dir: str, k: int = 10, query_vec_id: int = 0, nprobe: int | None = None
 ) -> pa.Table:
@@ -243,14 +256,9 @@ def ann_ivf_topk(
     centroid inside ``map_batches`` (centroids broadcast once in the task
     closure), score only vectors whose list is among the query's ``nprobe``
     nearest lists. Columns match ``cosine_topk``."""
-    import math
-
     q = _query_vector(sf_dir, query_vec_id)
     qn = np.linalg.norm(q)
-    n = _table_rows(sf_dir)
-    nlist = max(4, min(4096, int(math.isqrt(max(n, 16)))))
-    sample = _ivf_sample(sf_dir, min(n, max(8 * nlist, 2048), _IVF_SAMPLE_CAP))
-    cent = _spherical_kmeans(sample, nlist)
+    cent = _train_ivf(sf_dir)
     if nprobe is None:
         # random gaussians spread across lists; probing ~1/4 keeps recall
         # useful while still skipping most of the corpus
@@ -299,6 +307,196 @@ def ann_ivf_topk(
             "vec_id": pa.array(allt["vec_id"].to_numpy()[order], pa.int64()),
             "score": pa.array(np.round(raw[order], 4), pa.float64()),
         }
+    )
+
+
+# -------------------------------------------------------------------------
+# Persistent IVF index: build once / write / load / query — repeated queries
+# amortize training AND assignment ("state loaded once" bar). The artifact
+# is itself scale-shaped: the inverted lists land as a hive-partitioned
+# parquet dataset (lists/ivf_list=K/), so a query READS only its nprobe
+# partitions — at 100 TB that is the difference between an index lookup
+# and a corpus scan. centroids.parquet + _INDEX_MANIFEST.json carry the
+# quantizer and the source fingerprint (stale-source detection).
+# -------------------------------------------------------------------------
+
+_IVF_INDEX_VERSION = 1
+
+
+def build_ivf_index(
+    sf_dir: str, index_dir: str, *, nlist: int | None = None
+) -> dict:
+    """Train the coarse quantizer (bounded sample), assign every vector to
+    its list inside ``map_batches``, and write the index artifact:
+    ``centroids.parquet``, ``lists/`` (hive-partitioned by ``ivf_list``)
+    and ``_INDEX_MANIFEST.json``. Returns the manifest."""
+    import json
+    import os
+
+    n = _table_rows(sf_dir)
+    cent = _train_ivf(sf_dir, nlist)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(len(cent), dtype=np.int64)),
+                "centroid": pa.array(cent.tolist(), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        lists = ((m / norms[:, None]) @ cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["ivf_list"]
+    )
+    src = f"{sf_dir}/embeddings.parquet"
+    manifest = {
+        "version": _IVF_INDEX_VERSION,
+        "nlist": int(len(cent)),
+        "dim": int(cent.shape[1]),
+        "n_rows": int(n),
+        "source": os.path.abspath(src),
+        "source_bytes": os.path.getsize(src),
+    }
+    with open(os.path.join(index_dir, "_INDEX_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_ivf_index(index_dir: str) -> tuple[np.ndarray, dict]:
+    """Centroid matrix + manifest; fails actionably on a missing or
+    wrong-version artifact."""
+    import json
+    import os
+
+    man_path = os.path.join(index_dir, "_INDEX_MANIFEST.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(
+            f"no IVF index at {index_dir!r} (missing _INDEX_MANIFEST.json); "
+            "run build_ivf_index first"
+        )
+    with open(man_path) as f:
+        manifest = json.load(f)
+    if manifest.get("version") != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"IVF index at {index_dir!r} has version "
+            f"{manifest.get('version')} != {_IVF_INDEX_VERSION}; rebuild"
+        )
+    cent = _to_matrix(
+        pq.read_table(os.path.join(index_dir, "centroids.parquet"))["centroid"]
+    )
+    return cent, manifest
+
+
+def ann_ivf_query(
+    index_dir: str, q: np.ndarray, k: int = 10, nprobe: int | None = None
+) -> pa.Table:
+    """Answer one query FROM the artifact: pick nprobe nearest lists from
+    the loaded centroids, read ONLY those hive partitions, score, top-k.
+    Identical results to ann_ivf_topk for the same quantizer/nprobe."""
+    import os
+
+    import ray
+
+    cent, _ = load_ivf_index(index_dir)
+    qn = float(np.linalg.norm(q))
+    if nprobe is None:
+        nprobe = max(1, len(cent) // 4)
+    qdir = q / max(qn, 1e-12)
+    probe_lists = np.argsort(-(cent @ qdir))[:nprobe]
+    import glob
+
+    paths: list[str] = []
+    for L in np.sort(probe_lists):
+        # probe partitions only; an empty list simply has no directory
+        paths.extend(
+            sorted(
+                glob.glob(
+                    os.path.join(
+                        index_dir, "lists", f"ivf_list={int(L)}", "*.parquet"
+                    )
+                )
+            )
+        )
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    if not paths:
+        return empty
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        raw = (m @ q) / np.maximum(np.linalg.norm(m, axis=1) * qn, 1e-12)
+        order = np.lexsort((batch["vec_id"].to_numpy(), -raw))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(batch["vec_id"].to_numpy()[order], pa.int64()),
+                "raw": pa.array(raw[order], pa.float64()),
+            }
+        )
+
+    pruned = rd.read_parquet(paths).map_batches(score, batch_format="pyarrow")
+    parts = [t for t in ray.get(pruned.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return empty
+    allt = pa.concat_tables(parts)
+    raw = allt["raw"].to_numpy()
+    order = np.lexsort((allt["vec_id"].to_numpy(), -raw))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(allt["vec_id"].to_numpy()[order], pa.int64()),
+            "score": pa.array(np.round(raw[order], 4), pa.float64()),
+        }
+    )
+
+
+_IVF_CACHE: dict[str, str] = {}  # sf_dir -> built index_dir (per process)
+
+
+def ann_ivf_topk_indexed(
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = 0,
+    nprobe: int | None = None,
+    index_dir: str | None = None,
+) -> pa.Table:
+    """``ann_ivf_topk`` answered from the persistent artifact: the index is
+    built at most once per (process, sf_dir) — or reused from disk when its
+    manifest still matches the source — and every later call skips training
+    and assignment entirely. Same deterministic quantizer, same results."""
+    import os
+    import shutil
+    import tempfile
+
+    if index_dir is None:
+        index_dir = _IVF_CACHE.get(sf_dir) or os.path.join(
+            tempfile.gettempdir(),
+            "pdf_extractor_ray_ivf",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+    src = f"{sf_dir}/embeddings.parquet"
+    need_build = True
+    try:
+        _, man = load_ivf_index(index_dir)
+        need_build = not (
+            man["source"] == os.path.abspath(src)
+            and man["source_bytes"] == os.path.getsize(src)
+            and man["n_rows"] == _table_rows(sf_dir)
+        )
+    except (FileNotFoundError, ValueError, KeyError):
+        pass
+    if need_build:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_ivf_index(sf_dir, index_dir)
+    _IVF_CACHE[sf_dir] = index_dir
+    return ann_ivf_query(
+        index_dir, _query_vector(sf_dir, query_vec_id), k=k, nprobe=nprobe
     )
 
 

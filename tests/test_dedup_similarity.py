@@ -599,3 +599,88 @@ def test_semdedup_keep_set_matches_near_dup_groups(ray_session, planted_dir):
     g = near_dup_groups(planted_dir, threshold=0.95).to_pandas()
     non_canon = set(g.loc[g["vec_id"] != g["canon_id"], "vec_id"])
     assert dropped == non_canon
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index (build once / query many)
+# ---------------------------------------------------------------------------
+
+def test_ivf_index_build_query_matches_inline(ray_session, tmp_path):
+    """ann_ivf_query over the written artifact must equal ann_ivf_topk
+    (same deterministic quantizer, same probe set, same scores)."""
+    from pdf_extractor_ray.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    man = S.build_ivf_index(sf, idx)
+    assert man["nlist"] >= 4 and man["n_rows"] == S._table_rows(sf)
+
+    for qid in (0, 3):
+        inline = S.ann_ivf_topk(sf, k=10, query_vec_id=qid)
+        indexed = S.ann_ivf_query(idx, S._query_vector(sf, qid), k=10)
+        assert inline.equals(indexed), qid
+
+
+def test_ivf_indexed_skips_training_on_second_call(ray_session, tmp_path, monkeypatch):
+    """The second ann_ivf_topk_indexed call must answer purely from the
+    artifact: training (and assignment) must not run again."""
+    from pdf_extractor_ray.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf2")
+    calls = {"train": 0}
+    real_train = S._train_ivf
+
+    def counting_train(*a, **kw):
+        calls["train"] += 1
+        return real_train(*a, **kw)
+
+    monkeypatch.setattr(S, "_train_ivf", counting_train)
+    first = S.ann_ivf_topk_indexed(sf, k=10, query_vec_id=0, index_dir=idx)
+    assert calls["train"] == 1
+    second = S.ann_ivf_topk_indexed(sf, k=10, query_vec_id=0, index_dir=idx)
+    assert calls["train"] == 1, "second query must reuse the artifact"
+    assert first.equals(second)
+    # a different query against the same artifact also skips training
+    S.ann_ivf_topk_indexed(sf, k=5, query_vec_id=7, index_dir=idx)
+    assert calls["train"] == 1
+
+
+def test_ivf_indexed_rebuilds_on_stale_source(ray_session, tmp_path):
+    """A source corpus change (different embeddings bytes/rows) must
+    invalidate the artifact and rebuild, not silently serve stale lists."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions import similarity as S
+
+    def write_sf(d, n, seed):
+        d.mkdir()
+        rng = np.random.RandomState(seed)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        rng.standard_normal((n, 16)).tolist(),
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(d / "embeddings.parquet"),
+        )
+
+    sf = tmp_path / "sfA"
+    write_sf(sf, 200, 1)
+    idx = str(tmp_path / "ivf3")
+    a = S.ann_ivf_topk_indexed(str(sf), k=5, index_dir=idx)
+    man1 = pq.read_table(str(tmp_path / "ivf3" / "centroids.parquet"))
+
+    # rewrite the corpus in place: same path, different contents
+    import shutil
+
+    shutil.rmtree(sf)
+    write_sf(sf, 300, 2)
+    b = S.ann_ivf_topk_indexed(str(sf), k=5, index_dir=idx)
+    man2 = pq.read_table(str(tmp_path / "ivf3" / "centroids.parquet"))
+    assert not man1.equals(man2), "artifact must be rebuilt for new source"
+    assert b.equals(S.ann_ivf_topk(str(sf), k=5))
