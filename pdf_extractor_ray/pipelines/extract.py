@@ -258,14 +258,34 @@ def process_partition(
 
     def writer(dir_path: str) -> PartitionManifest:
         writers: dict[str, pq.ParquetWriter] = {}
+        # buffer per-batch outputs into real row groups (a write per
+        # 64-row extract batch makes hundreds of tiny row groups per file
+        # and measurably slows both the write and every later read); the
+        # buffer is a bounded CONSTANT (rows/bytes cap), so the streaming
+        # memory bound stands
+        buf: dict[str, list[pa.Table]] = {}
+        _FLUSH_ROWS, _FLUSH_BYTES = 8192, 64 << 20
 
-        def emit(name: str, table: pa.Table) -> None:
+        def flush(name: str) -> None:
+            parts = buf.pop(name, [])
+            if not parts:
+                return
+            t = pa.concat_tables(parts)
             w = writers.get(name)
             if w is None:
                 w = writers[name] = pq.ParquetWriter(
-                    os.path.join(dir_path, f"{name}.parquet"), table.schema
+                    os.path.join(dir_path, f"{name}.parquet"), t.schema
                 )
-            w.write_table(table)
+            w.write_table(t)
+
+        def emit(name: str, table: pa.Table) -> None:
+            parts = buf.setdefault(name, [])
+            parts.append(table)
+            if (
+                sum(p.num_rows for p in parts) >= _FLUSH_ROWS
+                or sum(p.nbytes for p in parts) >= _FLUSH_BYTES
+            ):
+                flush(name)
 
         def handle(t: pa.Table) -> None:
             totals["bytes_in"] += int(
@@ -319,7 +339,7 @@ def process_partition(
             finally:
                 pf.close()
 
-        if "extracted" not in writers:
+        if not writers and not buf:
             # zero-row partition (all rows were dedup losers, or an empty
             # shard): emit empty tables with the full schema so the
             # manifest still lands and resume can skip it
@@ -329,6 +349,8 @@ def process_partition(
                 empty = empty.append_column("doc_id", pa.array([], pa.int64()))
             handle(empty)
 
+        for name in list(buf):
+            flush(name)
         for w in writers.values():
             w.close()
         return PartitionManifest(
