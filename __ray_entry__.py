@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pdf_tables as _pdf_tables,
         web_to_training as _web_to_training,
     )
-    from pdf_extractor_ray.pipelines.fanout import fanout_extract
+    from pdf_extractor_ray.pipelines.fanout import fanout_extract, page_contents
 
     return {
         # relational operator analogs (SURVEY §2.4-2.7)
@@ -196,6 +196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_tables": _pdf_tables,
         # multi-extractor fan-out (reference main.py:77-137; rows-only)
         "fanout_extract": fanout_extract,
+        # per-page multi-key content vocabulary — the reference's
+        # DocumentPageContent product (COMBINED/TABLE/MARKDOWN/LATEX/TEXT
+        # keys per page, tasks.py:250-264); DuckDB-checked via the
+        # deterministic page template
+        "page_contents": page_contents,
     }
 
 
@@ -295,6 +300,60 @@ def oracle_sql() -> dict[str, str]:
                    'testdata.local' AS dst_host,
                    CAST(3 * COUNT(*) AS BIGINT) AS n_links
             FROM documents
+        """,
+        "page_contents": """
+            -- The DocumentPageContent long table: every content key is
+            -- derivable from the deterministic page template —
+            -- COMBINED = title 'doc' + cleaned paragraphs (the
+            -- web_to_training extraction identity), TABLE = '' (html pages
+            -- carry no table regions), MARKDOWN = the raw payload string
+            -- (no PAGE markers / '---' rules in a one-line template),
+            -- stub LATEX/TEXT fakes = '[svc-fake:' || md5(payload)[:12].
+            WITH esc AS (
+                SELECT doc_id,
+                       printf('https://testdata.local/doc/%08d', doc_id) AS url,
+                       text,
+                       list_transform(regexp_split_to_array(text, chr(10)),
+                           p -> replace(replace(replace(replace(replace(p,
+                                '&','&amp;'),'<','&lt;'),'>','&gt;'),
+                                '"','&quot;'), chr(39),'&#x27;')) AS eparas
+                FROM documents
+            ),
+            payload AS (
+                SELECT doc_id, url,
+                       '<!doctype html><html><head><title>doc</title></head><body>'
+                       || '<nav><a href=''/''>home</a> <a href=''/about''>about</a></nav>'
+                       || '<article><p>' || array_to_string(eparas, '</p><p>')
+                       || '</p></article>'
+                       || '<footer><a href=''/tos''>terms</a></footer></body></html>'
+                           AS body,
+                       'doc' || chr(10) || chr(10) || array_to_string(
+                           list_filter(
+                               list_transform(
+                                   regexp_split_to_array(text, chr(10)),
+                                   p -> trim(regexp_replace(p,
+                                        '[ ' || chr(9) || chr(13) || ']+',
+                                        ' ', 'g'))),
+                               p -> p <> ''), chr(10) || chr(10)) AS combined
+                FROM esc
+            )
+            SELECT url, 'main_content' AS extractor,
+                   CAST(1 AS INTEGER) AS page_number,
+                   'COMBINED' AS content_key, combined AS text FROM payload
+            UNION ALL
+            SELECT url, 'main_content', CAST(1 AS INTEGER), 'TABLE', ''
+            FROM payload
+            UNION ALL
+            SELECT url, 'markdown_pages', CAST(1 AS INTEGER), 'MARKDOWN',
+                   body FROM payload
+            UNION ALL
+            SELECT url, 'mathpix', CAST(1 AS INTEGER), 'LATEX',
+                   '[mathpix-fake:' || substr(md5(body), 1, 12) || ']'
+            FROM payload
+            UNION ALL
+            SELECT url, 'ocr_tesseract', CAST(1 AS INTEGER), 'TEXT',
+                   '[tesseract-fake:' || substr(md5(body), 1, 12) || ']'
+            FROM payload
         """,
         "pricing_summary": """
             -- CAST(SUM(..) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT,

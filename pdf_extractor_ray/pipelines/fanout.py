@@ -148,6 +148,88 @@ DEFAULT_FANOUT = [
 ]
 
 
+PAGE_CONTENT_COLUMNS = ["url", "extractor", "page_number", "content_key", "text"]
+
+
+def page_contents_batch(batch: pa.Table, fake_services: bool = True) -> pa.Table:
+    """pages batch -> the reference's DocumentPageContent long table
+    (``backend/src/models/database.py:61-73`` + ``tasks.py:250-264``): one
+    row per (url, extractor, page, CONTENT KEY) — the per-page multi-key
+    content vocabulary the reference stores as a dict per page:
+
+      main_content   -> COMBINED + TABLE per page (pdfplumber's exact dict
+                        shape, ``pdfplumber_extractor.py:44-47`` — TABLE is
+                        "" on table-free pages, both keys always present)
+      markdown_pages -> MARKDOWN per split page (llamaparse.py:149-163)
+      mathpix        -> LATEX  (stub; deterministic fake when fake_services)
+      ocr_tesseract  -> TEXT   (stub; deterministic fake when fake_services)
+
+    One fused pass per batch (each engine is pure CPU over the same
+    payload); no shuffle anywhere."""
+    from ..functions.textops import split_markdown_pages
+    from ..kernels import extract_document
+    from ..stages.registry import get_extractor
+
+    mathpix = get_extractor("mathpix")(fake=fake_services)
+    ocr = get_extractor("ocr_tesseract")(fake=fake_services)
+
+    urls: list[str] = []
+    exts: list[str] = []
+    pnums: list[int] = []
+    keys: list[str] = []
+    texts: list[str] = []
+
+    def add(u: str, e: str, n: int, k: str, t: str) -> None:
+        urls.append(u)
+        exts.append(e)
+        pnums.append(n)
+        keys.append(k)
+        texts.append(t)
+
+    for u, p in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        _ctype, res = extract_document(p)
+        tables = res.tables_aligned()
+        for i, (pg, tb) in enumerate(zip(res.pages, tables), start=1):
+            add(u, "main_content", i, "COMBINED", pg)
+            add(u, "main_content", i, "TABLE", tb)
+        md = (p or b"").decode("utf-8", errors="replace")
+        sp = split_markdown_pages(md)
+        for n in sorted(sp):
+            add(u, "markdown_pages", n, "MARKDOWN", sp[n])
+        add(
+            u, "mathpix", 1, "LATEX",
+            mathpix._fake_text(p) if fake_services else "",
+        )
+        add(
+            u, "ocr_tesseract", 1, "TEXT",
+            ocr._fake_text(p) if fake_services else "",
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "extractor": pa.array(exts, pa.string()),
+            "page_number": pa.array(pnums, pa.int32()),
+            "content_key": pa.array(keys, pa.string()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+
+
+def page_contents(sf_dir: str) -> rd.Dataset:
+    """Driver-data entry for the per-page content-key long table: documents
+    -> synthetic pages -> one fused pass through the engine set. DuckDB-
+    checkable because every key is derivable from the deterministic page
+    template (COMBINED from the text, MARKDOWN = the raw payload, stub
+    fakes = md5 of the payload)."""
+    from .webpages import docs_to_pages
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = ds.map_batches(docs_to_pages, batch_format="pyarrow")
+    return pages.map_batches(page_contents_batch, batch_format="pyarrow")
+
+
 def fanout_extract(sf_dir: str) -> rd.Dataset:
     """Driver-data entry: documents -> synthetic pages -> fan-out through
     the default engine set (service stubs in deterministic-fake mode)."""

@@ -203,6 +203,24 @@ class VisionApiStub(_StubServiceExtractor):
                 "max_retries": 3, "retry_countdown_s": 30}  # API budget, constants.py:87-95
 
 
+@register("mathpix")
+class MathpixStub(_StubServiceExtractor):
+    """Mathpix OCR/LaTeX stage shape (``mathpix_extractor.py:103-163``:
+    async pdf job -> lines.json -> per-page line sort -> text_display
+    joined per page, stored under the ``LATEX`` content key). Network
+    service; stub. Its rows surface as the LATEX key in the per-page
+    content-key long table (pipelines/fanout.page_contents_batch)."""
+
+    service = "mathpix"
+
+    @classmethod
+    def info(cls) -> dict:
+        return {"name": "mathpix", "kind": "stub", "formats": ["pdf", "image"],
+                "content_key": "LATEX",
+                "cost_per_page": 0.001,  # default rate bucket, tasks.py:103
+                "max_retries": 3, "retry_countdown_s": 30}  # API budget
+
+
 @register("textract")
 class TextractStub(_StubServiceExtractor):
     """AWS Textract stage shape (``textract_extractor.py:26-97``: async job

@@ -345,3 +345,52 @@ def test_image_decode_reports_real_dims(ray_session):
     assert out["height"].to_pylist()[:2] == [34, 78]
     # unknown payload falls back to the deterministic fake (flagged codec="")
     assert out["width"][2].as_py() >= 16
+
+
+def test_page_contents_pdf_multi_key_vocabulary(ray_session):
+    """The per-page content-key long table over PDF payloads: COMBINED and
+    TABLE per page (pdfplumber dict shape — TABLE '' on table-free pages,
+    pipe-joined where a region was detected), plus the stub LATEX/TEXT keys
+    and llamaparse MARKDOWN."""
+    import random
+
+    import pyarrow as pa
+
+    from pdf_extractor_ray.corpus import build_pdf
+    from pdf_extractor_ray.kernels.pdf_extract import extract_pdf
+    from pdf_extractor_ray.pipelines.fanout import page_contents_batch
+
+    payloads, n_pages = [], []
+    for seed in range(20):
+        p = build_pdf(random.Random(seed), 3, flate=False)
+        payloads.append(p)
+        n_pages.append(len(extract_pdf(p).pages))
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(payloads))]),
+            "html": pa.array(payloads, pa.large_binary()),
+        }
+    )
+    out = page_contents_batch(batch).to_pandas()
+    mc = out[out["extractor"] == "main_content"]
+    for i, np_ in enumerate(n_pages):
+        rows = mc[mc["url"] == f"u{i}"]
+        # COMBINED + TABLE per page, page numbers dense from 1
+        assert len(rows) == 2 * np_
+        for key in ("COMBINED", "TABLE"):
+            sub = rows[rows["content_key"] == key]
+            assert list(sub["page_number"]) == list(range(1, np_ + 1)), key
+    tables = mc[(mc["content_key"] == "TABLE") & (mc["text"] != "")]
+    assert len(tables) > 0, "planted table regions should surface"
+    assert tables["text"].str.contains(r" \| ").all()
+    # stub keys present once per doc
+    for ext, key, svc in (
+        ("mathpix", "LATEX", "mathpix"),
+        ("ocr_tesseract", "TEXT", "tesseract"),
+    ):
+        sub = out[out["extractor"] == ext]
+        assert len(sub) == len(payloads)
+        assert (sub["content_key"] == key).all()
+        assert sub["text"].str.startswith(f"[{svc}-fake:").all()
+    # llamaparse markdown key exists for every doc
+    assert (out["extractor"] == "markdown_pages").sum() >= len(payloads)
