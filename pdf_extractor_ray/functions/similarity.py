@@ -558,7 +558,7 @@ def _near_dup_pairs_ds(sf_dir: str, threshold: float = 0.95):
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        a_out, b_out, s_out = [], [], []
+        a_np = b_np = s_np = None
         if n > 500:
             # heavy cluster: star-verify against the bucket representative
             # (linear) instead of dropping the densest duplicates silently
@@ -569,14 +569,11 @@ def _near_dup_pairs_ds(sf_dir: str, threshold: float = 0.95):
             sims = (m @ m[rep]) / (
                 np.linalg.norm(m, axis=1) * np.linalg.norm(m[rep])
             )
-            for j in order[1:]:
-                if sims[j] >= threshold:
-                    a, b = int(ids[rep]), int(ids[j])
-                    if a > b:
-                        a, b = b, a
-                    a_out.append(a)
-                    b_out.append(b)
-                    s_out.append(round(float(sims[j]), 4))
+            others = order[1:]
+            hit = others[sims[others] >= threshold]
+            a_np = np.full(hit.size, ids[rep], np.int64)
+            b_np = ids[hit].astype(np.int64)
+            s_np = np.round(sims[hit], 4)
         elif 1 < n <= 500:
             m = _to_matrix(group["embedding"])
             norms = np.linalg.norm(m, axis=1)
@@ -584,18 +581,19 @@ def _near_dup_pairs_ds(sf_dir: str, threshold: float = 0.95):
             ids = group["vec_id"].to_numpy()
             iu, ju = np.triu_indices(n, k=1)
             keep = sim[iu, ju] >= threshold
-            for i, j in zip(iu[keep], ju[keep]):
-                a, b = int(ids[i]), int(ids[j])
-                if a > b:
-                    a, b = b, a
-                a_out.append(a)
-                b_out.append(b)
-                s_out.append(round(float(sim[i, j]), 4))
+            a_np = ids[iu[keep]].astype(np.int64)
+            b_np = ids[ju[keep]].astype(np.int64)
+            s_np = np.round(sim[iu[keep], ju[keep]], 4)
+        if a_np is None:
+            a_np = b_np = np.array([], np.int64)
+            s_np = np.array([], np.float64)
+        lo = np.minimum(a_np, b_np)  # canonical (min, max) pair order
+        hi = np.maximum(a_np, b_np)
         return pa.table(
             {
-                "vec_a": pa.array(a_out, pa.int64()),
-                "vec_b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(s_out, pa.float64()),
+                "vec_a": pa.array(lo, pa.int64()),
+                "vec_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(s_np, pa.float64()),
             }
         )
 
