@@ -71,9 +71,13 @@ def _iso_to_us(iso: str) -> int | None:
         return None
 
 
-def _parse_warc(data: bytes) -> list[tuple[str, int | None, bytes]]:
-    """(url, warc_ts_us, html_payload) per response record. Sequential
-    scan; malformed records are skipped, a truncated tail is dropped."""
+def _parse_warc(
+    data: bytes, want_type: bytes = b"response"
+) -> list[tuple[str, int | None, bytes]]:
+    """(url, warc_ts_us, payload) per record of ``want_type``. Sequential
+    scan; malformed records are skipped, a truncated tail is dropped.
+    ``response`` payloads get their HTTP envelope stripped; other types
+    (``conversion`` = WET text) carry the payload bare."""
     rows: list[tuple[str, int | None, bytes]] = []
     pos = 0
     n = len(data)
@@ -97,7 +101,7 @@ def _parse_warc(data: bytes) -> list[tuple[str, int | None, bytes]]:
         body = data[body_start:body_end]
         pos = body_end
         tm = _TYPE_RE.search(header)
-        if tm is None or tm.group(1).lower() != b"response":
+        if tm is None or tm.group(1).lower() != want_type:
             continue  # warcinfo/request/metadata records carry no page
         um = _URI_RE.search(header)
         if um is None:
@@ -105,11 +109,16 @@ def _parse_warc(data: bytes) -> list[tuple[str, int | None, bytes]]:
         url = um.group(1).decode("utf-8", "replace")
         dm = _DATE_RE.search(header)
         ts = _iso_to_us(dm.group(1).decode("ascii", "replace")) if dm else None
-        # response payload = HTTP envelope + body; the body after the HTTP
-        # header block is the page bytes (no envelope -> whole payload)
-        split = body.find(_HDR_SPLIT)
-        html = body[split + 4 :] if split != -1 and body[:5] in (b"HTTP/",) else body
-        rows.append((url, ts, html))
+        if want_type == b"response":
+            # response payload = HTTP envelope + body; the body after the
+            # HTTP header block is the page bytes (no envelope -> whole)
+            split = body.find(_HDR_SPLIT)
+            body = (
+                body[split + 4 :]
+                if split != -1 and body[:5] in (b"HTTP/",)
+                else body
+            )
+        rows.append((url, ts, body))
     return rows
 
 
@@ -202,3 +211,137 @@ def write_pages_warc(
     with open(path, "wb") as f:
         f.write(b"".join(recs))
     return len(recs)
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — the Common-Crawl companion
+# product to WARC: what a crawl's extraction tier PUBLISHES. WARC in,
+# WET out completes the tier's native interchange loop.
+# ---------------------------------------------------------------------------
+
+
+def _wet_record(url: str, ts_us: int | None, text: str) -> bytes:
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(
+        (ts_us or 0) / 1_000_000, tz=timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    body = text.encode("utf-8")
+    header = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: " + url.encode("utf-8") + b"\r\n"
+        b"WARC-Date: " + iso.encode() + b"\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    return header + b"\r\n" + body + b"\r\n\r\n"
+
+
+def write_wet(
+    extracted: rd.Dataset,
+    out_dir: str,
+    *,
+    gzip_members: bool = False,
+    text_column: str = "extracted_text",
+) -> pa.Table:
+    """Extracted rows -> a directory of WET files (WARC/1.0 ``conversion``
+    records, text/plain payloads — the Common-Crawl WET egress for the
+    extraction tier). Ray-Data-first: each task writes its own blocks'
+    file directly (no driver materialization, no shuffle); file names are
+    the md5 of the member urls (identical batch -> identical file), and
+    pre-existing wet files are cleared first so a re-run with different
+    batch boundaries can never leave stale duplicates. Returns the write
+    manifest (wet_path, n_records, n_bytes) — small, one row per file."""
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for old in glob(os.path.join(out_dir, "wet-*.warc.wet*")):
+        os.remove(old)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "wet_path": pa.array([], pa.string()),
+                    "n_records": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                }
+            )
+        urls = batch["url"].to_pylist()
+        tss = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        texts = pc.cast(batch[text_column], pa.string()).to_pylist()
+        recs = [
+            _wet_record(u, ts, t or "") for u, ts, t in zip(urls, tss, texts)
+        ]
+        if gzip_members:  # member-per-record, the Common-Crawl convention
+            recs = [_gzip.compress(r) for r in recs]
+        blob = b"".join(recs)
+        name = hashlib.md5("\n".join(urls).encode()).hexdigest()[:16]
+        suffix = ".warc.wet.gz" if gzip_members else ".warc.wet"
+        path = os.path.join(out_dir, f"wet-{name}{suffix}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+        return pa.table(
+            {
+                "wet_path": pa.array([path], pa.string()),
+                "n_records": pa.array([len(recs)], pa.int64()),
+                "n_bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
+
+    manifests = [
+        t
+        for t in __import__("ray").get(
+            extracted.map_batches(emit, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    return (
+        pa.concat_tables(manifests)
+        if manifests
+        else pa.table(
+            {
+                "wet_path": pa.array([], pa.string()),
+                "n_records": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
+def read_wet(input_path: str) -> rd.Dataset:
+    """Directory of ``*.warc.wet`` / ``*.warc.wet.gz`` -> Dataset
+    (url, warc_ts, text). Same per-archive task fan-out and
+    swallow-and-skip malformed-record contract as ``read_pages_warc``."""
+    paths = sorted(glob(f"{input_path}/*.warc.wet*")) or [input_path]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int | None] = []
+        texts: list[str] = []
+        for data in batch["bytes"].to_pylist():
+            if data[:2] == b"\x1f\x8b":
+                try:
+                    data = _gunzip_members(data)
+                except zlib.error:
+                    continue
+            for url, ts, payload in _parse_warc(data, want_type=b"conversion"):
+                urls.append(url)
+                tss.append(ts)
+                texts.append(payload.decode("utf-8", errors="replace"))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
+        parse, batch_format="pyarrow"
+    )

@@ -216,3 +216,55 @@ def test_warc_to_training_matches_parquet_composition(
     import pandas as pd
 
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_wet_egress_roundtrip(ray_session, small_corpus, tmp_path):
+    """extraction -> write_wet -> read_wet reproduces every (url, text)
+    pair exactly (the Common-Crawl WET product loop); gz member mode too."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.pipelines.extract import extracted_dataset
+    from pdf_extractor_ray.sources.warc import read_wet, write_wet
+
+    extracted = extracted_dataset(small_corpus["corpus"], concurrency=2)
+    for gz in (False, True):
+        out = str(tmp_path / f"wet_gz{gz}")
+        manifest = write_wet(extracted, out, gzip_members=gz)
+        assert manifest.num_rows >= 1
+        assert sum(manifest["n_records"].to_pylist()) > 0
+
+        back = (
+            read_wet(out)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        src = (
+            extracted.select_columns(["url", "extracted_text", "warc_ts"])
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert list(back["url"]) == list(src["url"])
+        assert list(back["text"]) == list(src["extracted_text"])
+        # second-resolution WARC-Date: compare at seconds granularity
+        assert (
+            back["warc_ts"].astype("int64") // 1_000_000
+            == src["warc_ts"].astype("int64") // 1_000_000
+        ).all()
+
+
+def test_wet_writer_idempotent_rerun(ray_session, small_corpus, tmp_path):
+    """Re-running the WET egress over the same input overwrites the same
+    content-named files — no duplicate records accumulate."""
+    from pdf_extractor_ray.pipelines.extract import extracted_dataset
+    from pdf_extractor_ray.sources.warc import read_wet, write_wet
+
+    out = str(tmp_path / "wet")
+    extracted = extracted_dataset(small_corpus["corpus"], concurrency=2)
+    write_wet(extracted, out)
+    n1 = read_wet(out).count()
+    write_wet(extracted, out)
+    n2 = read_wet(out).count()
+    assert n1 == n2
