@@ -72,13 +72,17 @@ def _iso_to_us(iso: str) -> int | None:
 
 
 def _parse_warc(
-    data: bytes, want_type: bytes = b"response"
-) -> list[tuple[str, int | None, bytes]]:
+    data: bytes, want_type: bytes = b"response", with_spans: bool = False
+) -> list[tuple]:
     """(url, warc_ts_us, payload) per record of ``want_type``. Sequential
     scan; malformed records are skipped, a truncated tail is dropped.
     ``response`` payloads get their HTTP envelope stripped; other types
-    (``conversion`` = WET text) carry the payload bare."""
-    rows: list[tuple[str, int | None, bytes]] = []
+    (``conversion`` = WET text) carry the payload bare. With
+    ``with_spans`` each row gains (record_offset, record_length) — the
+    byte span of the whole record in the plain stream, sized so that
+    ``data[off : off + length]`` re-parses to exactly that record (the
+    CDX random-access contract)."""
+    rows: list[tuple] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -118,7 +122,10 @@ def _parse_warc(
                 if split != -1 and body[:5] in (b"HTTP/",)
                 else body
             )
-        rows.append((url, ts, body))
+        if with_spans:
+            rows.append((url, ts, body, start, body_end - start))
+        else:
+            rows.append((url, ts, body))
     return rows
 
 
@@ -344,4 +351,54 @@ def read_wet(input_path: str) -> rd.Dataset:
 
     return rd.read_binary_files(paths, include_paths=True).map_batches(
         parse, batch_format="pyarrow"
+    )
+
+
+def warc_cdx(input_path: str) -> rd.Dataset:
+    """CDX-style capture index over a directory of archives — the third
+    Common-Crawl artifact beside WARC and WET: one row per response record
+    (url, warc_ts, filename, record_offset, record_length), where
+    ``plain_bytes[offset : offset + length]`` re-parses to exactly that
+    record (random access without scanning the archive). Offsets address
+    the PLAIN record stream; for ``.warc.gz`` inputs that is the
+    decompressed stream (member-offset indexing would need the compressed
+    framing, which the reader deliberately abstracts away). Same
+    per-archive task fan-out as ``read_pages_warc``; the index rows are
+    tiny (no payload bytes on the wire)."""
+    paths = sorted(glob(f"{input_path}/*.warc*")) or [input_path]
+
+    def index(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[int | None] = []
+        names: list[str] = []
+        offs: list[int] = []
+        lens: list[int] = []
+        for path, data in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            if data[:2] == b"\x1f\x8b":
+                try:
+                    data = _gunzip_members(data)
+                except zlib.error:
+                    continue
+            for url, ts, _body, off, length in _parse_warc(
+                data, with_spans=True
+            ):
+                urls.append(url)
+                tss.append(ts)
+                names.append(path)
+                offs.append(off)
+                lens.append(length)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                "filename": pa.array(names, pa.string()),
+                "record_offset": pa.array(offs, pa.int64()),
+                "record_length": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return rd.read_binary_files(paths, include_paths=True).map_batches(
+        index, batch_format="pyarrow"
     )

@@ -268,3 +268,41 @@ def test_wet_writer_idempotent_rerun(ray_session, small_corpus, tmp_path):
     write_wet(extracted, out)
     n2 = read_wet(out).count()
     assert n1 == n2
+
+
+def test_warc_cdx_random_access(ray_session, small_corpus, tmp_path):
+    """The CDX index's (offset, length) spans must support true random
+    access: slicing the plain archive bytes at each span re-parses to
+    exactly that one record with the same url/ts/payload."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.sources.warc import (
+        _parse_warc,
+        warc_cdx,
+        write_pages_warc,
+    )
+
+    pages = pq.read_table(
+        sorted(__import__("glob").glob(small_corpus["corpus"] + "/*.parquet"))[0]
+    )
+    d = tmp_path / "arch"
+    d.mkdir()
+    path = str(d / "a.warc")
+    n = write_pages_warc(pages, path)
+
+    idx = warc_cdx(str(d)).to_pandas()
+    assert len(idx) == n
+    assert (idx["filename"] == path).all()
+    data = open(path, "rb").read()
+    # spot-check every 7th record by true random access
+    by_pos = idx.sort_values("record_offset").reset_index(drop=True)
+    urls = pages["url"].to_pylist()
+    htmls = pages["html"].to_pylist()
+    for i in range(0, len(by_pos), 7):
+        row = by_pos.iloc[i]
+        chunk = data[row["record_offset"] : row["record_offset"] + row["record_length"]]
+        got = _parse_warc(chunk)
+        assert len(got) == 1
+        url, _ts, payload = got[0]
+        assert url == row["url"] == urls[i]
+        assert payload == (htmls[i] or b"")
