@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.functions import similarity as S
     from pdf_extractor_ray.functions import links as L
     from pdf_extractor_ray.pipelines.webpages import (
+        extract_docs_text as _extract_docs_text,
         extract_from_documents,
         pdf_tables as _pdf_tables,
         web_to_training as _web_to_training,
@@ -188,8 +189,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": L.host_pagerank,
         # markdown page-split long table (M10; rows-only)
         "markdown_pages": T.markdown_pages,
-        # flagship extraction over driver data (rows-only)
+        # flagship extraction over driver data (full schema incl. wall-clock
+        # latency_ms -> rows-only), plus the deterministic projection that
+        # value-hash-checks the HTML kernel itself against DuckDB
         "extract_flagship": extract_from_documents,
+        "extract_docs_text": _extract_docs_text,
         # M7 TABLE product: synthetic-PDF table-region detection, pipe-joined
         # in the reference pdfplumber format (rows-only; byte-level pytest
         # coverage in tests/test_pdf_tables.py)
@@ -299,6 +303,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'testdata.local' AS src_host,
                    'testdata.local' AS dst_host,
                    CAST(3 * COUNT(*) AS BIGINT) AS n_links
+            FROM documents
+        """,
+        "extract_docs_text": """
+            -- the HTML kernel's output over the deterministic template:
+            -- title 'doc' + whitespace-collapsed non-empty paragraphs,
+            -- blank-line joined (checked row-by-row, no quality filter)
+            SELECT printf('https://testdata.local/doc/%08d', doc_id) AS url,
+                   'html' AS content_type,
+                   'doc' || chr(10) || chr(10) || array_to_string(
+                       list_filter(
+                           list_transform(
+                               regexp_split_to_array(text, chr(10)),
+                               p -> trim(regexp_replace(p,
+                                    '[ ' || chr(9) || chr(13) || ']+',
+                                    ' ', 'g'))),
+                           p -> p <> ''), chr(10) || chr(10))
+                       AS extracted_text,
+                   CAST(1 AS INTEGER) AS n_pages,
+                   'ok' AS status
             FROM documents
         """,
         "page_contents": """

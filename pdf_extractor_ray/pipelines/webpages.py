@@ -97,6 +97,19 @@ def extract_from_documents(sf_dir: str, *, n_partitions: int = 16) -> rd.Dataset
     )
 
 
+def extract_docs_text(sf_dir: str) -> rd.Dataset:
+    """Flagship extraction projected to its DETERMINISTIC columns (drops
+    the wall-clock latency_ms, crc32 partition_id, and payload echo) so
+    the HTML kernel itself is value-hash-checked against DuckDB: the page
+    template makes extracted_text expressible from documents.text (title
+    'doc' + whitespace-collapsed non-empty paragraphs, blank-line joined
+    — same identity web_to_training's oracle relies on, here checked row
+    by row with no quality filter hiding edge cases)."""
+    return extract_from_documents(sf_dir).select_columns(
+        ["url", "content_type", "extracted_text", "n_pages", "status"]
+    )
+
+
 def _docs_to_pdf_tables(batch: pa.Table) -> pa.Table:
     """documents rows -> per-page TABLE rows. Each doc seeds a
     deterministic synthetic PDF (corpus.build_pdf, rng=Random(doc_id)) and
