@@ -198,7 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in the reference pdfplumber format (rows-only; byte-level pytest
         # coverage in tests/test_pdf_tables.py)
         "pdf_tables": _pdf_tables,
-        # multi-extractor fan-out (reference main.py:77-137; rows-only)
+        # multi-extractor fan-out (reference main.py:77-137; DuckDB-checked
+        # since r4 via the deterministic template)
         "fanout_extract": fanout_extract,
         # per-page multi-key content vocabulary — the reference's
         # DocumentPageContent product (COMBINED/TABLE/MARKDOWN/LATEX/TEXT
@@ -304,6 +305,58 @@ def oracle_sql() -> dict[str, str]:
                    'testdata.local' AS dst_host,
                    CAST(3 * COUNT(*) AS BIGINT) AS n_links
             FROM documents
+        """,
+        "fanout_extract": """
+            -- the (url, extractor, text, status) long table over the
+            -- default 5-engine set, every branch derivable from the
+            -- template: main_content = the extraction identity,
+            -- markdown_pages = the raw one-line payload (no PAGE markers
+            -- or '---' rules in the template), service stubs = their
+            -- deterministic md5 fakes
+            WITH esc AS (
+                SELECT doc_id,
+                       printf('https://testdata.local/doc/%08d', doc_id) AS url,
+                       text,
+                       list_transform(regexp_split_to_array(text, chr(10)),
+                           p -> replace(replace(replace(replace(replace(p,
+                                '&','&amp;'),'<','&lt;'),'>','&gt;'),
+                                '"','&quot;'), chr(39),'&#x27;')) AS eparas
+                FROM documents
+            ),
+            payload AS (
+                SELECT doc_id, url,
+                       '<!doctype html><html><head><title>doc</title></head><body>'
+                       || '<nav><a href=''/''>home</a> <a href=''/about''>about</a></nav>'
+                       || '<article><p>' || array_to_string(eparas, '</p><p>')
+                       || '</p></article>'
+                       || '<footer><a href=''/tos''>terms</a></footer></body></html>'
+                           AS body,
+                       'doc' || chr(10) || chr(10) || array_to_string(
+                           list_filter(
+                               list_transform(
+                                   regexp_split_to_array(text, chr(10)),
+                                   p -> trim(regexp_replace(p,
+                                        '[ ' || chr(9) || chr(13) || ']+',
+                                        ' ', 'g'))),
+                               p -> p <> ''), chr(10) || chr(10)) AS combined
+                FROM esc
+            )
+            SELECT url, 'main_content' AS extractor,
+                   combined AS extracted_text, 'ok' AS status FROM payload
+            UNION ALL
+            SELECT url, 'markdown_pages', body, 'ok' FROM payload
+            UNION ALL
+            SELECT url, 'ocr_tesseract',
+                   '[tesseract-fake:' || substr(md5(body), 1, 12) || ']',
+                   'ok' FROM payload
+            UNION ALL
+            SELECT url, 'vision_api',
+                   '[vision-fake:' || substr(md5(body), 1, 12) || ']',
+                   'ok' FROM payload
+            UNION ALL
+            SELECT url, 'textract',
+                   '[textract-fake:' || substr(md5(body), 1, 12) || ']',
+                   'ok' FROM payload
         """,
         "extract_docs_text": """
             -- the HTML kernel's output over the deterministic template:
