@@ -182,11 +182,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_sketch": R.price_quantiles_sketch,
         # link-graph extraction over the synthesized pages (WAT-file
         # analog; DuckDB-checked since r4 via the deterministic page
-        # template's anchor contract; host_pagerank stays rows-only
-        # (iterative))
+        # template's anchor contract; host_pagerank's oracle restates the
+        # single-host contract, trade_pagerank's recursive CTE re-computes
+        # the full power iteration over the real multi-nation trade graph)
         "extract_links": L.extract_links,
         "link_hosts": L.link_hosts,
         "host_pagerank": L.host_pagerank,
+        "trade_pagerank": L.trade_pagerank,
         # markdown page-split long table (M10; rows-only)
         "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (full schema incl. wall-clock
@@ -305,6 +307,68 @@ def oracle_sql() -> dict[str, str]:
                    'testdata.local' AS dst_host,
                    CAST(3 * COUNT(*) AS BIGINT) AS n_links
             FROM documents
+        """,
+        "host_pagerank": """
+            -- the template's host graph is one self-loop node, whose
+            -- PageRank is 1.0 at every damping/iteration (the oracle
+            -- restates that contract; the power-iteration MATH is
+            -- oracle-checked by trade_pagerank's recursive CTE below)
+            SELECT 'testdata.local' AS host,
+                   CAST(1000000 AS BIGINT) AS rank_ppm
+            FROM documents LIMIT 1
+        """,
+        "trade_pagerank": """
+            -- full re-computation of the power iteration (10 rounds,
+            -- damping 0.85, uniform init, weighted out-shares, dangling
+            -- mass redistributed uniformly) as a recursive CTE. NOTE: a
+            -- CTE whose top level is UNION gets recursive-union semantics
+            -- inside WITH RECURSIVE (no dedup), so `nodes` wraps its
+            -- UNION ALL in SELECT DISTINCT.
+            WITH RECURSIVE
+            e AS (
+                SELECT c.c_nationkey AS s, su.s_nationkey AS d,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier su ON l.l_suppkey = su.s_suppkey
+                WHERE l.l_quantity >= 50
+                GROUP BY 1, 2
+            ),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+            ow AS (SELECT s, SUM(w) AS outw FROM e GROUP BY s),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            pr AS (
+                SELECT 0 AS it, node, 1.0 / (SELECT n FROM nn) AS rank
+                FROM nodes
+                UNION ALL
+                SELECT it + 1 AS it, node,
+                       0.15 / (SELECT n FROM nn) + 0.85 * SUM(val) AS rank
+                FROM (
+                    -- one scan of the previous iteration: each node row
+                    -- fans out its weighted out-shares (nd = e.d), keeps
+                    -- itself in the frontier with a zero row (nd = node,
+                    -- so nodes with no in-edges still get teleport), and
+                    -- a dangling node spreads rank/n to every node
+                    SELECT pr.it AS it, nd.node AS node,
+                           CASE WHEN e.s IS NULL
+                                    THEN pr.rank / (SELECT n FROM nn)
+                                WHEN nd.node = e.d
+                                    THEN pr.rank / ow.outw * e.w
+                                ELSE 0.0 END AS val
+                    FROM pr
+                    LEFT JOIN e ON e.s = pr.node
+                    LEFT JOIN ow ON ow.s = pr.node
+                    JOIN nodes nd
+                      ON (e.s IS NULL OR nd.node = e.d OR nd.node = pr.node)
+                    WHERE pr.it < 10
+                ) GROUP BY it, node
+            )
+            SELECT n.n_name AS nation,
+                   CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_ppm
+            FROM pr JOIN nation n ON n.n_nationkey = pr.node
+            WHERE it = 10
         """,
         "fanout_extract": """
             -- the (url, extractor, text, status) long table over the

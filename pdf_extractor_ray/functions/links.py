@@ -218,8 +218,10 @@ def pagerank_edges(
         return pa.table(
             {
                 "host": hosts,
+                # half-away ties (DuckDB ROUND parity; np.round is banker's)
                 "rank_ppm": pa.array(
-                    np.round(rank * 1_000_000).astype(np.int64), pa.int64()
+                    np.floor(rank * 1_000_000 + 0.5).astype(np.int64),
+                    pa.int64(),
                 ),
             }
         )
@@ -263,7 +265,7 @@ def pagerank_edges(
         {
             "host": hosts,
             "rank_ppm": pa.array(
-                np.round(rank * 1_000_000).astype(np.int64), pa.int64()
+                np.floor(rank * 1_000_000 + 0.5).astype(np.int64), pa.int64()
             ),
         }
     )
@@ -277,3 +279,198 @@ def host_pagerank(
     partial-combine exchange); the power iteration then runs on the
     host-cardinality edge list per the assumption above."""
     return pagerank_edges(link_hosts(sf_dir), damping=damping, iters=iters)
+
+
+# -------------------------------------------------------------------------
+# trade_pagerank — the SAME power iteration over a real multi-node graph:
+# customer-nation -> supplier-nation edges weighted by high-quantity
+# lineitem count. host_pagerank's corpus graph is a single self-loop (the
+# page template links only within its own host), so its oracle can only
+# restate that contract; this operator gives the PageRank math itself a
+# full DuckDB oracle — a recursive CTE re-computes every iteration and the
+# driver hash-checks rank_ppm per nation.
+#
+# Plan: the trade_components orderkey-hash exchange co-locates each
+# order's customer with its high-qty lineitems (raw rows, scaled
+# partitions); nation keys attach via broadcast key->nationkey arrays
+# (pc.index_in against one ray.put per side — customer/supplier key maps
+# are the documented small side, ~16 B/row, fine to ~1e9 keys, past which
+# the attach must become one more keyed exchange); per-bucket partials
+# reduce to <= 625 (nation x nation) rows before the driver combine.
+# -------------------------------------------------------------------------
+
+
+def trade_nation_edges(sf_dir: str, *, min_qty: int = 50) -> pa.Table:
+    """(src_host, dst_host, n_links) nation-name edge list of the
+    high-volume trade graph (shared edge semantics with
+    relational.trade_components / trade_degree_hist: l_quantity >= min_qty
+    joins orders->customer and lineitem->supplier)."""
+    import functools as _ft
+
+    import numpy as np
+    import ray
+
+    from .agg import collect, tag_partition
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+    )
+    import pyarrow.parquet as pq
+
+    from .agg import scaled_partitions
+
+    n_parts = scaled_partitions(
+        sum(
+            pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
+            for t in ("orders", "lineitem")
+        )
+    )
+
+    cust = collect(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+    )
+    supp = collect(
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+    )
+    nation = collect(
+        rd.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+    )
+    if cust is None or supp is None or nation is None:
+        return pa.table(
+            {
+                "src_host": pa.array([], pa.string()),
+                "dst_host": pa.array([], pa.string()),
+                "n_links": pa.array([], pa.int64()),
+            }
+        )
+    cust_ref = ray.put(
+        (
+            pc.cast(cust["c_custkey"], pa.int64()).combine_chunks(),
+            pc.cast(cust["c_nationkey"], pa.int64()).combine_chunks(),
+        )
+    )
+    supp_ref = ray.put(
+        (
+            pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks(),
+            pc.cast(supp["s_nationkey"], pa.int64()).combine_chunks(),
+        )
+    )
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(batch["o_orderkey"], pa.int64()),
+                "v": pc.cast(batch["o_custkey"], pa.int64()),
+                "kind": pa.array([0] * batch.num_rows, pa.int8()),
+            }
+        )
+
+    def tag_l(batch: pa.Table) -> pa.Table:
+        hi = batch.filter(pc.greater_equal(batch["l_quantity"], min_qty))
+        return pa.table(
+            {
+                "k": pc.cast(hi["l_orderkey"], pa.int64()),
+                "v": pc.cast(hi["l_suppkey"], pa.int64()),
+                "kind": pa.array([1] * hi.num_rows, pa.int8()),
+            }
+        )
+
+    tagged = (
+        orders.map_batches(tag_o, batch_format="pyarrow")
+        .union(lineitem.map_batches(tag_l, batch_format="pyarrow"))
+        .map_batches(
+            _ft.partial(tag_partition, keys=["k"], n_parts=n_parts),
+            batch_format="pyarrow",
+        )
+    )
+
+    def edges_of(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        empty = pa.table(
+            {
+                "sn": pa.array([], pa.int64()),
+                "dn": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0 or "kind" not in group.column_names:
+            return empty
+        li = group.filter(pc.equal(group["kind"], 1))
+        if li.num_rows == 0:
+            return empty
+        od = group.filter(pc.equal(group["kind"], 0)).sort_by(
+            [("k", "ascending")]
+        )
+        ok = od["k"].to_numpy(zero_copy_only=False)
+        oc = od["v"].to_numpy(zero_copy_only=False)
+        lk = li["k"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ok, lk), max(len(ok) - 1, 0))
+        if len(ok) == 0 or not np.array_equal(ok[pos], lk):
+            raise ValueError(
+                "trade_nation_edges: lineitem references missing orderkey"
+            )
+        ck, cn = ray.get(cust_ref)
+        sk, sn = ray.get(supp_ref)
+        src = cn.take(pc.index_in(pa.array(oc[pos], pa.int64()), value_set=ck))
+        dst = sn.take(pc.index_in(li["v"].combine_chunks(), value_set=sk))
+        t = pa.table(
+            {
+                "sn": src,
+                "dn": dst,
+                "w": pa.array(np.ones(li.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = t.group_by(["sn", "dn"]).aggregate([("w", "sum")])
+        return pa.table(
+            {"sn": agg["sn"], "dn": agg["dn"], "w": agg["w_sum"]}
+        )
+
+    parts = collect(
+        tagged.groupby("__pp").map_groups(edges_of, batch_format="pyarrow")
+    )
+    if parts is None:
+        return pa.table(
+            {
+                "src_host": pa.array([], pa.string()),
+                "dst_host": pa.array([], pa.string()),
+                "n_links": pa.array([], pa.int64()),
+            }
+        )
+    g = parts.group_by(["sn", "dn"]).aggregate([("w", "sum")])
+    nk = pc.cast(nation["n_nationkey"], pa.int64()).combine_chunks()
+    nm = nation["n_name"].combine_chunks()
+    return pa.table(
+        {
+            "src_host": pc.cast(
+                nm.take(pc.index_in(g["sn"].combine_chunks(), value_set=nk)),
+                pa.string(),
+            ),
+            "dst_host": pc.cast(
+                nm.take(pc.index_in(g["dn"].combine_chunks(), value_set=nk)),
+                pa.string(),
+            ),
+            "n_links": pc.cast(g["w_sum"], pa.int64()),
+        }
+    )
+
+
+def trade_pagerank(
+    sf_dir: str, *, min_qty: int = 50, damping: float = 0.85, iters: int = 10
+) -> pa.Table:
+    """(nation, rank_ppm): PageRank over the nation-level trade graph."""
+    edges = trade_nation_edges(sf_dir, min_qty=min_qty)
+    ranks = pagerank_edges(
+        rd.from_arrow(edges), damping=damping, iters=iters
+    )
+    return ranks.rename_columns(["nation", "rank_ppm"])
