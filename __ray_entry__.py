@@ -189,7 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hosts": L.link_hosts,
         "host_pagerank": L.host_pagerank,
         "trade_pagerank": L.trade_pagerank,
-        # markdown page-split long table (M10; rows-only)
+        # markdown page-split long table (M10; DuckDB-checked since r4 via
+        # the corpus' no-marker contract — unit tests cover the marker and
+        # '---' split branches)
         "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (full schema incl. wall-clock
         # latency_ms -> rows-only), plus the deterministic projection that
@@ -369,6 +371,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_ppm
             FROM pr JOIN nation n ON n.n_nationkey = pr.node
             WHERE it = 10
+        """,
+        "markdown_pages": """
+            -- LlamaParse split rules over the driver corpus: the word-soup
+            -- text carries no 'PAGE N:' markers and no '---' rules (both
+            -- asserted by the engine-vs-oracle hash itself: a marker would
+            -- fan out extra rows on the engine side only), so every
+            -- document hits the final fallback — whole text, page 1. The
+            -- trim mirrors the engine's .strip() (identity on this corpus).
+            SELECT doc_id, CAST(1 AS INTEGER) AS page_number,
+                   trim(text, ' ' || chr(9) || chr(10) || chr(13))
+                       AS page_text
+            FROM documents
         """,
         "fanout_extract": """
             -- the (url, extractor, text, status) long table over the
