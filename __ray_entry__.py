@@ -189,6 +189,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hosts": L.link_hosts,
         "host_pagerank": L.host_pagerank,
         "trade_pagerank": L.trade_pagerank,
+        # URL canonicalization (crawl-frontier hygiene): the vectorized
+        # RE2 kernel and its first-wins dedup, both DuckDB-checked — the
+        # oracle re-runs the same regex transform on the same synthesized
+        # messy URLs (shared pattern constants, like redact_pii)
+        "canonical_urls": L.canonical_urls,
+        "canonical_url_dedup": L.canonical_url_dedup,
         # markdown page-split long table (M10; DuckDB-checked since r4 via
         # the corpus' no-marker contract — unit tests cover the marker and
         # '---' split branches)
@@ -285,6 +291,69 @@ def _redact_pii_sql() -> str:
     """
 
 
+def _canonical_urls_cte() -> str:
+    """Shared WITH body for the canonical-url oracles: re-synthesize the
+    messy URLs (same modular arithmetic as links.messy_urls_batch) and
+    re-run the canonicalization transform in SQL with the SAME RE2
+    patterns the kernel compiles (links.TRACK_MID_RE / TRACK_HEAD_RE —
+    DuckDB standard strings keep backslashes literal)."""
+    from pdf_extractor_ray.functions.links import TRACK_HEAD_RE, TRACK_MID_RE
+
+    return f"""
+        messy AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+                   || '://'
+                   || (CASE doc_id % 3 WHEN 0 THEN 'TestData.Local'
+                            WHEN 1 THEN 'testdata.local'
+                            ELSE 'TESTDATA.LOCAL' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                   || '/doc/' || lpad(CAST(doc_id // 4 AS VARCHAR), 8, '0')
+                   || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+                   || (CASE doc_id % 4
+                        WHEN 0 THEN '?utm_source=feed&ref='
+                                    || CAST((doc_id // 4) % 10 AS VARCHAR)
+                        WHEN 1 THEN '?ref='
+                                    || CAST((doc_id // 4) % 10 AS VARCHAR)
+                                    || '&utm_campaign=x'
+                        ELSE '?ref='
+                             || CAST((doc_id // 4) % 10 AS VARCHAR) END)
+                   || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END)
+                       AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '://([^/?#]*)', 1)) AS host,
+                   regexp_extract(url, '://[^/?#]*([^?#]*)', 1) AS path,
+                   coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+            FROM messy
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   scheme || '://'
+                   || (CASE WHEN scheme = 'https'
+                            THEN regexp_replace(host, ':443$', '')
+                            WHEN scheme = 'http'
+                            THEN regexp_replace(host, ':80$', '')
+                            ELSE host END)
+                   || (CASE WHEN regexp_replace(path, '/+$', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(path, '/+$', '') END)
+                   || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+                       AS canonical_url
+            FROM (
+                SELECT *, regexp_replace(regexp_replace(q,
+                           '{TRACK_MID_RE}', '', 'g'),
+                           '{TRACK_HEAD_RE}', '') AS cq
+                FROM parts
+            )
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
@@ -371,6 +440,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_ppm
             FROM pr JOIN nation n ON n.n_nationkey = pr.node
             WHERE it = 10
+        """,
+        "canonical_urls": f"""
+            WITH {_canonical_urls_cte()}
+            SELECT doc_id, url, canonical_url FROM canon
+        """,
+        "canonical_url_dedup": f"""
+            WITH {_canonical_urls_cte()}
+            SELECT canonical_url,
+                   CAST(COUNT(*) AS BIGINT) AS n_variants,
+                   MIN(doc_id) AS keep_doc_id
+            FROM canon GROUP BY 1
         """,
         "markdown_pages": """
             -- LlamaParse split rules over the driver corpus: the word-soup

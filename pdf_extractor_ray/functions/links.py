@@ -465,6 +465,154 @@ def trade_nation_edges(sf_dir: str, *, min_qty: int = 50) -> pa.Table:
     )
 
 
+# -------------------------------------------------------------------------
+# URL canonicalization — the crawl-frontier / recrawl-dedup operator every
+# web corpus needs before exact dedup: scheme+host case, default ports,
+# fragments, tracking query params and trailing slashes all collapse to
+# one canonical form, so the SAME page fetched via cosmetically different
+# URLs dedups. Fully vectorized (pc.extract_regex + replace_substring_regex
+# — RE2, the same engine DuckDB's regexp_* use, so ONE set of pattern
+# constants drives both the kernel and the SQL oracle, like redact_pii).
+# Reference analog: none (single-file uploads have no URL hygiene); this
+# is part of the 100 TB curation surface beside dedup_exact.
+# -------------------------------------------------------------------------
+
+URL_SPLIT_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+    r"(?P<host>[^/?#]*)(?P<path>[^?#]*)(?P<rest>.*)$"
+)
+TRACK_MID_RE = r"&(utm_[^&=]*|fbclid|gclid)=[^&]*"
+TRACK_HEAD_RE = r"^(utm_[^&=]*|fbclid|gclid)=[^&]*&?"
+
+
+def canonicalize_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized canonical form: lowercase scheme+host, strip the scheme's
+    default port (:80 http / :443 https), drop the fragment, drop tracking
+    query params (utm_*, fbclid, gclid; other params keep their order),
+    collapse trailing slashes (empty path -> '/'). Unparseable rows -> null."""
+    parts = pc.extract_regex(urls, pattern=URL_SPLIT_RE)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, pattern=r":443$", replacement=""),
+        pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, pattern=r":80$", replacement=""),
+            host,
+        ),
+    )
+    path = pc.replace_substring_regex(
+        pc.struct_field(parts, "path"), pattern=r"/+$", replacement=""
+    )
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    rest = pc.struct_field(parts, "rest")
+    query = pc.struct_field(
+        pc.extract_regex(rest, pattern=r"^\?(?P<q>[^#]*)"), "q"
+    )
+    # rest without a leading '?' (no query, maybe a bare fragment) -> ''
+    query = pc.fill_null(query, "")
+    query = pc.replace_substring_regex(
+        query, pattern=TRACK_MID_RE, replacement=""
+    )
+    query = pc.replace_substring_regex(
+        query, pattern=TRACK_HEAD_RE, replacement=""
+    )
+    qmark = pc.if_else(pc.equal(query, ""), pa.scalar(""), pa.scalar("?"))
+    return pc.binary_join_element_wise(
+        scheme, "://", host, path, qmark, query, ""
+    )
+
+
+def messy_urls_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-URL synthesis from doc_id (the test bridge, like
+    docs_to_pages): groups of 4 consecutive doc_ids share one canonical
+    target and differ only in case, default port, tracking params, trailing
+    slash and fragment. Every branch is plain modular arithmetic so the
+    DuckDB oracle rebuilds the identical strings."""
+    import numpy as np
+
+    d = pc.cast(batch["doc_id"], pa.int64())
+    dn = d.to_numpy(zero_copy_only=False)
+    g = pa.array(dn // 4, pa.int64())
+    ref = pc.cast(pa.array((dn // 4) % 10, pa.int64()), pa.string())
+
+    def pick(mask: "np.ndarray", yes: str, no) -> pa.Array:
+        m = pa.array(mask)
+        return pc.if_else(m, pa.scalar(yes), no)
+
+    scheme = pick(dn % 2 == 0, "https", pa.scalar("HTTPS"))
+    host = pick(
+        dn % 3 == 0,
+        "TestData.Local",
+        pick(dn % 3 == 1, "testdata.local", pa.scalar("TESTDATA.LOCAL")),
+    )
+    port = pick(dn % 5 == 0, ":443", pa.scalar(""))
+    pathid = pc.ascii_lpad(pc.cast(g, pa.string()), 8, "0")
+    slash = pick(dn % 7 == 0, "/", pa.scalar(""))
+    query = pc.if_else(
+        pa.array(dn % 4 == 0),
+        pc.binary_join_element_wise("?utm_source=feed&ref=", ref, ""),
+        pc.if_else(
+            pa.array(dn % 4 == 1),
+            pc.binary_join_element_wise("?ref=", ref, "&utm_campaign=x", ""),
+            pc.binary_join_element_wise("?ref=", ref, ""),
+        ),
+    )
+    frag = pick(dn % 6 == 0, "#sec2", pa.scalar(""))
+    url = pc.binary_join_element_wise(
+        scheme, "://", host, port, "/doc/", pathid, slash, query, frag, ""
+    )
+    return pa.table({"doc_id": d, "url": pc.cast(url, pa.string())})
+
+
+def canonical_urls(sf_dir: str) -> rd.Dataset:
+    """(doc_id, url, canonical_url) over the synthesized messy-URL table —
+    the canonicalization kernel checked row by row."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = messy_urls_batch(batch)
+        return t.append_column(
+            "canonical_url",
+            pc.cast(canonicalize_urls(t["url"]), pa.string()),
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def canonical_url_dedup(sf_dir: str) -> rd.Dataset:
+    """Frontier dedup over canonical forms: one row per canonical URL with
+    the variant count and the first-wins doc_id — the standard two-phase
+    aggregate (per-batch partials, one tiny keyed exchange)."""
+    from .agg import grouped_sum, partial_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = messy_urls_batch(batch)
+        canon = pc.cast(canonicalize_urls(t["url"]), pa.string())
+        p = pa.table(
+            {
+                "canonical_url": canon,
+                "n_variants": pa.array([1] * t.num_rows, pa.int64()),
+                "keep_doc_id": t["doc_id"],
+            }
+        )
+        return partial_group_agg(
+            p,
+            keys=["canonical_url"],
+            aggs=[("n_variants", "sum"), ("keep_doc_id", "min")],
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return grouped_sum(
+        ds,
+        keys=["canonical_url"],
+        partial=partial,
+        sum_cols=["n_variants"],
+        min_cols=["keep_doc_id"],
+    )
+
+
 def trade_pagerank(
     sf_dir: str, *, min_qty: int = 50, damping: float = 0.85, iters: int = 10
 ) -> pa.Table:

@@ -569,3 +569,38 @@ def test_vocab_counts_cms_bounds(ray_session):
         max(e - c for e, c in zip(est, cnt)),
         bound,
     )
+
+
+def test_canonicalize_urls_edge_cases():
+    """Kernel branches beyond what the synthesized messy-URL corpus hits:
+    http default port, bare fragment, root/empty path, multi trailing
+    slashes, tracking-only query, non-default port kept, unparseable."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.links import canonicalize_urls
+
+    cases = {
+        "http://Example.COM:80/a": "http://example.com/a",
+        "http://example.com:8080/a": "http://example.com:8080/a",
+        "https://example.com": "https://example.com/",
+        "https://example.com/#frag": "https://example.com/",
+        "https://example.com/a///": "https://example.com/a",
+        "https://example.com/a?utm_source=x": "https://example.com/a",
+        "https://example.com/a?utm_source=x&fbclid=1": "https://example.com/a",
+        "https://example.com/a?b=1&utm_medium=m&c=2": "https://example.com/a?b=1&c=2",
+        "HTTP://EX.COM/A?GCLID=1": "http://ex.com/A?GCLID=1",  # params case-sensitive
+        "not a url": None,
+    }
+    got = canonicalize_urls(pa.array(list(cases), pa.string())).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_canonical_url_dedup_groups(ray_session):
+    """Groups of 4 consecutive doc_ids share one canonical target; the
+    first-wins id is the group's smallest doc_id."""
+    from pdf_extractor_ray.functions.links import canonical_url_dedup
+
+    df = canonical_url_dedup("/root/testdata/sf0.001").to_pandas()
+    assert (df["n_variants"] == 4).all()
+    assert (df["keep_doc_id"] % 4 == 0).all()
+    assert df["canonical_url"].str.startswith("https://testdata.local/doc/").all()
