@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": T.simhash_dedup_pairs,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "quality_filter": T.quality_filter,
+        # C4-style lexicon content gate (labeled, both branches checked;
+        # RE2 alternation shared verbatim with the oracle)
+        "blocklist_filter": T.blocklist_filter,
         "winnow_fingerprints": T.winnow_fingerprints,
         "sample_docs": T.sample_docs,
         "sample_stratified": T.sample_stratified,
@@ -287,6 +290,26 @@ def _redact_pii_sql() -> str:
                CAST(len(regexp_extract_all(text, {e})) AS BIGINT) AS n_emails,
                CAST(len(regexp_extract_all(text, {p})) AS BIGINT) AS n_phones,
                CAST(len(regexp_extract_all(text, {i})) AS BIGINT) AS n_ips
+        FROM documents
+    """
+
+
+def _blocklist_sql() -> str:
+    """DuckDB oracle for the lexicon content gate, built from the SAME
+    RE2 alternation the engine compiles (DuckDB standard strings keep
+    backslashes literal, so '\\b' reaches RE2 as a word boundary)."""
+    from pdf_extractor_ray.functions.textops import _TOKEN_RE, blocklist_re
+
+    pat, tok = blocklist_re(), _TOKEN_RE
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{tok}'))
+                    AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{pat}'))
+                    AS BIGINT) AS n_blocked,
+               (len(regexp_extract_all(lower(text), '{pat}')) * 20
+                <= len(regexp_extract_all(lower(text), '{tok}')))
+                   AS keep
         FROM documents
     """
 
@@ -1476,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
               AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 100
                   <= 20 * LENGTH(text)
         """,
+        "blocklist_filter": _blocklist_sql(),
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) < 25

@@ -1033,6 +1033,61 @@ def quality_filter(
 
 
 # -------------------------------------------------------------------------
+# blocklist_filter — C4-style lexicon content gate: count word-boundary
+# blocklist hits per document and keep documents whose blocked-token share
+# stays under an integer threshold (20x rule == <= 5%). The lexicon is a
+# compile-time RE2 alternation shared verbatim with the DuckDB oracle
+# (one source of truth, like redact_pii); counting is one vectorized
+# pc.count_substring_regex pass, no shuffle. At 100 TB this is a pure
+# map stage; real deployments swap in their own lexicon via the
+# ``words`` parameter.
+# -------------------------------------------------------------------------
+
+BLOCKLIST_WORDS = ("agg", "merge", "window")  # demo lexicon: corpus-present
+_TOKEN_RE = r"[a-z0-9]+"
+
+
+def blocklist_re(words: tuple[str, ...] = BLOCKLIST_WORDS) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def blocklist_filter(
+    sf_dir: str,
+    *,
+    words: tuple[str, ...] = BLOCKLIST_WORDS,
+    max_pct_x20: int = 1,  # keep while n_blocked * 20 <= n_tokens * max_pct_x20
+) -> rd.Dataset:
+    """(doc_id, n_tokens, n_blocked, keep) per document — the labeled
+    table rather than the filtered one, so BOTH branches of the gate are
+    value-checked."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    pat = blocklist_re(words)
+
+    def f(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        nb = pc.cast(
+            pc.count_substring_regex(low, pattern=pat), pa.int64()
+        )
+        nt = pc.cast(
+            pc.count_substring_regex(low, pattern=_TOKEN_RE), pa.int64()
+        )
+        keep = pc.less_equal(
+            pc.multiply(nb, pa.scalar(20, pa.int64())),
+            pc.multiply(nt, pa.scalar(max_pct_x20, pa.int64())),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": nt,
+                "n_blocked": nb,
+                "keep": keep,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------------
 # winnow_fingerprints — rolling-hash document fingerprinting (winnowing:
 # k-gram rolling hashes, minimum per sliding window — the classic local
 # document fingerprint for plagiarism/near-dup detection). Rows-only

@@ -604,3 +604,22 @@ def test_canonical_url_dedup_groups(ray_session):
     assert (df["n_variants"] == 4).all()
     assert (df["keep_doc_id"] % 4 == 0).all()
     assert df["canonical_url"].str.startswith("https://testdata.local/doc/").all()
+
+
+def test_blocklist_filter_branches(ray_session):
+    """Both gate branches are populated on the corpus (the oracle hash
+    check alone could pass on an all-keep table) and the word-boundary
+    rule holds: substring hits ('aggregate') don't count."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.functions.textops import blocklist_filter, blocklist_re
+    import pyarrow.compute as pc
+
+    df = blocklist_filter("/root/testdata/sf0.001").to_pandas()
+    assert df["keep"].any() and (~df["keep"]).any()
+    assert (df["n_blocked"] <= df["n_tokens"]).all()
+    hits = pc.count_substring_regex(
+        pa.array(["aggregate merges windowing", "the agg window"]),
+        pattern=blocklist_re(),
+    ).to_pylist()
+    assert hits == [0, 2]
