@@ -300,7 +300,8 @@ def _blocklist_sql() -> str:
     backslashes literal, so '\\b' reaches RE2 as a word boundary)."""
     from pdf_extractor_ray.functions.textops import _TOKEN_RE, blocklist_re
 
-    pat, tok = blocklist_re(), _TOKEN_RE
+    # single quotes in lexicon words must not break the SQL literal
+    pat, tok = blocklist_re().replace("'", "''"), _TOKEN_RE
     return f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '{tok}'))
@@ -480,11 +481,14 @@ def oracle_sql() -> dict[str, str]:
             -- text carries no 'PAGE N:' markers and no '---' rules (both
             -- asserted by the engine-vs-oracle hash itself: a marker would
             -- fan out extra rows on the engine side only), so every
-            -- document hits the final fallback — whole text, page 1. The
-            -- trim mirrors the engine's .strip() (identity on this corpus).
+            -- document hits the final fallback — whole text, page 1.
+            -- coalesce mirrors the engine's {1: ''} null/empty fallback;
+            -- the 4-char trim mirrors Python .strip() for ASCII whitespace
+            -- (exotic whitespace like \\x0b/\\xa0 would diverge — absent
+            -- from the corpus, and the hash check would catch it).
             SELECT doc_id, CAST(1 AS INTEGER) AS page_number,
-                   trim(text, ' ' || chr(9) || chr(10) || chr(13))
-                       AS page_text
+                   trim(coalesce(text, ''),
+                        ' ' || chr(9) || chr(10) || chr(13)) AS page_text
             FROM documents
         """,
         "fanout_extract": """

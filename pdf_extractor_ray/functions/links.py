@@ -23,7 +23,7 @@ import ray.data as rd
 from ..kernels.html_extract import extract_links as _kernel_links
 from ..kernels.sniff import sniff_bytes
 from ..pipelines.webpages import docs_to_pages
-from .agg import grouped_sum, partial_group_agg
+from .agg import grouped_sum, partial_group_agg, round_half_away
 
 # below this many (deduped, integer-id) edges, iterative ops run their
 # rounds driver-local over the collected edge list — ~24 bytes/edge, so the
@@ -218,11 +218,7 @@ def pagerank_edges(
         return pa.table(
             {
                 "host": hosts,
-                # half-away ties (DuckDB ROUND parity; np.round is banker's)
-                "rank_ppm": pa.array(
-                    np.floor(rank * 1_000_000 + 0.5).astype(np.int64),
-                    pa.int64(),
-                ),
+                "rank_ppm": round_half_away(pa.array(rank * 1_000_000)),
             }
         )
 
@@ -264,9 +260,7 @@ def pagerank_edges(
     return pa.table(
         {
             "host": hosts,
-            "rank_ppm": pa.array(
-                np.floor(rank * 1_000_000 + 0.5).astype(np.int64), pa.int64()
-            ),
+            "rank_ppm": round_half_away(pa.array(rank * 1_000_000)),
         }
     )
 
@@ -422,8 +416,18 @@ def trade_nation_edges(sf_dir: str, *, min_qty: int = 50) -> pa.Table:
             )
         ck, cn = ray.get(cust_ref)
         sk, sn = ray.get(supp_ref)
-        src = cn.take(pc.index_in(pa.array(oc[pos], pa.int64()), value_set=ck))
-        dst = sn.take(pc.index_in(li["v"].combine_chunks(), value_set=sk))
+        src_idx = pc.index_in(pa.array(oc[pos], pa.int64()), value_set=ck)
+        dst_idx = pc.index_in(li["v"].combine_chunks(), value_set=sk)
+        # the oracle's inner joins DROP rows with dangling cust/supp keys;
+        # fail loud instead of silently emitting null-nation edges (same
+        # policy as the missing-orderkey guard above)
+        if src_idx.null_count or dst_idx.null_count:
+            raise ValueError(
+                "trade_nation_edges: order references missing customer "
+                "or lineitem references missing supplier"
+            )
+        src = cn.take(src_idx)
+        dst = sn.take(dst_idx)
         t = pa.table(
             {
                 "sn": src,

@@ -1048,7 +1048,9 @@ _TOKEN_RE = r"[a-z0-9]+"
 
 
 def blocklist_re(words: tuple[str, ...] = BLOCKLIST_WORDS) -> str:
-    return r"\b(" + "|".join(words) + r")\b"
+    # custom lexicons may carry regex metacharacters ("c++") — escape each
+    # word so the alternation stays a literal-word match
+    return r"\b(" + "|".join(re.escape(w) for w in words) + r")\b"
 
 
 def blocklist_filter(
