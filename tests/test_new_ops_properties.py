@@ -623,3 +623,26 @@ def test_blocklist_filter_branches(ray_session):
         pattern=blocklist_re(),
     ).to_pylist()
     assert hits == [0, 2]
+
+
+def test_pagerank_forced_distributed_path(ray_session, monkeypatch):
+    """The >_LOCAL_EDGE_LIMIT broadcast-round path must produce the SAME
+    ranks as the driver-local fast path (planted 3-node graph, threshold
+    forced to 0 so the distributed iterations actually run)."""
+    import ray.data as rd
+
+    from pdf_extractor_ray.functions import links
+
+    t = pa.table(
+        {
+            "src_host": ["a", "a", "b", "c"],
+            "dst_host": ["b", "c", "c", "a"],
+            "n_links": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    local = links.pagerank_edges(rd.from_arrow(t), iters=25).to_pandas()
+    monkeypatch.setattr(links, "_LOCAL_EDGE_LIMIT", 0)
+    dist = links.pagerank_edges(rd.from_arrow(t), iters=25).to_pandas()
+    assert local.sort_values("host").reset_index(drop=True).equals(
+        dist.sort_values("host").reset_index(drop=True)
+    )
