@@ -301,10 +301,10 @@ def trade_nation_edges(sf_dir: str, *, min_qty: int = 50) -> pa.Table:
     joins orders->customer and lineitem->supplier)."""
     import functools as _ft
 
-    import numpy as np
+    import pyarrow.parquet as pq
     import ray
 
-    from .agg import collect, tag_partition
+    from .agg import collect, scaled_partitions, tag_partition
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
@@ -313,10 +313,6 @@ def trade_nation_edges(sf_dir: str, *, min_qty: int = 50) -> pa.Table:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_quantity"],
     )
-    import pyarrow.parquet as pq
-
-    from .agg import scaled_partitions
-
     n_parts = scaled_partitions(
         sum(
             pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
