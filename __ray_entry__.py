@@ -29,6 +29,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """One entry per implemented operator/pipeline.
+
+    ORDERING CONTRACT: the driver's CORRECTNESS run samples the FIRST 50
+    dict entries, so the prefix is rotated each round to put
+    never-yet-driver-checked, oracle-backed queries in the window
+    (VERDICT r4 structural finding). Round-5 prefix = the flagship
+    extraction/link-graph surface + the LLM-data block + the sketch
+    bound-check queries, none of which had a driver CORRECTNESS row in
+    rounds 1-4; everything the driver already checked green in r1-r4
+    sits after position 64."""
     from pdf_extractor_ray.functions import relational as R
     from pdf_extractor_ray.functions import textops as T
     from pdf_extractor_ray.functions import similarity as S
@@ -42,7 +52,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.pipelines.fanout import fanout_extract, page_contents
 
     return {
-        # relational operator analogs (SURVEY §2.4-2.7)
+        # ---- driver window (first 50): never checked in r1-r4, all
+        # ---- oracle-backed ------------------------------------------------
+        # flagship extraction surface (deterministic-template value-hash
+        # oracles; see the oracle_sql comments for the contract)
+        "extract_docs_text": _extract_docs_text,
+        "fanout_extract": fanout_extract,
+        "page_contents": page_contents,
+        "markdown_pages": T.markdown_pages,
+        # URL canonicalization (crawl-frontier hygiene)
+        "canonical_urls": L.canonical_urls,
+        "canonical_url_dedup": L.canonical_url_dedup,
+        # link-graph extraction over the synthesized pages (WAT analog)
+        "extract_links": L.extract_links,
+        "link_hosts": L.link_hosts,
+        "host_pagerank": L.host_pagerank,
+        "trade_pagerank": L.trade_pagerank,
+        # training-data composition + dedup/decontamination
+        "prepare_training": T.prepare_training,
+        "pack_sequences": T.pack_sequences,
+        "decontaminate": T.decontaminate,
+        "paragraph_dedup": T.paragraph_dedup,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "jaccard_dup_groups": T.jaccard_dup_groups,
+        "duplicate_ngram_coverage": T.duplicate_ngram_coverage,
+        "near_dup_groups": S.near_dup_groups,
+        "knn_classify": S.knn_classify,
+        # text analysis / curation
+        "token_count_bpe": T.token_count_bpe,
+        # C4-style lexicon content gate (labeled, both branches checked;
+        # RE2 alternation shared verbatim with the oracle)
+        "blocklist_filter": T.blocklist_filter,
+        "sample_stratified": T.sample_stratified,
+        "mix_sources": T.mix_sources,
+        "mix_epochs": T.mix_epochs,
+        "dsir_weights": T.dsir_weights,
+        "bigram_lm_scores": T.bigram_lm_scores,
+        "nb_lang_classify": T.nb_lang_classify,
+        "bm25_search": T.bm25_search,
+        "tfidf_search": T.tfidf_search,
+        "doc_top_terms": T.doc_top_terms,
+        "vocab_topk": T.vocab_topk,
+        "collocations_topk": T.collocations_topk,
+        "remove_boilerplate": T.remove_boilerplate_lines,
+        "redact_pii": T.redact_pii,
+        "repetition_stats": T.repetition_stats,
+        "normalize_text": T.normalize_text,
+        "explode_paragraphs": T.explode_paragraphs,
+        "cap_per_source": T.cap_per_source,
+        "filter_source_quality": T.filter_source_quality,
+        "split_assign": T.split_assign,
+        "shuffle_docs": T.shuffle_docs,
+        "incremental_new_docs": T.incremental_new_docs,
+        "snapshot_delta": T.snapshot_delta,
+        "curation_summary": T.curation_summary,
+        "user_customer_reconcile": R.user_customer_reconcile,
+        # sketch error-contract checks: exact value + within-bound flag,
+        # oracle re-derives the exact side in SQL + constant TRUE (VERDICT
+        # r4 item 5 — replaces the `no_oracle` rows the raw sketches drew)
+        "hll_distinct_check": R.hll_distinct_check,
+        "hll_by_type_check": R.hll_by_type_check,
+        "quantile_sketch_check": R.quantile_sketch_check,
+        "vocab_cms_check": T.vocab_cms_check,
+        "vocab_mg_check": T.vocab_mg_check,
+        # ---- past the window: oracle-backed but not yet driver-checked
+        # ---- (next rotation candidates) -----------------------------------
+        "shipping_priority": R.shipping_priority,
+        "value_p95_by_type": R.value_p95_by_type,
+        "events_pivot": R.events_pivot,
+        "source_langs": R.source_langs,
+        "cum_spend": R.cum_spend,
+        "order_rank_per_cust": R.order_rank_per_cust,
+        "order_gap_p50": R.order_gap_p50,
+        "user_modal_event": R.user_modal_event,
+        "buyers_intersect": R.buyers_intersect,
+        "region_rollup": R.region_rollup,
+        "orders_above_cust_avg": R.orders_above_cust_avg,
+        "order_priority_returned": R.order_priority_returned,
+        "parts_never_returned_heavy": R.parts_never_returned_heavy,
+        "cust_order_counts": R.cust_order_counts,
+        # ---- driver-checked green in r1-r4 (relational analogs,
+        # ---- SURVEY §2.4-2.7) ------------------------------------------
         "pricing_summary": R.pricing_summary,
         "top_orders": R.top_orders,
         "customer_region": R.customer_region,
@@ -84,9 +174,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_log_moments": R.value_log_moments,
         "events_dow_profile": R.events_dow_profile,
         "validate_refs": R.validate_refs,
-        "distinct_users_hll_by_type": R.distinct_users_hll_by_type,
-        "train_bpe_merges": T.train_bpe_merges,
-        "bpe_token_count": T.bpe_token_count,
         "validate_docs": T.validate_docs,
         "web_to_training": _web_to_training,
         "user_rolling_window": R.user_rolling_window,
@@ -97,72 +184,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.top_orders_per_segment,
         "value_bands": R.value_bands,
         "users_no_big_spend": R.users_no_big_spend,
-        "shipping_priority": R.shipping_priority,
-        "value_p95_by_type": R.value_p95_by_type,
-        "events_pivot": R.events_pivot,
-        "source_langs": R.source_langs,
-        "cum_spend": R.cum_spend,
-        "order_rank_per_cust": R.order_rank_per_cust,
-        "order_gap_p50": R.order_gap_p50,
-        "user_modal_event": R.user_modal_event,
-        "buyers_intersect": R.buyers_intersect,
-        "region_rollup": R.region_rollup,
-        "orders_above_cust_avg": R.orders_above_cust_avg,
-        "order_priority_returned": R.order_priority_returned,
-        "parts_never_returned_heavy": R.parts_never_returned_heavy,
-        "cust_order_counts": R.cust_order_counts,
-        "user_customer_reconcile": R.user_customer_reconcile,
-        # text analysis / dedup (training-data ops)
+        # text analysis / dedup already checked green
         "token_count": T.token_count,
-        "token_count_bpe": T.token_count_bpe,
         "quality_stats": T.quality_stats,
         "doc_fingerprint": T.doc_fingerprint,
         "dedup_exact": T.dedup_exact,
         "lang_id": T.lang_id,
+        "quality_filter": T.quality_filter,
+        "sample_docs": T.sample_docs,
+        "vocab_topk_sketch": T.vocab_topk_sketch,
+        "vocab_counts_cms": T.vocab_counts_cms,
+        # mergeable sketches — the O(1)-state 100 TB paths beside the exact
+        # aggregates (approximate by design -> rows-only; error bounds are
+        # driver-checked via the *_check queries in the window above)
+        "distinct_users_hll": R.distinct_users_hll,
+        "distinct_users_hll_by_type": R.distinct_users_hll_by_type,
+        "price_quantiles_sketch": R.price_quantiles_sketch,
+        "train_bpe_merges": T.train_bpe_merges,
+        "bpe_token_count": T.bpe_token_count,
         "minhash_signatures": T.minhash_signatures,
         "minhash_dedup_pairs": T.minhash_dedup_pairs,
         "simhash_fingerprint": T.simhash_fingerprint,
         "simhash_dedup_pairs": T.simhash_dedup_pairs,
-        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
-        "quality_filter": T.quality_filter,
-        # C4-style lexicon content gate (labeled, both branches checked;
-        # RE2 alternation shared verbatim with the oracle)
-        "blocklist_filter": T.blocklist_filter,
         "winnow_fingerprints": T.winnow_fingerprints,
-        "sample_docs": T.sample_docs,
-        "sample_stratified": T.sample_stratified,
-        "mix_sources": T.mix_sources,
-        "incremental_new_docs": T.incremental_new_docs,
-        "bm25_search": T.bm25_search,
-        "mix_epochs": T.mix_epochs,
-        "dsir_weights": T.dsir_weights,
-        "bigram_lm_scores": T.bigram_lm_scores,
-        "snapshot_delta": T.snapshot_delta,
-        "nb_lang_classify": T.nb_lang_classify,
-        "prepare_training": T.prepare_training,
-        "doc_top_terms": T.doc_top_terms,
-        "remove_boilerplate": T.remove_boilerplate_lines,
-        "redact_pii": T.redact_pii,
-        "repetition_stats": T.repetition_stats,
-        "pack_sequences": T.pack_sequences,
-        "decontaminate": T.decontaminate,
-        "paragraph_dedup": T.paragraph_dedup,
-        "duplicate_ngram_coverage": T.duplicate_ngram_coverage,
-        "jaccard_dup_groups": T.jaccard_dup_groups,
-        "vocab_topk": T.vocab_topk,
-        "vocab_topk_sketch": T.vocab_topk_sketch,
-        "vocab_counts_cms": T.vocab_counts_cms,
-        "collocations_topk": T.collocations_topk,
-        "tfidf_search": T.tfidf_search,
-        "curation_summary": T.curation_summary,
         # deflate-compressibility quality signal (zlib; no SQL analog)
         "compression_ratio": T.compression_ratio,
-        "normalize_text": T.normalize_text,
-        "explode_paragraphs": T.explode_paragraphs,
-        "cap_per_source": T.cap_per_source,
-        "filter_source_quality": T.filter_source_quality,
-        "split_assign": T.split_assign,
-        "shuffle_docs": T.shuffle_docs,
         # similarity search
         "embedding_topk": S.cosine_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -171,54 +217,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lists + manifest), later calls read only the probed partitions
         "ann_ivf_indexed": S.ann_ivf_topk_indexed,
         "embedding_near_dup": S.embedding_near_dup,
-        "near_dup_groups": S.near_dup_groups,
-        "knn_classify": S.knn_classify,
         # clustering layer: distributed spherical k-means + SemDeDup
         # (iterative -> rows-only; planted-structure pytest oracles in
         # tests/test_dedup_similarity.py)
         "kmeans_clusters": S.kmeans_clusters,
         "semdedup": S.semdedup,
-        # mergeable sketches — the O(1)-state 100 TB paths beside the exact
-        # aggregates (approximate by design -> rows-only; error bounds are
-        # pytest-asserted against the exact results)
-        "distinct_users_hll": R.distinct_users_hll,
-        "price_quantiles_sketch": R.price_quantiles_sketch,
-        # link-graph extraction over the synthesized pages (WAT-file
-        # analog; DuckDB-checked since r4 via the deterministic page
-        # template's anchor contract; host_pagerank's oracle restates the
-        # single-host contract, trade_pagerank's recursive CTE re-computes
-        # the full power iteration over the real multi-nation trade graph)
-        "extract_links": L.extract_links,
-        "link_hosts": L.link_hosts,
-        "host_pagerank": L.host_pagerank,
-        "trade_pagerank": L.trade_pagerank,
-        # URL canonicalization (crawl-frontier hygiene): the vectorized
-        # RE2 kernel and its first-wins dedup, both DuckDB-checked — the
-        # oracle re-runs the same regex transform on the same synthesized
-        # messy URLs (shared pattern constants, like redact_pii)
-        "canonical_urls": L.canonical_urls,
-        "canonical_url_dedup": L.canonical_url_dedup,
-        # markdown page-split long table (M10; DuckDB-checked since r4 via
-        # the corpus' no-marker contract — unit tests cover the marker and
-        # '---' split branches)
-        "markdown_pages": T.markdown_pages,
         # flagship extraction over driver data (full schema incl. wall-clock
-        # latency_ms -> rows-only), plus the deterministic projection that
-        # value-hash-checks the HTML kernel itself against DuckDB
+        # latency_ms -> rows-only)
         "extract_flagship": extract_from_documents,
-        "extract_docs_text": _extract_docs_text,
         # M7 TABLE product: synthetic-PDF table-region detection, pipe-joined
         # in the reference pdfplumber format (rows-only; byte-level pytest
         # coverage in tests/test_pdf_tables.py)
         "pdf_tables": _pdf_tables,
-        # multi-extractor fan-out (reference main.py:77-137; DuckDB-checked
-        # since r4 via the deterministic template)
-        "fanout_extract": fanout_extract,
-        # per-page multi-key content vocabulary — the reference's
-        # DocumentPageContent product (COMBINED/TABLE/MARKDOWN/LATEX/TEXT
-        # keys per page, tasks.py:250-264); DuckDB-checked via the
-        # deterministic page template
-        "page_contents": page_contents,
     }
 
 
@@ -294,14 +304,25 @@ def _redact_pii_sql() -> str:
     """
 
 
-def _blocklist_sql() -> str:
+def _blocklist_sql(
+    words: tuple[str, ...] | None = None, max_pct_x20: int = 1
+) -> str:
     """DuckDB oracle for the lexicon content gate, built from the SAME
-    RE2 alternation the engine compiles (DuckDB standard strings keep
-    backslashes literal, so '\\b' reaches RE2 as a word boundary)."""
-    from pdf_extractor_ray.functions.textops import _TOKEN_RE, blocklist_re
+    RE2 alternation AND the same threshold parameters the engine call uses
+    (one source of truth — ADVICE r4: a hardcoded default here would
+    silently check the wrong contract if the registered query ever passes
+    non-default words/threshold). DuckDB standard strings keep backslashes
+    literal, so '\\b' reaches RE2 as a word boundary."""
+    from pdf_extractor_ray.functions.textops import (
+        BLOCKLIST_WORDS,
+        _TOKEN_RE,
+        blocklist_re,
+    )
 
+    if words is None:
+        words = BLOCKLIST_WORDS
     # single quotes in lexicon words must not break the SQL literal
-    pat, tok = blocklist_re().replace("'", "''"), _TOKEN_RE
+    pat, tok = blocklist_re(words).replace("'", "''"), _TOKEN_RE
     return f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '{tok}'))
@@ -309,7 +330,8 @@ def _blocklist_sql() -> str:
                CAST(len(regexp_extract_all(lower(text), '{pat}'))
                     AS BIGINT) AS n_blocked,
                (len(regexp_extract_all(lower(text), '{pat}')) * 20
-                <= len(regexp_extract_all(lower(text), '{tok}')))
+                <= len(regexp_extract_all(lower(text), '{tok}'))
+                   * {int(max_pct_x20)})
                    AS keep
         FROM documents
     """
@@ -419,6 +441,14 @@ def oracle_sql() -> dict[str, str]:
             -- CTE whose top level is UNION gets recursive-union semantics
             -- inside WITH RECURSIVE (no dedup), so `nodes` wraps its
             -- UNION ALL in SELECT DISTINCT.
+            -- FRAGILITY (ADVICE r4): the hash compare is zero-tolerance,
+            -- but DuckDB SUM and numpy np.add.at differ in float summation
+            -- order — a rank within ~1 ulp of a .5 ppm rounding boundary
+            -- could flip rank_ppm by 1 on another DuckDB version or a
+            -- different corpus even though both sides are correct. The
+            -- check is bit-exact on the 25-node sf corpora (verified
+            -- sf0.001/sf0.01); if extended to larger scale factors,
+            -- compare at a few guard digits instead.
             WITH RECURSIVE
             e AS (
                 SELECT c.c_nationkey AS s, su.s_nationkey AS d,
@@ -2191,6 +2221,55 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY cnt DESC, term ASC
             LIMIT 100
+        """,
+        # -- sketch error-contract oracles: the engine emits the EXACT value
+        # -- (re-derived here in SQL) plus a within-documented-bound boolean
+        # -- it computed by comparing its own sketch estimate against its own
+        # -- exact pass; the oracle pins that boolean to TRUE, so either a
+        # -- broken sketch (bound violated -> FALSE) or a broken exact path
+        # -- (value drift) hash-mismatches.
+        "hll_distinct_check": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+                   TRUE AS hll_ok
+            FROM events
+        """,
+        "hll_by_type_check": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+                   TRUE AS hll_ok
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "quantile_sketch_check": """
+            SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS total_n,
+                   TRUE AS rank_ok
+            FROM (VALUES (25), (50), (75), (95)) AS q(q_pct)
+            ORDER BY q_pct
+        """,
+        "vocab_cms_check": """
+            -- exact top-20 terms (same tokenizer/tie-break as vocab_topk)
+            SELECT term, cnt, TRUE AS cms_ok FROM (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(regexp_extract_all(lower(text),
+                          '[a-z0-9]+')) AS term
+                      FROM documents)
+                GROUP BY term
+                ORDER BY cnt DESC, term ASC
+                LIMIT 20
+            ) ORDER BY term
+        """,
+        "vocab_mg_check": """
+            SELECT term, cnt, TRUE AS mg_ok FROM (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(regexp_extract_all(lower(text),
+                          '[a-z0-9]+')) AS term
+                      FROM documents)
+                GROUP BY term
+                ORDER BY cnt DESC, term ASC
+                LIMIT 20
+            ) ORDER BY term
         """,
         "collocations_topk": """
             -- top-50 word bigrams with component unigram totals (the

@@ -1505,6 +1505,155 @@ def price_quantiles_sketch(sf_dir: str, quantiles=(25, 50, 75, 95)) -> pa.Table:
 
 
 # -------------------------------------------------------------------------
+# Bound-asserting oracle surfaces for the approximate sketches above.
+# The sketches themselves are rows-only by nature (a DuckDB oracle cannot
+# reproduce splitmix64 registers bit-for-bit), but their ERROR CONTRACTS
+# are SQL-expressible: each *_check query computes both the sketch estimate
+# and the exact answer inside the engine, emits the exact value plus a
+# boolean "within documented bound" flag, and the oracle re-derives the
+# exact value in SQL with a constant TRUE — so a broken sketch (or a broken
+# exact path) hash-mismatches in the driver's CORRECTNESS run instead of
+# reading as `no_oracle`.
+# -------------------------------------------------------------------------
+
+
+def hll_distinct_check(sf_dir: str) -> pa.Table:
+    """Exact distinct-user count + HLL-within-0.025 flag (p=14 standard
+    error ~0.81%, so 2.5% ~= 3 sigma; the same bound the pytest asserts)."""
+    est = int(distinct_users_hll(sf_dir)["distinct_users_est"][0].as_py())
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "c": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["user_id"], aggs=[("c", "sum")])
+
+    # exact distributed distinct: dedupe per batch, one keyed exchange,
+    # then a metadata count — no driver-side row materialization
+    n = grouped_sum(ds, keys=["user_id"], partial=uniq, sum_cols=["c"]).count()
+    ok = abs(est - n) <= 0.025 * n
+    return pa.table(
+        {
+            "distinct_users": pa.array([n], pa.int64()),
+            "hll_ok": pa.array([ok], pa.bool_()),
+        }
+    )
+
+
+def hll_by_type_check(sf_dir: str) -> pa.Table:
+    """Per-event-type exact distinct users + HLL-within-0.025 flag."""
+    est_t = distinct_users_hll_by_type(sf_dir)
+    est = dict(
+        zip(
+            est_t["event_type"].to_pylist(),
+            est_t["distinct_users_est"].to_pylist(),
+        )
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "user_id": batch["user_id"],
+                "c": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(
+            t, keys=["event_type", "user_id"], aggs=[("c", "sum")]
+        )
+
+    per_user = grouped_sum(
+        ds, keys=["event_type", "user_id"], partial=partial, sum_cols=["c"]
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n_users": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        return partial_group_agg(t, keys=["event_type"], aggs=[("n_users", "sum")])
+
+    exact = collect(
+        grouped_sum(per_user, keys=["event_type"], partial=rollup, sum_cols=["n_users"])
+    )
+    types = sorted(exact["event_type"].to_pylist()) if exact is not None else []
+    n_by = (
+        dict(zip(exact["event_type"].to_pylist(), exact["n_users"].to_pylist()))
+        if exact is not None
+        else {}
+    )
+    oks = [
+        abs(int(est.get(t, 0)) - int(n_by[t])) <= 0.025 * int(n_by[t]) for t in types
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "distinct_users": pa.array([int(n_by[t]) for t in types], pa.int64()),
+            "hll_ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
+def quantile_sketch_check(sf_dir: str, quantiles=(25, 50, 75, 95)) -> pa.Table:
+    """Rank-error assertion for price_quantiles_sketch: a second streaming
+    pass counts rows <= each estimate (the estimates are 4 ints broadcast
+    in the closure) and asserts |rank/N - q/100| <= 0.02 — the sketch's
+    documented ~n/K-per-batch rank error with headroom. Emits total_n so
+    the oracle's data-derived column proves the engine saw every row."""
+    import numpy as np
+
+    est_t = price_quantiles_sketch(sf_dir, quantiles)
+    ests = dict(
+        zip(est_t["q_pct"].to_pylist(), est_t["price_c_est"].to_pylist())
+    )
+    qs = sorted(ests)
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        v = cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "q_pct": pa.array(qs, pa.int64()),
+                "n_le": pa.array(
+                    [int((v <= ests[q]).sum()) for q in qs], pa.int64()
+                ),
+                "n": pa.array([len(v)] * len(qs), pa.int64()),
+            }
+        )
+
+    totals = collect(
+        grouped_sum(
+            ds,
+            keys=["q_pct"],
+            partial=rank_partial,
+            sum_cols=["n_le", "n"],
+        )
+    )
+    n_le = dict(zip(totals["q_pct"].to_pylist(), totals["n_le"].to_pylist()))
+    n_tot = dict(zip(totals["q_pct"].to_pylist(), totals["n"].to_pylist()))
+    oks = [
+        abs(n_le[q] / max(n_tot[q], 1) - q / 100.0) <= 0.02 for q in qs
+    ]
+    return pa.table(
+        {
+            "q_pct": pa.array(qs, pa.int64()),
+            "total_n": pa.array([n_tot[q] for q in qs], pa.int64()),
+            "rank_ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
+# -------------------------------------------------------------------------
 # cum_spend — RUNNING-SUM window (SUM OVER PARTITION BY ... ORDER BY ...):
 # per customer, the cumulative exact-cents spend over their orders in
 # (o_orderdate, o_orderkey) order. One keyed raw-row exchange on a

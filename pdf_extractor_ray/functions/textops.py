@@ -1049,8 +1049,16 @@ _TOKEN_RE = r"[a-z0-9]+"
 
 def blocklist_re(words: tuple[str, ...] = BLOCKLIST_WORDS) -> str:
     # custom lexicons may carry regex metacharacters ("c++") — escape each
-    # word so the alternation stays a literal-word match
-    return r"\b(" + "|".join(re.escape(w) for w in words) + r")\b"
+    # word so the alternation stays a literal-word match. RE2's \b requires
+    # a word char on its inside edge, so anchor each side only when the
+    # word's edge character IS a word char: a blanket \b(...)\b would make
+    # non-word-edged entries like "c++" silently unmatchable (ADVICE r4).
+    def alt(w: str) -> str:
+        head = r"\b" if re.match(r"\w", w[:1]) else ""
+        tail = r"\b" if re.search(r"\w\Z", w[-1:]) else ""
+        return head + re.escape(w) + tail
+
+    return "(" + "|".join(alt(w) for w in words) + ")"
 
 
 def blocklist_filter(
@@ -2958,6 +2966,85 @@ def vocab_topk_sketch(
             ),
         }
     )
+
+
+# -------------------------------------------------------------------------
+# Bound-asserting oracle surfaces for the term-frequency sketches: the
+# sketches themselves are rows-only (their estimates are not
+# SQL-reproducible), but their ERROR CONTRACTS are — each *_check query
+# computes the sketch estimate AND the exact counts inside the engine,
+# emits (term, exact_cnt, bound_ok) for the exact top-k terms, and the
+# oracle re-derives the exact top-k in SQL with a constant TRUE flag, so a
+# broken sketch hash-mismatches in the driver CORRECTNESS run instead of
+# reading as `no_oracle`.
+# -------------------------------------------------------------------------
+
+
+def _total_tokens(sf_dir: str) -> int:
+    """Corpus token total under the shared [a-z0-9]+ tokenizer — one
+    streaming count pass (per-batch int partials, driver sums a handful)."""
+    from .agg import collect
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        n = int(pc.sum(pc.not_equal(flat, "")).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    t = collect(ds.map_batches(count, batch_format="pyarrow"))
+    return int(pc.sum(t["n"]).as_py() or 0) if t is not None else 0
+
+
+def vocab_cms_check(sf_dir: str, k: int = 20) -> pa.Table:
+    """Count-Min error contract over the exact top-k terms:
+    est >= true (deterministic CMS guarantee) and est <= true + 8*N/w
+    (Markov bound per hash row is 1/8; min over d=4 independent rows makes
+    a violation probability ~2e-4 per term — and the hash is deterministic,
+    so the flag is stable for a fixed corpus)."""
+    t = vocab_counts_cms(sf_dir, k=k)  # (term, est, cnt) for exact top-k
+    n_tokens = _total_tokens(sf_dir)
+    slack = 8.0 * n_tokens / _CMS_W
+    est = t["est"].to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    ok = (est >= cnt) & (est <= cnt + slack)
+    return pa.table(
+        {
+            "term": t["term"],
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+            "cms_ok": pa.array(ok),
+        }
+    ).sort_by([("term", "ascending")])
+
+
+def vocab_mg_check(sf_dir: str, k: int = 20) -> pa.Table:
+    """Misra-Gries error contract over the exact top-k terms: every term
+    with true count > err_bound must survive the sketch with
+    cnt_est <= true <= cnt_est + err_bound (Agarwal et al. mergeable-
+    summaries guarantee); a top-k term at or below err_bound is vacuously
+    ok (the sketch makes no promise about it)."""
+    sk = vocab_topk_sketch(sf_dir, k=_MG_CAP)  # full surviving counter set
+    err = int(sk["err_bound"][0].as_py()) if sk.num_rows else 0
+    est = dict(zip(sk["term"].to_pylist(), sk["cnt_est"].to_pylist()))
+
+    exact = vocab_topk(sf_dir, k=k)  # (term, cnt) exact top-k
+    terms = exact["term"].to_pylist()
+    cnts = [int(c) for c in exact["cnt"].to_pylist()]
+    oks = []
+    for term, true in zip(terms, cnts):
+        if true <= err:
+            oks.append(True)  # below the sketch's resolution — no promise
+        else:
+            e = est.get(term)
+            oks.append(e is not None and e <= true <= e + err)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "mg_ok": pa.array(oks, pa.bool_()),
+        }
+    ).sort_by([("term", "ascending")])
 
 
 # -------------------------------------------------------------------------

@@ -597,12 +597,31 @@ def test_canonicalize_urls_edge_cases():
 
 def test_canonical_url_dedup_groups(ray_session):
     """Groups of 4 consecutive doc_ids share one canonical target; the
-    first-wins id is the group's smallest doc_id."""
+    first-wins id is the group's smallest doc_id. Expected group sizes are
+    derived from the actual doc_id range (a corpus whose row count is not
+    a multiple of 4 leaves a smaller final group — ADVICE r4)."""
+    import pyarrow.parquet as pq
+
     from pdf_extractor_ray.functions.links import canonical_url_dedup
 
+    doc_ids = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    expected = {}
+    for d in doc_ids:
+        g = (d // 4) * 4
+        expected[g] = expected.get(g, 0) + 1
+
     df = canonical_url_dedup("/root/testdata/sf0.001").to_pandas()
-    assert (df["n_variants"] == 4).all()
-    assert (df["keep_doc_id"] % 4 == 0).all()
+    assert (df["keep_doc_id"] % 4 == 0).all() or set(
+        df["keep_doc_id"]
+    ) == set(expected)
+    got = dict(zip(df["keep_doc_id"], df["n_variants"]))
+    # first-wins id = smallest doc_id present in the group
+    assert got == {
+        min(d for d in doc_ids if (d // 4) * 4 == g): n
+        for g, n in expected.items()
+    }
     assert df["canonical_url"].str.startswith("https://testdata.local/doc/").all()
 
 
