@@ -203,6 +203,25 @@ def bench_shards(corpus_path: str) -> dict:
     }
 
 
+HEADLINE_REPEATS = 3
+
+
+def _pick_best(runs: list[dict]) -> dict:
+    """MIN-wall run of an interleaved repeat set (the least-biased
+    estimator on this noisy-neighbor host: identical back-to-back runs
+    measure up to 1.5-2x apart — see BASELINE.md; round 4's driver window
+    recorded 2.1-2.5x of the builder's times purely from one congested
+    window). All walls + the median are recorded alongside so the spread
+    is visible in BENCH/RESULT.json."""
+    import statistics
+
+    walls = [r["wall_s"] for r in runs]
+    best = dict(min(runs, key=lambda r: r["wall_s"]))
+    best["runs_wall_s"] = walls
+    best["median_wall_s"] = round(statistics.median(walls), 3)
+    return best
+
+
 def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
     import ray
 
@@ -215,10 +234,23 @@ def main_bench(sf_dir: str, num_cpus: int, skip_queries: bool = False) -> dict:
         )
     sf = sf_of(sf_dir)
     corpus = ensure_corpus(sf)
-    extract = bench_extract(corpus, num_cpus)
-    ckpt = bench_checkpoint(corpus)
-    training = bench_training(corpus)
-    shards = bench_shards(corpus)
+    # INTERLEAVED best-of-N per headline pipeline (VERDICT r4 item 3): the
+    # four pipelines run as repeated rounds so one congested driver window
+    # can no longer 2x every official record at once
+    rounds: list[dict[str, dict]] = []
+    for _ in range(HEADLINE_REPEATS):
+        rounds.append(
+            {
+                "extract": bench_extract(corpus, num_cpus),
+                "ckpt": bench_checkpoint(corpus),
+                "training": bench_training(corpus),
+                "shards": bench_shards(corpus),
+            }
+        )
+    extract = _pick_best([r["extract"] for r in rounds])
+    ckpt = _pick_best([r["ckpt"] for r in rounds])
+    training = _pick_best([r["training"] for r in rounds])
+    shards = _pick_best([r["shards"] for r in rounds])
     queries = {} if skip_queries else run_queries(sf_dir)
     total = (
         extract["wall_s"]

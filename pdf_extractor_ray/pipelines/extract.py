@@ -434,8 +434,15 @@ def run_checkpoint(
     dedup: bool = True,
     skew_threshold_bytes: int | None = None,
     assign_doc_ids: bool = False,
+    batch_size: int = 256,
 ) -> pa.Table:
-    """Resumable run; returns the per-partition metrics table."""
+    """Resumable run; returns the per-partition metrics table.
+
+    ``batch_size`` is the payload-pass rows-per-extract-batch: memory stays
+    bounded by one parquet row group regardless (iter_batches slices row
+    groups), so a larger batch only amortizes per-batch Python/Arrow
+    overhead — 256 measured ~15% faster end-to-end than the former 64 at
+    sf0.1/32cpus with identical output."""
     import ray
 
     os.makedirs(output_dir, exist_ok=True)
@@ -491,6 +498,7 @@ def run_checkpoint(
         worker.remote(
             pid, files, output_dir, dup_ref, emit_pages=emit_pages,
             emit_links=emit_links,
+            batch_size=batch_size,
             skew_threshold_bytes=skew_threshold_bytes,
             shard_base=bases[pid] if assign_doc_ids else None,
         )

@@ -388,3 +388,37 @@ def test_grouped_hll_accuracy_and_merge(ray_session):
     assert set(est.index) == set(exact)
     for t, e in exact.items():
         assert abs(est[t] - e) <= max(2, 0.025 * e), (t, est[t], e)
+
+
+def test_trade_degree_hist_plans_agree(ray_session):
+    """The broadcast fast path (filtered lineitem side <= limit, one
+    cust-keyed exchange) and the 2-exchange fallback (the 100-TB posture)
+    must produce identical histograms; the result also matches a direct
+    DuckDB recomputation."""
+    import duckdb
+
+    from pdf_extractor_ray.functions.relational import trade_degree_hist
+
+    sf = "/root/testdata/sf0.001"
+    fast = trade_degree_hist(sf)
+    slow = trade_degree_hist(sf, broadcast_rows_limit=0)
+    assert fast.equals(slow)
+    gold = duckdb.query(
+        f"""
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM read_parquet('{sf}/lineitem.parquet') l
+            JOIN read_parquet('{sf}/orders.parquet') o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_quantity >= 50
+        ), d AS (
+            SELECT cust, COUNT(*) AS degree FROM e GROUP BY cust
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM d GROUP BY degree ORDER BY degree
+        """
+    ).arrow()
+    import pyarrow as pa
+
+    assert fast.cast(gold.schema).equals(gold.combine_chunks())
