@@ -65,31 +65,48 @@ class ImageDecode:
     png/jpeg/gif/bmp/webp/tiff payloads (stdlib header parse,
     ``kernels/image_headers.py`` — the reference's accepted-upload set,
     ``main.py:367-379``); unrecognized bytes fall back to deterministic
-    fake dims with codec="". Only PIXEL decode (thumbnailing) remains a
-    stub: ``decode_real=True`` raises because no codec library exists in
-    this environment — that seam is now thumbnail-only."""
+    fake dims with codec="".
+
+    ``decode_real=True``: PNG payloads get a REAL pixel decode
+    (``kernels/png_decode.py`` — zlib inflate + unfilter, stdlib only) and
+    the thumbnail is the nearest-neighbor downsample re-encoded as PNG
+    bytes; non-PNG codecs raise ``NotImplementedError`` (JPEG/WEBP entropy
+    decode needs a codec library absent from this environment — the
+    honest stub seam is now non-PNG-only)."""
 
     def __init__(self, decode_real: bool = False, max_side: int = 256):
         self.decode_real = decode_real
         self.max_side = max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode_real:
-            raise NotImplementedError(
-                "pixel decode (thumbnails) requires PIL/libvips, not "
-                "present in this environment; header dims are always real "
-                "when parseable — run with decode_real=False"
-            )
         from ..kernels.image_headers import image_dims
+
+        if self.decode_real:
+            from ..kernels.png_decode import png_decode, png_encode, thumbnail
 
         widths: list[int] = []
         heights: list[int] = []
         codecs: list[str] = []
-        digests: list[bytes] = []
+        thumbs: list[bytes] = []
         for p in batch["payload"].to_pylist():
             digest = hashlib.md5(p).digest()
-            digests.append(digest)
             parsed = image_dims(p)
+            if self.decode_real:
+                if parsed is None or parsed[0] != "png":
+                    raise NotImplementedError(
+                        "real pixel decode is implemented for PNG only "
+                        f"(got {parsed[0] if parsed else 'unknown'}); "
+                        "JPEG/WEBP need a codec library absent from this "
+                        "environment — run with decode_real=False"
+                    )
+                img = png_decode(p)
+                th = thumbnail(img, self.max_side)
+                codecs.append("png")
+                widths.append(int(img.shape[1]))
+                heights.append(int(img.shape[0]))
+                thumbs.append(png_encode(th))
+                continue
+            thumbs.append(digest)
             if parsed is not None:
                 codec, w, h = parsed
             else:  # deterministic fake, flagged by the empty codec
@@ -105,7 +122,7 @@ class ImageDecode:
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
                 "codec": pa.array(codecs, pa.string()),
-                "thumb": pa.array(digests, pa.large_binary()),
+                "thumb": pa.array(thumbs, pa.large_binary()),
             }
         )
 

@@ -139,40 +139,131 @@ class MarkdownPagesExtractor:
         )
 
 
+# --------------------------------------------------------------------------
+# Async-poll/backoff model for the external-service extractors. The
+# reference polls its async providers in two shapes: a flat 5 s sleep loop
+# in the Celery task (``tasks.py:216-225``) and exponential backoff in the
+# Textract reader (``textract_extractor.py:62-81``: delay starts at 1.5 s,
+# x1.5 per attempt, capped at 10 s, looping until SUCCEEDED/FAILED). The
+# reference loop is UNBOUNDED; the model below adds a configurable poll
+# budget (``max_polls``) as the timeout guard a production deployment
+# needs, and is pure arithmetic — no wall-clock sleeps — so the
+# retry/breaker interplay with a slow provider is deterministic and
+# testable.
+# --------------------------------------------------------------------------
+
+POLL_INITIAL_MS = 1_500
+POLL_FACTOR = 1.5
+POLL_CAP_MS = 10_000
+POLL_MAX_DEFAULT = 8  # budget: 49.78 s of simulated waiting
+
+
+def poll_schedule(
+    duration_ms: int,
+    *,
+    initial_ms: int = POLL_INITIAL_MS,
+    factor: float = POLL_FACTOR,
+    cap_ms: int = POLL_CAP_MS,
+    max_polls: int = POLL_MAX_DEFAULT,
+) -> tuple[int, int, bool]:
+    """Walk the backoff schedule until a job of ``duration_ms`` would
+    report done or the poll budget runs out.
+
+    Returns ``(n_polls, waited_ms, timed_out)``."""
+    waited = 0
+    sleep = initial_ms
+    for k in range(1, max_polls + 1):
+        waited += sleep
+        if waited >= duration_ms:
+            return k, waited, False
+        sleep = min(int(sleep * factor), cap_ms)
+    return max_polls, waited, True
+
+
 class _StubServiceExtractor:
     """Shared shape for external-service extractors: real batching/schema,
     stubbed service call. With ``fake=True`` a deterministic fake result is
     produced (seeded by payload hash) so pipelines exercise the full
     dataflow in tests; with ``fake=False`` rows are flagged
-    ``status='stub_unavailable'`` (this sandbox has no network)."""
+    ``status='stub_unavailable'`` (this sandbox has no network).
+
+    ``sim_latency=True`` additionally runs every fake job through the
+    async-poll/backoff model above: each payload's simulated job duration
+    is hash-derived (or forced via ``slow_ms`` — the slow-provider knob),
+    jobs that exhaust the poll budget come back ``status='timeout'``, and
+    an optional row-count circuit breaker (the same ``_Breaker`` as the
+    flagship pipeline, reference 5-failures/300 s semantics
+    ``tasks.py:126-151``) opens under consecutive timeouts so queued rows
+    skip the provider entirely (``status='breaker_open'``) instead of
+    paying the full poll budget each."""
 
     service = "unknown"
 
-    def __init__(self, fake: bool = False):
+    def __init__(
+        self,
+        fake: bool = False,
+        sim_latency: bool = False,
+        slow_ms: int | None = None,
+        max_polls: int = POLL_MAX_DEFAULT,
+        breaker_threshold: int = 0,
+        breaker_cooldown: int = 16,
+    ):
         self.fake = fake
+        self.sim_latency = sim_latency
+        self.slow_ms = slow_ms
+        self.max_polls = max_polls
+        if breaker_threshold:
+            from .extract import _Breaker
+
+            self.breaker = _Breaker(breaker_threshold, breaker_cooldown)
+        else:
+            self.breaker = None
 
     def _fake_text(self, payload: bytes | None) -> str:
         h = hashlib.md5(payload or b"").hexdigest()
         return f"[{self.service}-fake:{h[:12]}]"
+
+    def _sim_duration_ms(self, payload: bytes | None) -> int:
+        if self.slow_ms is not None:
+            return self.slow_ms
+        h = hashlib.md5((payload or b"") + b"|job-duration").digest()
+        # 0-60 s simulated job: ~83% land inside the default poll budget
+        return int.from_bytes(h[4:8], "little") % 60_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["html"].to_pylist()
         if self.fake:
             texts = [self._fake_text(p) for p in payloads]
             status = ["ok"] * len(texts)
+            if self.sim_latency:
+                waits: list[int] = []
+                for i, p in enumerate(payloads):
+                    if self.breaker is not None and self.breaker.should_skip():
+                        texts[i], status[i] = "", "breaker_open"
+                        waits.append(0)  # skipped rows never hit the provider
+                        continue
+                    _, waited, timed_out = poll_schedule(
+                        self._sim_duration_ms(p), max_polls=self.max_polls
+                    )
+                    waits.append(waited)
+                    if timed_out:
+                        texts[i], status[i] = "", "timeout"
+                    if self.breaker is not None:
+                        self.breaker.record(failed=timed_out)
         else:
             texts = [""] * len(payloads)
             status = ["stub_unavailable"] * len(payloads)
-        return pa.table(
-            {
-                "url": batch["url"],
-                "extracted_text": pa.array(texts, pa.large_string()),
-                "status": pa.array(status, pa.string()),
-                "extractor": pa.array(
-                    [self.registry_name] * len(texts), pa.string()
-                ),
-            }
-        )
+        cols = {
+            "url": batch["url"],
+            "extracted_text": pa.array(texts, pa.large_string()),
+            "status": pa.array(status, pa.string()),
+            "extractor": pa.array(
+                [self.registry_name] * len(texts), pa.string()
+            ),
+        }
+        if self.fake and self.sim_latency:
+            cols["sim_wait_ms"] = pa.array(waits, pa.int64())
+        return pa.table(cols)
 
 
 @register("ocr_tesseract")

@@ -198,11 +198,137 @@ def test_media_stages(ray_session):
         AudioFeatures(decode_real=True)(media.slice(0, 2))
 
 
-def test_media_real_decode_raises():
+def test_media_real_decode_raises_on_non_png():
+    """decode_real is real for PNG only; random bytes (unknown codec) and
+    any non-PNG codec still raise the honest stub seam."""
     from pdf_extractor_ray.stages.multimodal import ImageDecode, synthetic_media_table
 
     with pytest.raises(NotImplementedError):
         ImageDecode(decode_real=True)(synthetic_media_table(2))
+
+
+def _png_filtered(pixels, ctype, filters, plte=None):
+    """Spec-side FORWARD filter implementation (independent of the kernel's
+    inverse) + chunk assembly, so the decoder is checked against the spec,
+    not against itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    raw = bytearray()
+    prev = np.zeros(w * c, np.int32)
+    for yi in range(h):
+        line = pixels[yi].reshape(w * c).astype(np.int32)
+        f = filters[yi % len(filters)]
+        raw.append(f)
+        for i in range(w * c):
+            left = int(line[i - c]) if i >= c else 0
+            up = int(prev[i])
+            ul = int(prev[i - c]) if i >= c else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - up
+            elif f == 3:
+                v = line[i] - ((left + up) >> 1)
+            else:  # paeth
+                p = left + up - ul
+                pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa_ <= pb and pa_ <= pc_ else (up if pb <= pc_ else ul)
+                v = line[i] - pred
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_all_ctypes():
+    """Decode planted PNGs built with an independent forward-filter
+    implementation: every scanline filter (0-4) across gray/RGB/
+    gray+alpha/RGBA, plus a palette image."""
+    import numpy as np
+
+    from pdf_extractor_ray.kernels.png_decode import png_decode
+
+    rng = np.random.RandomState(7)
+    for c, ctype in ((1, 0), (2, 4), (3, 2), (4, 6)):
+        px = rng.randint(0, 256, size=(13, 9, c)).astype(np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            data = _png_filtered(px, ctype, filters)
+            got = png_decode(data)
+            assert got.shape == (13, 9, c)
+            assert np.array_equal(got, px), (c, filters)
+    # palette: indices decode through PLTE to RGB
+    plte = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(6, 5, 1)).astype(np.uint8)
+    data = _png_filtered(idx, 3, [0, 1, 2], plte=plte)
+    got = png_decode(data)
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+
+
+def test_png_roundtrip_and_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from pdf_extractor_ray.kernels.png_decode import png_decode, png_encode
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(20, 31, 3)).astype(np.uint8)
+    assert np.array_equal(png_decode(png_encode(px)), px)
+    with _pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+def test_image_decode_real_thumbnails_byte_stable():
+    """decode_real over planted PNGs: real dims, thumbnails are valid PNG
+    bytes whose pixels equal the deterministic nearest-neighbor
+    downsample, and the output is byte-identical across calls."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_extractor_ray.kernels.png_decode import png_decode, png_encode, thumbnail
+    from pdf_extractor_ray.stages.multimodal import ImageDecode
+
+    rng = np.random.RandomState(3)
+    imgs = [
+        rng.randint(0, 256, size=(600, 400, 3)).astype(np.uint8),
+        rng.randint(0, 256, size=(40, 700, 4)).astype(np.uint8),
+        rng.randint(0, 256, size=(30, 20, 1)).astype(np.uint8),  # small: identity
+    ]
+    batch = pa.table(
+        {
+            "media_id": pa.array([f"m{i}" for i in range(len(imgs))]),
+            "payload": pa.array(
+                [png_encode(im) for im in imgs], pa.large_binary()
+            ),
+        }
+    )
+    dec = ImageDecode(decode_real=True, max_side=64)
+    out = dec(batch)
+    assert out["codec"].to_pylist() == ["png"] * 3
+    assert out["width"].to_pylist() == [im.shape[1] for im in imgs]
+    assert out["height"].to_pylist() == [im.shape[0] for im in imgs]
+    for im, tb in zip(imgs, out["thumb"].to_pylist()):
+        want = thumbnail(im, 64)
+        got = png_decode(tb)
+        assert max(got.shape[:2]) <= 64
+        assert np.array_equal(got, want)
+    out2 = dec(batch)
+    assert out.equals(out2)
 
 
 def test_fan_out_fused_matches_branches(ray_session, small_corpus):

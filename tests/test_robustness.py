@@ -237,3 +237,121 @@ def test_split_markdown_pages_never_throws(s):
     assert pages  # always at least one page
     assert all(isinstance(k, int) and k >= 0 for k in pages)
     assert all(isinstance(v, str) for v in pages.values())
+
+
+def test_poll_schedule_reference_backoff():
+    """The arithmetic poll model follows the reference's backoff exactly
+    (textract_extractor.py:62-81: sleep 1.5s, x1.5 per attempt, cap 10s):
+    cumulative waits 1.5, 3.75, 7.125, 12.187, 19.78, 29.78, 39.78,
+    49.78 s; jobs beyond the budget time out."""
+    from pdf_extractor_ray.stages.registry import poll_schedule
+
+    # instant job: one poll, no timeout
+    assert poll_schedule(0) == (1, 1500, False)
+    # a 4s job needs three polls (cum 1500, 3750, 7125)
+    n, waited, to = poll_schedule(4_000)
+    assert (n, waited, to) == (3, 7125, False)
+    # cap: cumulative wait after 8 polls is 49780ms
+    n, waited, to = poll_schedule(49_780)
+    assert (n, waited, to) == (8, 49_780, False)
+    # one ms past the budget -> timeout at max_polls
+    n, waited, to = poll_schedule(49_781)
+    assert (n, waited, to) == (8, 49_780, True)
+
+
+def test_breaker_opens_under_slow_provider():
+    """Slow-provider simulation: with every job forced past the poll
+    budget, the first `threshold` rows pay the full backoff and time out,
+    then the breaker opens and queued rows skip the provider (zero
+    simulated wait) until the cooldown's half-open probe — which fails
+    again under a still-slow provider and re-opens the breaker."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.stages.registry import get_extractor
+
+    cls = get_extractor("textract")
+    ex = cls(
+        fake=True, sim_latency=True, slow_ms=10**9,
+        breaker_threshold=3, breaker_cooldown=4,
+    )
+    n = 12
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(n)]),
+            "html": pa.array([f"payload {i}".encode() for i in range(n)],
+                             pa.large_binary()),
+        }
+    )
+    out = ex(batch)
+    st = out["status"].to_pylist()
+    waits = out["sim_wait_ms"].to_pylist()
+    # rows 0-2: timeouts that each paid the full 49.78s budget
+    assert st[:3] == ["timeout"] * 3
+    assert waits[:3] == [49_780] * 3
+    # rows 3-6: breaker open for the 4-row cooldown, no provider calls
+    assert st[3:7] == ["breaker_open"] * 4
+    assert waits[3:7] == [0] * 4
+    # row 7: half-open probe hits the still-slow provider, times out again
+    assert st[7] == "timeout" and waits[7] == 49_780
+    # rows 8-11: re-opened for another cooldown window
+    assert st[8:12] == ["breaker_open"] * 4
+
+
+def test_breaker_recovers_when_provider_speeds_up():
+    """The half-open probe closes the breaker as soon as the provider is
+    fast again: timeouts open it, the probe row (fast) succeeds, and the
+    remaining rows flow normally."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.stages.registry import get_extractor
+
+    cls = get_extractor("vision_api")
+    ex = cls(
+        fake=True, sim_latency=True, slow_ms=10**9,
+        breaker_threshold=2, breaker_cooldown=2,
+    )
+    slow = pa.table(
+        {
+            "url": pa.array([f"s{i}" for i in range(4)]),
+            "html": pa.array([b"x"] * 4, pa.large_binary()),
+        }
+    )
+    st = ex(slow)["status"].to_pylist()
+    assert st == ["timeout", "timeout", "breaker_open", "breaker_open"]
+    ex.slow_ms = 100  # provider recovers between batches
+    fast = pa.table(
+        {
+            "url": pa.array([f"f{i}" for i in range(3)]),
+            "html": pa.array([b"y"] * 3, pa.large_binary()),
+        }
+    )
+    out = ex(fast)
+    assert out["status"].to_pylist() == ["ok"] * 3
+    assert all(w == 1500 for w in out["sim_wait_ms"].to_pylist())
+
+
+def test_sim_latency_deterministic_and_schema_stable():
+    """Hash-derived durations: two identical calls produce identical
+    tables; sim mode adds only the sim_wait_ms column; plain fake mode's
+    schema is unchanged."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.stages.registry import get_extractor
+
+    cls = get_extractor("mathpix")
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(64)]),
+            "html": pa.array(
+                [f"doc {i}".encode() for i in range(64)], pa.large_binary()
+            ),
+        }
+    )
+    a = cls(fake=True, sim_latency=True)(batch)
+    b = cls(fake=True, sim_latency=True)(batch)
+    assert a.equals(b)
+    sts = set(a["status"].to_pylist())
+    assert "ok" in sts and "timeout" in sts  # both outcomes exercised
+    plain = cls(fake=True)(batch)
+    assert "sim_wait_ms" not in plain.column_names
+    assert plain["status"].to_pylist() == ["ok"] * 64
