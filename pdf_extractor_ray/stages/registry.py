@@ -19,6 +19,20 @@ the Ray-side plumbing (schema, actor signature, batching) is real and
 tested, the service call raises ``NotImplementedError`` unless a
 deterministic fake is enabled; rows come back flagged, never thrown
 (``backend/src/tasks.py:290-340`` failure path semantics).
+
+Deliberately not carried (dead in the reference, documented for parity
+audits):
+
+* the ``TITLES``/``OCR`` page-content keys — emitted only by
+  ``unstructured_extractor.py:92-97`` / ``nanonets_extractor.py:193-205``,
+  both commented out of ``READER_MAP`` (``factory.py:19,29-30``), so no
+  live reference path produces them; the ``page_contents`` vocabulary
+  here covers the live keys (COMBINED/TABLE/MARKDOWN/LATEX/TEXT).
+* the webhook contract (``interface.py:41-54``) — declared but every
+  extractor returns ``supports_webhook() == False``, so the poll loop
+  (modeled by ``poll_schedule`` below) is the only async path actually
+  exercised; a webhook would map to a Ray Serve ingress + queue, outside
+  this batch engine's scope.
 """
 
 from __future__ import annotations
