@@ -397,6 +397,14 @@ def write_training_shards(
 
     docs = read_extracted(workdir).map_batches(to_docs, batch_format="pyarrow")
     n_rows = sum(pq.read_metadata(f).num_rows for f in list_shards(input_path))
+    # SIZE NOTE (100 TB posture): this materialize holds one (doc_id,
+    # tok_start) int64 pair per WINNER doc — 16 B/row, so ~1.6 TB of
+    # distributed, spillable object-store residency at 10^11 docs (Ray
+    # spills blocks to disk under pressure; nothing lands on the driver —
+    # the driver only ever sees `n_meta` and, below the broadcast limit,
+    # the collected pairs). Past ~10^11 docs prefer checkpointing this
+    # table to parquet next to `workdir` instead of re-deriving it on a
+    # resume; the dataflow is otherwise unchanged.
     meta_ds = prepare_training_ds(
         docs, n_rows, budget=budget, emit_offsets=True
     ).select_columns(["doc_id", "tok_start"]).materialize()
