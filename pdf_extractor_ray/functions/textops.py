@@ -3642,109 +3642,76 @@ def prepare_training_ds(
             first[1:] = ks[1:] != ks[:-1]
         return t.filter(pa.array(first))
 
-    tagged = ds.map_batches(flag, batch_format="pyarrow")
+    # the reduced (doc_id, key, n_tokens) metadata table is consumed by
+    # TWO keyed passes below — materialize it so the upstream dataflow
+    # (which may be the full extraction pipeline in the web_to_training /
+    # corpus_to_training compositions) runs ONCE; the cached table is
+    # keys-only (~50 B/row, object store spills at scale), always cheaper
+    # than re-extracting payloads (measured 35s -> 22s end-to-end at the
+    # 237k-page corpus)
+    tagged = ds.map_batches(flag, batch_format="pyarrow").materialize()
 
-    # ONE keyed exchange total (the former plan shuffled `tagged` twice and
-    # deduped every bucket twice): the dedup pass also stamps each winner's
-    # BUCKET-LOCAL shuffle rank and exclusive token prefix, so everything
-    # downstream is order-independent row-local arithmetic — no reliance on
-    # block boundaries preserving bucket contiguity. The winner metadata
-    # table (ints only, ~40 B/row, object store spills at scale) is
-    # materialized so the expensive upstream (which may be the full
-    # extraction pipeline in the web_to_training / corpus_to_training
-    # compositions) runs ONCE and both passes below read the cached blocks.
-    def dedup_assign_local(group: pa.Table) -> pa.Table:
+    # pass 1: one summary row per bucket after in-bucket dedup
+    def bucket_summary(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                c: pa.array([], pa.int64())
-                for c in ("doc_id", "n_tokens", "__pp", "pos_l", "excl_l")
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.int64()),
             }
         )
         if group.num_columns == 0 or group.num_rows == 0:
             return empty
         w = dedup_sorted(group)
-        ntok = w["n_tokens"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pc.cast(w["doc_id"], pa.int64()),
-                "n_tokens": pc.cast(w["n_tokens"], pa.int64()),
-                "__pp": pc.cast(w["__pp"], pa.int64()),
-                "pos_l": pa.array(np.arange(w.num_rows, dtype=np.int64)),
-                "excl_l": pa.array(np.cumsum(ntok) - ntok, pa.int64()),
+                "b": pa.array([int(w["__pp"][0].as_py())], pa.int64()),
+                "n": pa.array([w.num_rows], pa.int64()),
+                "tok": pa.array(
+                    [int(pc.sum(w["n_tokens"]).as_py() or 0)], pa.int64()
+                ),
             }
         )
 
-    winners = (
+    totals = (
         tagged.groupby("__pp")
-        .map_groups(dedup_assign_local, batch_format="pyarrow")
-        .materialize()
-    )
-
-    # bucket totals: exchange-free per-batch partials (count/sum are
-    # additive, so a bucket split across batches combines correctly) ->
-    # driver cumsum over the n_parts-sized base arrays
-    def totals_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return pa.table(
-                {c: pa.array([], pa.int64()) for c in ("b", "n", "tok")}
-            )
-        g = batch.group_by(["__pp"]).aggregate(
-            [("doc_id", "count"), ("n_tokens", "sum")]
-        )
-        return pa.table(
-            {
-                "b": pc.cast(g["__pp"], pa.int64()),
-                "n": pc.cast(g["doc_id_count"], pa.int64()),
-                "tok": pc.cast(g["n_tokens_sum"], pa.int64()),
-            }
-        )
-
-    from .agg import collect as _collect
-
-    totals = _collect(
-        winners.map_batches(totals_partial, batch_format="pyarrow")
+        .map_groups(bucket_summary, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("b")
     )
     per_rows = np.zeros(n_parts, dtype=np.int64)
     per_toks = np.zeros(n_parts, dtype=np.int64)
-    if totals is not None and totals.num_rows:
-        np.add.at(
-            per_rows,
-            totals["b"].to_numpy(zero_copy_only=False),
-            totals["n"].to_numpy(zero_copy_only=False),
-        )
-        np.add.at(
-            per_toks,
-            totals["b"].to_numpy(zero_copy_only=False),
-            totals["tok"].to_numpy(zero_copy_only=False),
-        )
+    if len(totals):
+        per_rows[totals["b"].to_numpy()] = totals["n"].to_numpy()
+        per_toks[totals["b"].to_numpy()] = totals["tok"].to_numpy()
     row_base = np.zeros(n_parts + 1, dtype=np.int64)
     tok_base = np.zeros(n_parts + 1, dtype=np.int64)
     np.cumsum(per_rows, out=row_base[1:])
     np.cumsum(per_toks, out=tok_base[1:])
 
-    # global rank + packed sequence id: pure row-local arithmetic over the
-    # cached winner blocks (base arrays ride the task closure — n_parts
-    # int64s, the same driver-held footprint as the former totals hop)
-    def assign(batch: pa.Table) -> pa.Table:
+    # pass 2: winners with global shuffle rank + packed sequence id
+    def assign(group: pa.Table) -> pa.Table:
         cols = ["doc_id", "pos", "n_tokens", "seq_id"] + (
             ["tok_start"] if emit_offsets else []
         )
-        if batch.num_columns == 0 or batch.num_rows == 0:
+        if group.num_columns == 0 or group.num_rows == 0:
             return pa.table({c: pa.array([], pa.int64()) for c in cols})
-        b = batch["__pp"].to_numpy(zero_copy_only=False)
-        pos = row_base[b] + batch["pos_l"].to_numpy(zero_copy_only=False)
-        excl = tok_base[b] + batch["excl_l"].to_numpy(zero_copy_only=False)
+        w = dedup_sorted(group)
+        b = int(w["__pp"][0].as_py())
+        ntok = w["n_tokens"].to_numpy(zero_copy_only=False)
+        pos = row_base[b] + np.arange(w.num_rows, dtype=np.int64)
+        excl = tok_base[b] + np.cumsum(ntok) - ntok
         out = {
-            "doc_id": batch["doc_id"],
+            "doc_id": pc.cast(w["doc_id"], pa.int64()),
             "pos": pa.array(pos, pa.int64()),
-            "n_tokens": batch["n_tokens"],
+            "n_tokens": w["n_tokens"],
             "seq_id": pa.array(excl // budget, pa.int64()),
         }
         if emit_offsets:
             out["tok_start"] = pa.array(excl, pa.int64())
         return pa.table(out)
 
-    return winners.map_batches(assign, batch_format="pyarrow")
+    return tagged.groupby("__pp").map_groups(assign, batch_format="pyarrow")
 
 # -------------------------------------------------------------------------
 # dsir_weights — Data Selection via Importance Resampling (DSIR, Xie et
